@@ -1,0 +1,37 @@
+"""surfiki-refine-elasticsearch → PySpark-native full-text engine.
+
+A from-scratch, Spark-first inverted-index build + BM25 query engine with the
+query and data-processing capabilities of the reference project
+(`bryant1410/surfiki-refine-elasticsearch`, a Python map-reduce "refine" layer
+over Elasticsearch). The local reference snapshot is EMPTY (SURVEY.md §0), so
+behavior targets are the driver contract in BASELINE.json plus published
+Elasticsearch/Lucene semantics — no reference file:line citations are possible
+and none appear in this package.
+
+Layout (SURVEY.md §7 M0):
+  session.py     SparkSession factory with pinned configs (AQE, Arrow)
+  io.py          table read/write, format switch (Parquet locally / Iceberg prod)
+  pages.py       deterministic synthetic `pages` corpus generator
+  tokenizer.py   pinned UAX#29-subset analyzer (NFKC + lowercase + word break)
+  refine.py      html_strip / normalize / dedup / doc_id (vectorized pandas UDFs)
+  corpus.py      tokens → tf → doc/corpus stats (pure DataFrame ops)
+  codec.py       delta-gap + varint posting codec + skip blocks (NumPy)
+  index.py       salted repartition-by-term posting build, term_dict, shards
+  merge.py       segment merge job
+  bm25.py        Lucene-8 BM25 formula (SQL expression + NumPy twins)
+  search.py      query path: analysis, exact SQL scorer, postings WAND scorer
+  wand.py        block-max WAND top-k kernel (NumPy)
+  checkpoint.py  per-partition lineage manifest + resume
+  aggs.py        ES-aggregation parity (terms/cardinality/stats/percentiles/…)
+  textops.py     language-ID, quality score, token counting, fingerprinting
+  dedup.py       exact / MinHash-LSH / SimHash / n-gram-Jaccard / embedding dedup
+  ann.py         cosine top-k similarity search (brute-force + LSH-bucketed)
+  multimodal.py  opaque-binary media column plumbing (decode stubbed)
+  streaming.py   incremental refine / delta-segment ingest (Structured Streaming)
+"""
+
+__version__ = "0.1.0"
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BLOCK_SIZE = 128  # postings per skip block (Lucene uses 128-doc blocks)

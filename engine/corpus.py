@@ -1,0 +1,58 @@
+"""Corpus build: analysis → tokens → tf / doc stats / corpus stats.
+
+SURVEY.md §2.C1–C4. Everything here is built-in DataFrame ops — the tf and
+stats aggregations are Catalyst partial+final hash aggregates (the map-reduce
+of the reference's refine loop, done by the engine for free).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .tokenizer import tokenize_udf
+
+
+def with_tokens(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach `toks array<string>` and `dl int` (token count, C3)."""
+    return docs.withColumn("toks", tokenize_udf(F.col(text_col))).withColumn(
+        "dl", F.size("toks")
+    )
+
+
+def tokens(docs_with_toks: DataFrame) -> DataFrame:
+    """C1: one row per (doc_id, pos, term) via posexplode (positions kept for
+    phrase queries, D9)."""
+    return docs_with_toks.select(
+        "doc_id", F.posexplode("toks").alias("pos", "term")
+    )
+
+
+def tf_table(tokens_df: DataFrame, with_positions: bool = False) -> DataFrame:
+    """C2: (term, doc_id) → tf [+ sorted position list]."""
+    aggs = [F.count("*").alias("tf")]
+    if with_positions:
+        aggs.append(F.sort_array(F.collect_list("pos")).alias("positions"))
+    return tokens_df.groupBy("term", "doc_id").agg(*aggs)
+
+
+def doc_stats(docs_with_toks: DataFrame) -> DataFrame:
+    """C3: doc_id → dl."""
+    return docs_with_toks.select("doc_id", "dl")
+
+
+def term_stats(tf: DataFrame) -> DataFrame:
+    """C4: term → df (doc freq), cf (collection freq)."""
+    return tf.groupBy("term").agg(
+        F.count("*").alias("df"), F.sum("tf").alias("cf")
+    )
+
+
+def corpus_stats(doc_stats_df: DataFrame) -> tuple[int, float]:
+    """C4: N (docCount), avgdl — tiny driver collect, broadcast implicitly
+    as literals in downstream expressions (Lucene CollectionStatistics
+    [public])."""
+    row = doc_stats_df.agg(
+        F.count("*").alias("n"), F.avg("dl").alias("avgdl")
+    ).collect()[0]
+    return int(row["n"]), float(row["avgdl"])
