@@ -20,6 +20,18 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import DataFrame, SparkSession  # noqa: E402
 
 from engine import registry  # noqa: E402
+from engine.packaging import ensure_workers_can_import  # noqa: E402
+
+
+def _wrap(fn: Callable[[SparkSession, str], DataFrame]):
+    """Ship the engine package to this session's Python workers first —
+    the driver's SparkSession may come from any cwd (see engine/packaging)."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ensure_workers_can_import(spark)
+        return fn(spark, sf_dir)
+
+    return run
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -27,12 +39,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
     Exact BM25 top-10 for the AND-conjunction query `sort merge join`
     over the `documents` corpus (SURVEY.md §7 M1 flagship)."""
+    ensure_workers_can_import(spark)
     return registry.flagship(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return registry.queries()
+    return {name: _wrap(fn) for name, fn in registry.queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -109,11 +109,14 @@ def encode_postings(
     Returns dict with:
       doc_ids_enc: bytes   delta-gap + varint of ascending doc_ids
       tfs_enc:     bytes   varint of term frequencies (aligned with doc_ids)
-      skips:       list[(first_doc, doc_off, tf_off, max_impact)] per block
+      dls_enc:     bytes   varint of doc lengths (the norm stream — baked in
+                           so shards are self-contained for scoring + merge,
+                           the analog of Lucene's per-segment norms [public])
+      skips:       list[(first_doc, doc_off, tf_off, dl_off, max_impact)]
       block_max:   float   max impact over the whole list
       df:          int, cf: int
-    Block offsets are *byte* offsets so a reader can seek without decoding
-    prior blocks (skip data per Lucene's skip lists [public]).
+    Block offsets are *byte* offsets so a reader can seek a block without
+    decoding prior blocks (skip data per Lucene's skip lists [public]).
     """
     order = np.argsort(doc_ids, kind="stable")
     ids = np.asarray(doc_ids, dtype=np.int64)[order]
@@ -124,9 +127,11 @@ def encode_postings(
 
     doc_parts: list[bytes] = []
     tf_parts: list[bytes] = []
-    skips: list[tuple[int, int, int, float]] = []
+    dl_parts: list[bytes] = []
+    skips: list[tuple[int, int, int, int, float]] = []
     doc_off = 0
     tf_off = 0
+    dl_off = 0
     for s in range(0, n, block_size):
         e = min(s + block_size, n)
         blk_ids = ids[s:e]
@@ -136,14 +141,20 @@ def encode_postings(
             gaps[1:] = np.diff(blk_ids).astype(np.uint64)
         d = varint_encode(gaps)
         t = varint_encode(tf[s:e].astype(np.uint64))
-        skips.append((int(blk_ids[0]), doc_off, tf_off, float(impacts[s:e].max())))
+        l = varint_encode(dl[s:e].astype(np.uint64))
+        skips.append(
+            (int(blk_ids[0]), doc_off, tf_off, dl_off, float(impacts[s:e].max()))
+        )
         doc_parts.append(d)
         tf_parts.append(t)
+        dl_parts.append(l)
         doc_off += len(d)
         tf_off += len(t)
+        dl_off += len(l)
     return {
         "doc_ids_enc": b"".join(doc_parts),
         "tfs_enc": b"".join(tf_parts),
+        "dls_enc": b"".join(dl_parts),
         "skips": skips,
         "block_max": float(impacts.max()) if n else 0.0,
         "df": int(n),
@@ -151,14 +162,16 @@ def encode_postings(
     }
 
 
-def decode_postings(doc_ids_enc: bytes, tfs_enc: bytes, skips) -> tuple[np.ndarray, np.ndarray]:
-    """Decode a full posting list → (doc_ids int64 asc, tfs int64).
+def decode_postings(
+    doc_ids_enc: bytes, tfs_enc: bytes, dls_enc: bytes, skips
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode a full posting list → (doc_ids asc, tfs, dls) int64 arrays.
 
-    Blocks are delta-restarted, so decode per block using byte offsets.
-    skips: sequence of (first_doc, doc_off, tf_off, max_impact).
-    """
+    Blocks are delta-restarted, so doc_ids decode per block using byte
+    offsets; tf/dl streams are plain varint concatenations."""
     if not skips:
-        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+        z = np.empty(0, dtype=np.int64)
+        return z, z.copy(), z.copy()
     ids_out: list[np.ndarray] = []
     n_blocks = len(skips)
     for i in range(n_blocks):
@@ -167,16 +180,22 @@ def decode_postings(doc_ids_enc: bytes, tfs_enc: bytes, skips) -> tuple[np.ndarr
         gaps = varint_decode(doc_ids_enc[d0:d1])
         ids_out.append(np.cumsum(gaps.astype(np.int64)))
     tfs = varint_decode(tfs_enc).astype(np.int64)
-    return np.concatenate(ids_out), tfs
+    dls = varint_decode(dls_enc).astype(np.int64)
+    return np.concatenate(ids_out), tfs, dls
 
 
-def decode_block(doc_ids_enc: bytes, tfs_enc: bytes, skips, i: int) -> tuple[np.ndarray, np.ndarray]:
+def decode_block(
+    doc_ids_enc: bytes, tfs_enc: bytes, dls_enc: bytes, skips, i: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Decode only block i — the skip-pointer seek path used by WAND."""
     n_blocks = len(skips)
     d0 = skips[i][1]
     d1 = skips[i + 1][1] if i + 1 < n_blocks else len(doc_ids_enc)
     t0 = skips[i][2]
     t1 = skips[i + 1][2] if i + 1 < n_blocks else len(tfs_enc)
+    l0 = skips[i][3]
+    l1 = skips[i + 1][3] if i + 1 < n_blocks else len(dls_enc)
     ids = np.cumsum(varint_decode(doc_ids_enc[d0:d1]).astype(np.int64))
     tfs = varint_decode(tfs_enc[t0:t1]).astype(np.int64)
-    return ids, tfs
+    dls = varint_decode(dls_enc[l0:l1]).astype(np.int64)
+    return ids, tfs, dls

@@ -1,0 +1,283 @@
+"""Inverted-index build: salted repartition-by-term → compressed postings.
+
+SURVEY.md §2.C5-C9 / BASELINE.json:6: "a salted repartition-by-term shuffle
+builds delta-gap + varint-compressed posting lists with per-partition skip
+blocks and block-max metadata".
+
+Layout (mirrors the ES/Lucene shard model [public]):
+
+* the doc space is split into **shards** (shard = doc_id // docs_per_shard) —
+  query-time WAND runs per shard over all query terms, like an ES shard
+  search; shards parallelize scoring at 10^12-doc scale;
+* within a shard, postings are keyed by **bucket = pmod(xxhash64(term), B)**
+  — the file-partition column, so a term lookup prunes to one bucket
+  directory per shard (Catalyst partition pruning, SURVEY.md D3);
+* a build over multiple input chunks produces **segments** (seg_id); the
+  merge job (engine/merge.py) combines segments into one posting row per
+  (shard, term) — Lucene's segment merge [public];
+* **hot-term salting** (C5): terms with df above a threshold are split into
+  `n_salts` sub-groups by doc-hash before encoding, bounding the per-group
+  memory of the encode UDF and splitting the skewed shuffle key — AQE does
+  not split skewed groupBy keys, so this is load-bearing for scaling
+  (SURVEY.md §7 risk 4). The merge job re-combines salted parts.
+
+The encode UDF is a grouped-map Arrow UDF (`applyInPandas`); all inner work
+is NumPy-vectorized (engine/codec.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import BLOCK_SIZE
+from .codec import encode_postings
+from .corpus import corpus_stats, term_stats, tf_table, tokens, with_tokens
+
+SKIP_STRUCT = T.StructType(
+    [
+        T.StructField("first_doc", T.LongType()),
+        T.StructField("doc_off", T.IntegerType()),
+        T.StructField("tf_off", T.IntegerType()),
+        T.StructField("dl_off", T.IntegerType()),
+        T.StructField("max_impact", T.FloatType()),
+    ]
+)
+
+POSTINGS_SCHEMA = T.StructType(
+    [
+        T.StructField("term", T.StringType()),
+        T.StructField("bucket", T.IntegerType()),
+        T.StructField("shard", T.IntegerType()),
+        T.StructField("seg_id", T.IntegerType()),
+        T.StructField("part", T.IntegerType()),
+        T.StructField("df", T.LongType()),
+        T.StructField("cf", T.LongType()),
+        T.StructField("doc_ids_enc", T.BinaryType()),
+        T.StructField("tfs_enc", T.BinaryType()),
+        T.StructField("dls_enc", T.BinaryType()),
+        T.StructField("skips", T.ArrayType(SKIP_STRUCT)),
+        T.StructField("block_max", T.FloatType()),
+    ]
+)
+
+
+def _encode_fn(avgdl: float, block_size: int):
+    """Grouped-map encoder: one (term,bucket,shard,seg,part) group → one row."""
+
+    def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        term, bucket, shard, seg_id, part = key
+        enc = encode_postings(
+            pdf["doc_id"].to_numpy(),
+            pdf["tf"].to_numpy(),
+            pdf["dl"].to_numpy(),
+            avgdl=avgdl,
+            block_size=block_size,
+        )
+        return pd.DataFrame(
+            [
+                {
+                    "term": term,
+                    "bucket": int(bucket),
+                    "shard": int(shard),
+                    "seg_id": int(seg_id),
+                    "part": int(part),
+                    "df": enc["df"],
+                    "cf": enc["cf"],
+                    "doc_ids_enc": enc["doc_ids_enc"],
+                    "tfs_enc": enc["tfs_enc"],
+                    "dls_enc": enc["dls_enc"],
+                    "skips": enc["skips"],
+                    "block_max": enc["block_max"],
+                }
+            ]
+        )
+
+    return fn
+
+
+def encode_segment(
+    tf_dl: DataFrame,
+    avgdl: float,
+    n_buckets: int = 8,
+    docs_per_shard: int = 1 << 20,
+    seg_id: int = 0,
+    hot_df: int | None = None,
+    n_salts: int = 4,
+    hot_terms: list[str] | None = None,
+    block_size: int = BLOCK_SIZE,
+) -> DataFrame:
+    """Encode one segment's postings from tf rows (term, doc_id, tf, dl).
+
+    The groupBy below IS the salted repartition-by-term shuffle: Catalyst
+    plans one Exchange on (term,bucket,shard,seg_id,part); hot terms spread
+    over n_salts parts so no single reducer gets the full "the" list.
+    """
+    df = (
+        tf_dl.withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"))
+        .withColumn("shard", (F.col("doc_id") / F.lit(docs_per_shard)).cast("int"))
+        .withColumn("seg_id", F.lit(seg_id).cast("int"))
+    )
+    if hot_terms:
+        hot = F.col("term").isin(list(hot_terms))
+        df = df.withColumn(
+            "part",
+            F.when(hot, F.pmod(F.xxhash64("doc_id"), F.lit(n_salts)).cast("int")).otherwise(
+                F.lit(0)
+            ),
+        )
+    else:
+        df = df.withColumn("part", F.lit(0).cast("int"))
+    return df.groupBy("term", "bucket", "shard", "seg_id", "part").applyInPandas(
+        _encode_fn(avgdl, block_size), POSTINGS_SCHEMA
+    )
+
+
+def detect_hot_terms(ts: DataFrame, hot_df: int) -> list[str]:
+    """C5 hot-term list from C4 stats (never hardcoded terms)."""
+    return [r["term"] for r in ts.filter(F.col("df") > hot_df).select("term").collect()]
+
+
+def build_term_dict(postings: DataFrame) -> DataFrame:
+    """C9: global term directory term → df, cf, bucket (after merge each term
+    has one bucket; df/cf summed over shards/parts)."""
+    return postings.groupBy("term").agg(
+        F.sum("df").alias("df"),
+        F.sum("cf").alias("cf"),
+        F.first("bucket").alias("bucket"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@dataclass
+class IndexManifest:
+    root: str
+    n_docs: int
+    avgdl: float
+    n_buckets: int
+    docs_per_shard: int
+    n_segments: int
+    block_size: int
+
+    def to_json(self) -> str:
+        return json.dumps(self.__dict__, indent=2)
+
+    @staticmethod
+    def load(root: str) -> "IndexManifest":
+        with open(os.path.join(root, "manifest.json")) as f:
+            return IndexManifest(**json.load(f))
+
+
+def build_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_root: str,
+    n_buckets: int = 8,
+    docs_per_shard: int = 1 << 20,
+    n_segments: int = 1,
+    hot_df: int | None = None,
+    n_salts: int = 4,
+    block_size: int = BLOCK_SIZE,
+    checkpoint=None,
+) -> IndexManifest:
+    """Full index build: docs(doc_id, text, …) → postings shards + term_dict
+    + doc_stats + manifest under out_root (SURVEY.md §3.1 lifecycle).
+
+    n_segments > 1 splits the corpus into doc-range segments encoded
+    independently and then merged — exercising the segment-merge job the way
+    an incremental/streaming build would.
+
+    checkpoint: optional engine.checkpoint.CheckpointManager — each stage is
+    materialized + manifest-tracked so an interrupted build resumes without
+    recomputation (BASELINE.json:6).
+    """
+    from .merge import merge_postings  # local import to avoid cycle
+
+    def stage_doc_stats():
+        dwt = with_tokens(docs)
+        return dwt.select("doc_id", "dl")
+
+    def stage_tf():
+        dwt = with_tokens(docs)
+        return tf_table(tokens(dwt)).join(
+            stage_doc_stats(), "doc_id"
+        )  # (term, doc_id, tf, dl)
+
+    if checkpoint is not None:
+        ds = checkpoint.stage("doc_stats", stage_doc_stats)
+        tf_dl = checkpoint.stage("tf", stage_tf)
+    else:
+        ds = stage_doc_stats()
+        tf_dl = stage_tf()
+
+    n_docs, avgdl = corpus_stats(ds)
+    ts = term_stats(tf_dl.select("term", "doc_id", "tf"))
+    hot_terms = detect_hot_terms(ts, hot_df) if hot_df is not None else []
+
+    def stage_segments():
+        if n_segments <= 1:
+            return encode_segment(
+                tf_dl, avgdl, n_buckets, docs_per_shard, 0, hot_df, n_salts, hot_terms, block_size
+            )
+        seg_size = (n_docs + n_segments - 1) // n_segments
+        seg_col = (F.col("doc_id") / F.lit(seg_size)).cast("int")
+        parts = []
+        for s in range(n_segments):
+            seg_tf = tf_dl.filter(seg_col == s)
+            parts.append(
+                encode_segment(
+                    seg_tf, avgdl, n_buckets, docs_per_shard, s, hot_df, n_salts, hot_terms, block_size
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def stage_merged():
+        raw = (
+            checkpoint.stage("segments", stage_segments, schema=POSTINGS_SCHEMA)
+            if checkpoint is not None
+            else stage_segments()
+        )
+        return merge_postings(raw, avgdl, block_size=block_size)
+
+    merged = (
+        checkpoint.stage("merged", stage_merged, schema=POSTINGS_SCHEMA)
+        if checkpoint is not None
+        else stage_merged()
+    )
+
+    os.makedirs(out_root, exist_ok=True)
+    # A3 segment sink: partition by bucket, term-sorted within files
+    (
+        merged.repartition("bucket")
+        .sortWithinPartitions("term", "shard", "part")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(os.path.join(out_root, "postings"))
+    )
+    postings = spark.read.parquet(os.path.join(out_root, "postings"))
+    build_term_dict(postings).write.mode("overwrite").parquet(
+        os.path.join(out_root, "term_dict")
+    )
+    ds.write.mode("overwrite").parquet(os.path.join(out_root, "doc_stats"))
+
+    manifest = IndexManifest(
+        root=out_root,
+        n_docs=n_docs,
+        avgdl=avgdl,
+        n_buckets=n_buckets,
+        docs_per_shard=docs_per_shard,
+        n_segments=n_segments,
+        block_size=block_size,
+    )
+    with open(os.path.join(out_root, "manifest.json"), "w") as f:
+        f.write(manifest.to_json())
+    return manifest

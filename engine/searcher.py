@@ -1,0 +1,190 @@
+"""Index-backed query execution (SURVEY.md §3.2 lifecycle).
+
+Mirrors the ES query-then-fetch search lifecycle [public]:
+  analyze query (same analyzer as indexing)
+   → term-dict lookup (tiny driver collect: global df / bucket per term)
+   → partition-pruned posting fetch (`bucket IN (...) AND term IN (...)`
+     reaches the Parquet scan as partition pruning + predicate pushdown)
+   → per-shard block-max WAND top-k inside a grouped Arrow UDF
+   → coordinating merge: global TakeOrderedAndProject(k, score DESC, doc ASC)
+
+idf uses GLOBAL corpus stats from the manifest/term_dict (like ES
+dfs_query_then_fetch — pinned so scores are shard-count-invariant).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .index import IndexManifest
+from .search import parse_query
+from .wand import TermCursor, exhaustive_topk, intersect_topk, wand_topk
+
+TOPK_SCHEMA = "doc_id long, score double"
+
+
+def _rows_to_cursor(rows: pd.DataFrame, idf: float, avgdl: float) -> TermCursor:
+    rs = rows.sort_values("part")
+    packed = [
+        {
+            "doc_ids_enc": r.doc_ids_enc,
+            "tfs_enc": r.tfs_enc,
+            "dls_enc": r.dls_enc,
+            "skips": [
+                (
+                    s["first_doc"] if isinstance(s, dict) else s[0],
+                    s["doc_off"] if isinstance(s, dict) else s[1],
+                    s["tf_off"] if isinstance(s, dict) else s[2],
+                    s["dl_off"] if isinstance(s, dict) else s[3],
+                    s["max_impact"] if isinstance(s, dict) else s[4],
+                )
+                for s in r.skips
+            ],
+        }
+        for r in rs.itertuples(index=False)
+    ]
+    return TermCursor(packed, idf, avgdl)
+
+
+def _shard_topk_fn(
+    terms: list[str],
+    idfs: dict[str, float],
+    must_not: list[str],
+    avgdl: float,
+    k: int,
+    mode: str,
+    algo: str,
+):
+    """Grouped-map UDF body: one shard's posting rows → local top-k."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        cursors = []
+        for t in terms:
+            rows = pdf[pdf["term"] == t]
+            if len(rows):
+                cursors.append(_rows_to_cursor(rows, idfs[t], avgdl))
+        neg = []
+        for t in must_not:
+            rows = pdf[pdf["term"] == t]
+            if len(rows):
+                neg.append(_rows_to_cursor(rows, 0.0, avgdl))
+        if not cursors or (mode == "and" and len(cursors) < len(terms)):
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "score": pd.Series(dtype="float64")})
+        if algo == "exhaustive":
+            from .codec import decode_postings
+
+            lists = []
+            for c in cursors:
+                import numpy as np
+
+                ids_parts, tf_parts, dl_parts = [], [], []
+                for r in c.rows:
+                    i, t_, d_ = decode_postings(
+                        r["doc_ids_enc"], r["tfs_enc"], r["dls_enc"], r["skips"]
+                    )
+                    ids_parts.append(i)
+                    tf_parts.append(t_)
+                    dl_parts.append(d_)
+                lists.append(
+                    (
+                        np.concatenate(ids_parts),
+                        np.concatenate(tf_parts),
+                        np.concatenate(dl_parts),
+                        c.idf,
+                    )
+                )
+            mn_ids = None
+            if neg:
+                import numpy as np
+
+                parts = []
+                for c in neg:
+                    for r in c.rows:
+                        i, _, _ = decode_postings(
+                            r["doc_ids_enc"], r["tfs_enc"], r["dls_enc"], r["skips"]
+                        )
+                        parts.append(i)
+                mn_ids = np.concatenate(parts) if parts else None
+            hits = exhaustive_topk(lists, k, avgdl, mode=mode, must_not_ids=mn_ids)
+        elif mode == "and":
+            hits = intersect_topk(cursors, k, must_not=neg)
+        else:
+            hits = wand_topk(cursors, k, must_not=neg)
+        return pd.DataFrame(
+            {"doc_id": [h[0] for h in hits], "score": [h[1] for h in hits]}
+        )
+
+    return fn
+
+
+class LoadedIndex:
+    """Queryable handle over an on-disk index built by engine.index.build_index."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.manifest = IndexManifest.load(root)
+        self.postings = spark.read.parquet(os.path.join(root, "postings"))
+        self.term_dict = spark.read.parquet(os.path.join(root, "term_dict"))
+        self.doc_stats = spark.read.parquet(os.path.join(root, "doc_stats"))
+        self._td_cache: dict[str, tuple[int, int]] = {}
+
+    def _lookup(self, terms: list[str]) -> dict[str, tuple[int, int]]:
+        """D2 term-dict seek → {term: (df, bucket)} (tiny collect)."""
+        missing = [t for t in terms if t not in self._td_cache]
+        if missing:
+            for r in self.term_dict.filter(F.col("term").isin(missing)).collect():
+                self._td_cache[r["term"]] = (int(r["df"]), int(r["bucket"]))
+        return {t: self._td_cache[t] for t in terms if t in self._td_cache}
+
+    def idf(self, df: int) -> float:
+        n = self.manifest.n_docs
+        return math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+
+    def search(
+        self,
+        query: str,
+        k: int = 10,
+        mode: str = "or",
+        algo: str = "wand",
+        round_to: int | None = 4,
+    ) -> DataFrame:
+        """Top-k → DataFrame(doc_id, score) ordered (score desc, doc_id asc).
+
+        algo: 'wand' (block-max, default) | 'exhaustive' (oracle path)."""
+        q = parse_query(query)
+        found = self._lookup(q.terms + q.must_not)
+        terms = [t for t in q.terms if t in found]
+        empty = self.spark.createDataFrame([], TOPK_SCHEMA)
+        if not terms or (mode == "and" and len(terms) < len(q.terms)):
+            return empty
+        neg = [t for t in q.must_not if t in found]
+        idfs = {t: self.idf(found[t][0]) for t in terms}
+        buckets = sorted({found[t][1] for t in terms + neg})
+        # D3: bucket is the file-partition column → partition pruning; term is
+        # a Parquet pushdown predicate over term-sorted files
+        rows = self.postings.filter(
+            F.col("bucket").isin(buckets) & F.col("term").isin(terms + neg)
+        )
+        local = rows.groupBy("shard").applyInPandas(
+            _shard_topk_fn(terms, idfs, neg, self.manifest.avgdl, k, mode, algo),
+            TOPK_SCHEMA,
+        )
+        score_col = (
+            F.round(F.col("score"), round_to) if round_to is not None else F.col("score")
+        )
+        return (
+            local.select("doc_id", score_col.alias("score"))
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(k)
+        )
+
+    def fetch(self, topk: DataFrame, docs: DataFrame, cols=None) -> DataFrame:
+        from .search import fetch
+
+        return fetch(topk, docs, cols)

@@ -1,0 +1,309 @@
+"""Block-max WAND top-k BM25 kernel (SURVEY.md §2.D7).
+
+Implements the block-max WAND algorithm [public: Ding & Suel 2011, "Faster
+top-k document retrieval using block-max indexes"; Lucene 8 WANDScorer /
+impacts] over the engine's compressed posting rows:
+
+* a `TermCursor` lazily decodes 128-doc blocks through the skip table
+  (`next_geq` binary-searches block first_docs, then within the block) — the
+  document-at-a-time skip path;
+* the WAND pivot loop prunes with list-level upper bounds (idf·list max
+  impact) and refines with block-level maxima before scoring;
+* AND mode is a document-at-a-time posting-list intersection driven by the
+  rarest list (BASELINE.json:6 verbatim capability), must_not lists exclude;
+* tie-break is (score desc, doc_id asc) — because traversal is doc-ascending,
+  pruning at `upper_bound <= θ` preserves rank identity under ties.
+
+`exhaustive_topk` is the vectorized non-skipping scorer: the in-test oracle
+(WAND == exhaustive is property-tested) and the dense fallback.
+
+Everything is NumPy + heapq; runs inside the per-shard grouped Arrow UDF
+(engine/searcher.py). Python-level iteration is per-pivot / per-block, never
+per-posting-byte.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+
+from . import BM25_B, BM25_K1
+from .codec import decode_block
+
+INF = 1 << 62
+
+
+class TermCursor:
+    """Cursor over one term's posting rows (part-chained, doc-range ordered)."""
+
+    __slots__ = (
+        "idf", "avgdl", "k1", "b", "rows", "block_row", "block_local",
+        "first_docs", "block_impacts", "n_blocks", "cur_block",
+        "ids", "tfs", "dls", "i", "doc", "list_max_impact",
+    )
+
+    def __init__(self, rows: list[dict], idf: float, avgdl: float,
+                 k1: float = BM25_K1, b: float = BM25_B):
+        """rows: dicts with doc_ids_enc, tfs_enc, dls_enc, skips (list of
+        (first_doc, doc_off, tf_off, dl_off, max_impact)), block_max —
+        sorted by `part` so doc ranges are ascending across rows."""
+        self.idf = idf
+        self.avgdl = avgdl
+        self.k1 = k1
+        self.b = b
+        self.rows = rows
+        br, bl, fd, bi = [], [], [], []
+        for ri, r in enumerate(rows):
+            for li, s in enumerate(r["skips"]):
+                br.append(ri)
+                bl.append(li)
+                fd.append(s[0])
+                bi.append(s[4])
+        self.block_row = np.asarray(br, dtype=np.int64)
+        self.block_local = np.asarray(bl, dtype=np.int64)
+        self.first_docs = np.asarray(fd, dtype=np.int64)
+        self.block_impacts = np.asarray(bi, dtype=np.float64)
+        self.n_blocks = len(fd)
+        self.list_max_impact = float(self.block_impacts.max()) if self.n_blocks else 0.0
+        self.cur_block = -1
+        self.ids = self.tfs = self.dls = None
+        self.i = 0
+        self.doc = -1
+        if self.n_blocks == 0:
+            self.doc = INF
+
+    @property
+    def max_score(self) -> float:
+        return self.idf * self.list_max_impact
+
+    def _load_block(self, bi: int) -> None:
+        r = self.rows[self.block_row[bi]]
+        self.ids, self.tfs, self.dls = decode_block(
+            r["doc_ids_enc"], r["tfs_enc"], r["dls_enc"], r["skips"],
+            int(self.block_local[bi]),
+        )
+        self.cur_block = bi
+
+    def block_max_score_at(self, target: int) -> float:
+        """Upper bound on this term's score at doc `target` from the block
+        that would contain it (shallow: no decode)."""
+        bi = int(np.searchsorted(self.first_docs, target, side="right")) - 1
+        if bi < 0:
+            bi = 0
+        if bi >= self.n_blocks:
+            return 0.0
+        return self.idf * float(self.block_impacts[bi])
+
+    def next_block_first_after(self, target: int) -> int:
+        """first_doc of the block after the one containing `target` (the
+        block-skip jump target); INF past the end."""
+        bi = int(np.searchsorted(self.first_docs, target, side="right"))
+        if bi >= self.n_blocks:
+            return INF
+        return int(self.first_docs[bi])
+
+    def next_geq(self, target: int) -> int:
+        """Advance to the first doc >= target (skip-table seek + in-block
+        binary search). Returns the new current doc (INF if exhausted)."""
+        if self.doc >= target:
+            return self.doc
+        bi = int(np.searchsorted(self.first_docs, target, side="right")) - 1
+        if bi < 0:
+            bi = 0
+        if bi < self.cur_block:
+            bi = self.cur_block
+        while bi < self.n_blocks:
+            if bi != self.cur_block:
+                self._load_block(bi)
+                self.i = 0
+            j = int(np.searchsorted(self.ids, target, side="left"))
+            if j < len(self.ids):
+                self.i = j
+                self.doc = int(self.ids[j])
+                return self.doc
+            bi += 1
+        self.doc = INF
+        return INF
+
+    def advance(self) -> int:
+        """Move to the next posting."""
+        if self.doc >= INF:
+            return INF
+        self.i += 1
+        if self.i < len(self.ids):
+            self.doc = int(self.ids[self.i])
+            return self.doc
+        bi = self.cur_block + 1
+        if bi < self.n_blocks:
+            self._load_block(bi)
+            self.i = 0
+            self.doc = int(self.ids[0])
+            return self.doc
+        self.doc = INF
+        return INF
+
+    def score(self) -> float:
+        tf = float(self.tfs[self.i])
+        dl = float(self.dls[self.i])
+        return self.idf * tf / (tf + self.k1 * (1.0 - self.b + self.b * dl / self.avgdl))
+
+
+def _push(heap: list, k: int, score: float, doc: int) -> float:
+    """Maintain min-heap of k best (score, -doc). Returns new threshold θ."""
+    item = (score, -doc)
+    if len(heap) < k:
+        heapq.heappush(heap, item)
+    elif item > heap[0]:
+        heapq.heapreplace(heap, item)
+    return heap[0][0] if len(heap) >= k else float("-inf")
+
+
+def _heap_result(heap: list) -> list[tuple[int, float]]:
+    out = sorted(heap, key=lambda it: (-it[0], -it[1]))
+    return [(-nd, s) for s, nd in out]
+
+
+def _excluded(doc: int, must_not: list[TermCursor]) -> bool:
+    return any(c.next_geq(doc) == doc for c in must_not)
+
+
+def wand_topk(
+    cursors: list[TermCursor],
+    k: int,
+    must_not: list[TermCursor] | None = None,
+) -> list[tuple[int, float]]:
+    """Block-max WAND disjunctive top-k → [(doc_id, score)] rank-ordered."""
+    must_not = must_not or []
+    active = [c for c in cursors if c.n_blocks > 0]
+    for c in active:
+        c.next_geq(0)
+    heap: list = []
+    theta = float("-inf")
+    while True:
+        active = [c for c in active if c.doc < INF]
+        if not active:
+            break
+        active.sort(key=lambda c: c.doc)
+        # pivot: first prefix whose summed list upper bounds can beat θ
+        acc = 0.0
+        pivot = -1
+        for p, c in enumerate(active):
+            acc += c.max_score
+            if len(heap) < k or acc > theta:
+                pivot = p
+                break
+        if pivot == -1:
+            break  # total remaining upper bound <= θ: done
+        pivot_doc = active[pivot].doc
+        # include every cursor currently positioned ON pivot_doc — they all
+        # contribute to its score, so they must count in the upper bound
+        lim = pivot
+        while lim + 1 < len(active) and active[lim + 1].doc == pivot_doc:
+            lim += 1
+        if len(heap) >= k:
+            # block-max refinement (BMW): shallow block UBs at pivot_doc
+            bub = sum(c.block_max_score_at(pivot_doc) for c in active[: lim + 1])
+            if bub <= theta:
+                # skip: jump past the nearest block boundary, but never past
+                # the next unaligned cursor's doc — lists beyond the pivot
+                # set start contributing there (Ding & Suel GetNewCandidate)
+                d = min(c.next_block_first_after(pivot_doc) for c in active[: lim + 1])
+                if lim + 1 < len(active):
+                    d = min(d, active[lim + 1].doc)
+                d = max(d, pivot_doc + 1)
+                for c in active[: lim + 1]:
+                    if c.doc < d:
+                        c.next_geq(d)
+                continue
+        if active[0].doc == pivot_doc:
+            # fully evaluate pivot_doc (all aligned cursors contribute)
+            if not _excluded(pivot_doc, must_not):
+                s = 0.0
+                for c in active:
+                    if c.doc != pivot_doc:
+                        break
+                    s += c.score()
+                theta = _push(heap, k, s, pivot_doc)
+            for c in active:
+                if c.doc == pivot_doc:
+                    c.next_geq(pivot_doc + 1)
+                else:
+                    break
+        else:
+            for c in active[:pivot]:
+                if c.doc < pivot_doc:
+                    c.next_geq(pivot_doc)
+    return _heap_result(heap)
+
+
+def intersect_topk(
+    cursors: list[TermCursor],
+    k: int,
+    must_not: list[TermCursor] | None = None,
+) -> list[tuple[int, float]]:
+    """Conjunctive (bool.must) top-k: document-at-a-time posting-list
+    intersection led by the rarest list, galloping via next_geq
+    (BASELINE.json:6)."""
+    must_not = must_not or []
+    if not cursors or any(c.n_blocks == 0 for c in cursors):
+        return []
+    order = sorted(cursors, key=lambda c: c.first_docs.shape[0])  # rarest first
+    lead, rest = order[0], order[1:]
+    heap: list = []
+    d = lead.next_geq(0)
+    while d < INF:
+        aligned = True
+        for c in rest:
+            d2 = c.next_geq(d)
+            if d2 != d:
+                d = lead.next_geq(d2)
+                aligned = False
+                break
+        if aligned:
+            if not _excluded(d, must_not):
+                s = sum(c.score() for c in order)
+                _push(heap, k, s, d)
+            d = lead.next_geq(d + 1)
+    return _heap_result(heap)
+
+
+def exhaustive_topk(
+    lists: list[tuple[np.ndarray, np.ndarray, np.ndarray, float]],
+    k: int,
+    avgdl: float,
+    mode: str = "or",
+    must_not_ids: np.ndarray | None = None,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> list[tuple[int, float]]:
+    """Non-skipping vectorized scorer — the oracle twin of wand/intersect.
+
+    lists: per term (doc_ids, tfs, dls, idf)."""
+    if not lists:
+        return []
+    ids = np.concatenate([l[0] for l in lists])
+    if len(ids) == 0:
+        return []
+    partials = np.concatenate(
+        [
+            l[3] * l[1].astype(np.float64)
+            / (l[1] + k1 * (1.0 - b + b * l[2].astype(np.float64) / avgdl))
+            for l in lists
+        ]
+    )
+    uniq, inv = np.unique(ids, return_inverse=True)
+    scores = np.zeros(len(uniq))
+    np.add.at(scores, inv, partials)
+    counts = np.zeros(len(uniq), dtype=np.int64)
+    np.add.at(counts, inv, 1)
+    mask = np.ones(len(uniq), dtype=bool)
+    if mode == "and":
+        mask &= counts == len(lists)
+    if must_not_ids is not None and len(must_not_ids):
+        mask &= ~np.isin(uniq, must_not_ids)
+    uniq, scores = uniq[mask], scores[mask]
+    if len(uniq) == 0:
+        return []
+    sel = np.lexsort((uniq, -scores))[:k]
+    return [(int(uniq[i]), float(scores[i])) for i in sel]

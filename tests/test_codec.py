@@ -68,15 +68,18 @@ def test_postings_roundtrip(rows):
     tfs = np.array([r[1] for r in uniq])
     dls = np.array([r[2] for r in uniq])
     enc = encode_postings(doc_ids, tfs, dls, avgdl=100.0, block_size=16)
-    ids2, tfs2 = decode_postings(enc["doc_ids_enc"], enc["tfs_enc"], enc["skips"])
+    ids2, tfs2, dls2 = decode_postings(
+        enc["doc_ids_enc"], enc["tfs_enc"], enc["dls_enc"], enc["skips"]
+    )
     order = np.argsort(doc_ids, kind="stable")
     assert np.array_equal(ids2, doc_ids[order])
     assert np.array_equal(tfs2, tfs[order])
+    assert np.array_equal(dls2, dls[order])
     assert enc["df"] == len(uniq)
     assert enc["cf"] == int(tfs.sum())
     # skip metadata: first_doc per block, block_max = max block impact
     assert enc["skips"][0][0] == int(doc_ids[order][0])
-    assert enc["block_max"] == pytest.approx(max(s[3] for s in enc["skips"]))
+    assert enc["block_max"] == pytest.approx(max(s[4] for s in enc["skips"]))
 
 
 def test_block_seek_decode():
@@ -88,10 +91,13 @@ def test_block_seek_decode():
     enc = encode_postings(doc_ids, tfs, dls, avgdl=250.0, block_size=128)
     # decoding block i alone must match the corresponding slice
     for i in range(len(enc["skips"])):
-        ids_b, tfs_b = decode_block(enc["doc_ids_enc"], enc["tfs_enc"], enc["skips"], i)
+        ids_b, tfs_b, dls_b = decode_block(
+            enc["doc_ids_enc"], enc["tfs_enc"], enc["dls_enc"], enc["skips"], i
+        )
         s, e = i * 128, min((i + 1) * 128, n)
         assert np.array_equal(ids_b, doc_ids[s:e])
         assert np.array_equal(tfs_b, tfs[s:e])
+        assert np.array_equal(dls_b, dls[s:e])
 
 
 def test_compression_is_effective():

@@ -1,0 +1,158 @@
+"""Index build + index-backed search integration tests (SURVEY.md M2/M3/M4).
+
+Asserts the property chain: compressed-index WAND search == exact SQL scorer
+== NumPy oracle; index invariant under segmentation and salting.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from engine.codec import decode_postings
+from engine.corpus import corpus_stats, term_stats, tf_table, tokens, with_tokens
+from engine.index import build_index, build_term_dict
+from engine.io import read_fixture
+from engine.search import exact_search
+from engine.searcher import LoadedIndex
+
+QUERIES = [
+    ("table", 10, "or"),
+    ("dup", 10, "or"),
+    ("sort merge join", 10, "and"),
+    ("window stream", 10, "or"),
+    ("scan -filter", 10, "or"),
+    ("customer order", 100, "and"),
+    ("the", 5, "or"),
+    ("zzznonexistent", 10, "or"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return read_fixture(spark, sf_dir, "documents").select("doc_id", "text")
+
+
+@pytest.fixture(scope="module")
+def exact(spark, sf_dir):
+    docs = read_fixture(spark, sf_dir, "documents")
+    dwt = with_tokens(docs).cache()
+    tf = tf_table(tokens(dwt)).cache()
+    ds = dwt.select("doc_id", "dl").cache()
+    ts = term_stats(tf).cache()
+    n, avgdl = corpus_stats(ds)
+    return tf, ds, ts, n, avgdl
+
+
+@pytest.fixture(scope="module")
+def index(spark, docs, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("index") / "idx")
+    build_index(
+        spark, docs, root, n_buckets=4, docs_per_shard=128, n_segments=1,
+        hot_df=None, block_size=32,
+    )
+    return LoadedIndex(spark, root)
+
+
+def test_manifest_and_layout(index, exact):
+    _, _, _, n, avgdl = exact
+    assert index.manifest.n_docs == n
+    assert index.manifest.avgdl == pytest.approx(avgdl)
+    # every term maps to exactly one bucket; df consistent with term_stats
+    td = {r["term"]: r for r in index.term_dict.collect()}
+    for r in exact[2].collect():
+        assert td[r["term"]]["df"] == r["df"]
+        assert td[r["term"]]["cf"] == r["cf"]
+
+
+def test_postings_roundtrip_totals(index, exact):
+    tf = exact[0]
+    want_postings = tf.count()
+    got = 0
+    for r in index.postings.collect():
+        skips = [tuple(s) for s in r["skips"]]
+        ids, tfs, dls = decode_postings(r["doc_ids_enc"], r["tfs_enc"], r["dls_enc"], skips)
+        assert len(ids) == r["df"]
+        assert int(tfs.sum()) == r["cf"]
+        assert np.all(np.diff(ids) > 0)
+        got += len(ids)
+    assert got == want_postings
+
+
+@pytest.mark.parametrize("query,k,mode", QUERIES)
+@pytest.mark.parametrize("algo", ["wand", "exhaustive"])
+def test_index_search_matches_exact(index, exact, query, k, mode, algo):
+    tf, ds, ts, n, avgdl = exact
+    want = exact_search(tf, ds, ts, n, avgdl, query, k=k, mode=mode, round_to=None).collect()
+    got = index.search(query, k=k, mode=mode, algo=algo, round_to=None).collect()
+    assert [r["doc_id"] for r in got] == [r["doc_id"] for r in want]
+    np.testing.assert_allclose(
+        [r["score"] for r in got], [r["score"] for r in want], rtol=1e-9
+    )
+
+
+def test_segment_invariance(spark, docs, exact, index, tmp_path_factory):
+    """Index built in 3 segments + merged == single-segment index."""
+    root = str(tmp_path_factory.mktemp("index_seg") / "idx")
+    build_index(
+        spark, docs, root, n_buckets=4, docs_per_shard=128, n_segments=3,
+        hot_df=None, block_size=32,
+    )
+    seg_idx = LoadedIndex(spark, root)
+    for query, k, mode in QUERIES[:5]:
+        a = index.search(query, k=k, mode=mode, round_to=None).collect()
+        b = seg_idx.search(query, k=k, mode=mode, round_to=None).collect()
+        assert [(r["doc_id"], r["score"]) for r in a] == [
+            (r["doc_id"], r["score"]) for r in b
+        ], query
+
+
+def test_salting_invariance(spark, docs, index, tmp_path_factory):
+    """hot-term salting (S_term=4 for df>50 terms) must not change results."""
+    root = str(tmp_path_factory.mktemp("index_salt") / "idx")
+    build_index(
+        spark, docs, root, n_buckets=4, docs_per_shard=128, n_segments=1,
+        hot_df=50, n_salts=4, block_size=32,
+    )
+    salted = LoadedIndex(spark, root)
+    for query, k, mode in QUERIES[:5]:
+        a = index.search(query, k=k, mode=mode, round_to=None).collect()
+        b = salted.search(query, k=k, mode=mode, round_to=None).collect()
+        assert [(r["doc_id"], r["score"]) for r in a] == [
+            (r["doc_id"], r["score"]) for r in b
+        ], query
+
+
+def test_merge_dedup_latest_segment_wins(spark):
+    """A doc re-indexed in a later segment replaces its older posting."""
+    from engine.index import encode_segment
+    from engine.merge import merge_postings
+
+    rows = [  # (term, doc_id, tf, dl)
+        ("a", 1, 2, 10),
+        ("a", 2, 1, 10),
+    ]
+    old = spark.createDataFrame(rows, "term string, doc_id long, tf long, dl long")
+    new = spark.createDataFrame(
+        [("a", 1, 9, 12)], "term string, doc_id long, tf long, dl long"
+    )
+    seg0 = encode_segment(old, avgdl=10.0, n_buckets=2, docs_per_shard=100, seg_id=0)
+    seg1 = encode_segment(new, avgdl=10.0, n_buckets=2, docs_per_shard=100, seg_id=1)
+    merged = merge_postings(seg0.unionByName(seg1), avgdl=10.0).collect()
+    assert len(merged) == 1
+    r = merged[0]
+    ids, tfs, dls = decode_postings(
+        r["doc_ids_enc"], r["tfs_enc"], r["dls_enc"], [tuple(s) for s in r["skips"]]
+    )
+    assert list(ids) == [1, 2]
+    assert list(tfs) == [9, 1]  # doc 1 took the seg_id=1 values
+    assert list(dls) == [12, 10]
+
+
+def test_partition_pruning_in_plan(index):
+    """D3: the posting fetch must prune on the bucket partition column."""
+    df = index.postings.filter(
+        F.col("bucket").isin([1]) & F.col("term").isin(["table"])
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan

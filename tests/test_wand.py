@@ -1,0 +1,137 @@
+"""WAND == exhaustive property tests on random synthetic corpora (SURVEY §5.4)."""
+
+import numpy as np
+import pytest
+
+from engine.bm25 import idf_np
+from engine.codec import encode_postings
+from engine.wand import TermCursor, exhaustive_topk, intersect_topk, wand_topk
+
+
+def make_corpus(rng, n_docs=400, n_terms=8, density=0.3, block_size=16):
+    """Random per-term posting lists over a shared doc space."""
+    dls = rng.integers(5, 300, size=n_docs)
+    avgdl = float(dls.mean())
+    lists, cursors, encs = [], [], []
+    for _ in range(n_terms):
+        mask = rng.random(n_docs) < density * rng.random()
+        ids = np.flatnonzero(mask).astype(np.int64)
+        if len(ids) == 0:
+            ids = np.array([int(rng.integers(0, n_docs))], dtype=np.int64)
+        tfs = rng.integers(1, 20, size=len(ids))
+        dl = dls[ids]
+        df = len(ids)
+        idf = float(idf_np(df, n_docs))
+        enc = encode_postings(ids, tfs, dl, avgdl, block_size=block_size)
+        lists.append((ids, tfs, dl, idf))
+        encs.append(enc)
+        cursors.append((enc, idf))
+    return lists, cursors, avgdl
+
+
+def cursors_from(encs_idfs, avgdl):
+    return [
+        TermCursor(
+            [
+                {
+                    "doc_ids_enc": e["doc_ids_enc"],
+                    "tfs_enc": e["tfs_enc"],
+                    "dls_enc": e["dls_enc"],
+                    "skips": e["skips"],
+                }
+            ],
+            idf,
+            avgdl,
+        )
+        for e, idf in encs_idfs
+    ]
+
+
+@pytest.mark.parametrize("seed", range(25))
+@pytest.mark.parametrize("k", [1, 5, 50])
+def test_wand_equals_exhaustive_or(seed, k):
+    rng = np.random.default_rng(seed)
+    lists, encs_idfs, avgdl = make_corpus(rng)
+    nq = int(rng.integers(1, 5))
+    q = rng.choice(len(lists), size=nq, replace=False)
+    want = exhaustive_topk([lists[i] for i in q], k, avgdl, mode="or")
+    got = wand_topk(cursors_from([encs_idfs[i] for i in q], avgdl), k)
+    assert [d for d, _ in got] == [d for d, _ in want]
+    np.testing.assert_allclose(
+        [s for _, s in got], [s for _, s in want], rtol=1e-9
+    )
+
+
+@pytest.mark.parametrize("seed", range(15))
+def test_intersect_equals_exhaustive_and(seed):
+    rng = np.random.default_rng(seed + 1000)
+    lists, encs_idfs, avgdl = make_corpus(rng, density=0.6)
+    nq = int(rng.integers(2, 4))
+    q = rng.choice(len(lists), size=nq, replace=False)
+    want = exhaustive_topk([lists[i] for i in q], 10, avgdl, mode="and")
+    got = intersect_topk(cursors_from([encs_idfs[i] for i in q], avgdl), 10)
+    assert [d for d, _ in got] == [d for d, _ in want]
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_wand_with_must_not(seed):
+    rng = np.random.default_rng(seed + 2000)
+    lists, encs_idfs, avgdl = make_corpus(rng, density=0.5)
+    q, neg = [0, 1], [2]
+    want = exhaustive_topk(
+        [lists[i] for i in q], 10, avgdl, mode="or", must_not_ids=lists[2][0]
+    )
+    got = wand_topk(
+        cursors_from([encs_idfs[i] for i in q], avgdl),
+        10,
+        must_not=cursors_from([encs_idfs[i] for i in neg], avgdl),
+    )
+    assert [d for d, _ in got] == [d for d, _ in want]
+
+
+def test_cursor_next_geq_and_skip():
+    rng = np.random.default_rng(3)
+    ids = np.sort(rng.choice(100_000, size=5000, replace=False)).astype(np.int64)
+    tfs = rng.integers(1, 10, size=5000)
+    dls = rng.integers(10, 100, size=5000)
+    enc = encode_postings(ids, tfs, dls, avgdl=50.0, block_size=128)
+    c = TermCursor(
+        [{
+            "doc_ids_enc": enc["doc_ids_enc"],
+            "tfs_enc": enc["tfs_enc"],
+            "dls_enc": enc["dls_enc"],
+            "skips": enc["skips"],
+        }],
+        idf=1.0,
+        avgdl=50.0,
+    )
+    # next_geq lands on the true successor for ascending targets
+    # (cursors are forward-only — the WAND loop never seeks backwards)
+    targets = sorted([0, 1, int(ids[17]), int(ids[17]) + 1, int(ids[4000]), int(ids[-1])])
+    for target in targets:
+        expected = int(ids[np.searchsorted(ids, target, side="left")])
+        got = c.next_geq(target)
+        assert got == max(expected, c.doc)
+    assert c.next_geq(int(ids[-1]) + 1) >= 1 << 62
+
+
+def test_tie_break_doc_id_asc():
+    # identical postings → identical scores → top-k must be lowest doc_ids
+    ids = np.arange(100, dtype=np.int64)
+    tfs = np.full(100, 3)
+    dls = np.full(100, 50)
+    enc = encode_postings(ids, tfs, dls, avgdl=50.0, block_size=16)
+    c = [
+        TermCursor(
+            [{
+                "doc_ids_enc": enc["doc_ids_enc"],
+                "tfs_enc": enc["tfs_enc"],
+                "dls_enc": enc["dls_enc"],
+                "skips": enc["skips"],
+            }],
+            idf=1.5,
+            avgdl=50.0,
+        )
+    ]
+    got = wand_topk(c, 5)
+    assert [d for d, _ in got] == [0, 1, 2, 3, 4]
