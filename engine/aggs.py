@@ -1,0 +1,110 @@
+"""ES aggregation-framework parity (SURVEY.md §2.E).
+
+The reference's refine jobs reduce to ES aggregations (terms buckets,
+cardinality, stats, percentiles, histograms, date_histograms, nested
+bucket trees) [public: ES aggregations docs]. Each maps to a built-in
+Catalyst partial+final hash aggregate — the map-reduce of the refine loop,
+no UDFs anywhere.
+
+Notes on approximate aggs:
+* `cardinality` → `approx_count_distinct` — the same HyperLogLog++ family ES
+  uses [public: ES cardinality agg]; exact for small cardinalities (sparse
+  mode), which the oracle-checked queries rely on; large-cardinality behavior
+  is tolerance-tested in pytest instead.
+* `percentiles` → `percentile_approx` (Greenwald-Khanna) mirrors ES t-digest
+  approximation; the oracle-checked twin uses exact `percentile` /
+  `quantile_cont` so both engines agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def terms_agg(df: DataFrame, col: str, size: int = 10) -> DataFrame:
+    """E1 `terms` agg: top-N buckets by doc count (tie-break key asc)."""
+    return (
+        df.groupBy(col)
+        .agg(F.count("*").alias("doc_count"))
+        .orderBy(F.col("doc_count").desc(), F.col(col).asc())
+        .limit(size)
+    )
+
+
+def cardinality_agg(df: DataFrame, col: str, group_by: str | None = None) -> DataFrame:
+    """E2 `cardinality` (HLL++, like ES)."""
+    agg = F.approx_count_distinct(col).alias("cardinality")
+    if group_by:
+        return df.groupBy(group_by).agg(agg).orderBy(group_by)
+    return df.agg(agg)
+
+
+def stats_agg(df: DataFrame, col: str, group_by: str) -> DataFrame:
+    """E3 `stats`/`extended_stats`."""
+    c = F.col(col)
+    return (
+        df.groupBy(group_by)
+        .agg(
+            F.count(c).alias("cnt"),
+            F.round(F.min(c), 4).alias("min_v"),
+            F.round(F.max(c), 4).alias("max_v"),
+            F.round(F.avg(c), 4).alias("avg_v"),
+            F.round(F.sum(c), 4).alias("sum_v"),
+            F.round(F.stddev_samp(c), 4).alias("std_v"),
+        )
+        .orderBy(group_by)
+    )
+
+
+def percentiles_agg(df: DataFrame, col: str, probs: list[float], group_by: str) -> DataFrame:
+    """E4 `percentiles` — exact interpolated form (oracle-checkable)."""
+    aggs = [
+        F.round(F.expr(f"percentile({col}, {p})"), 4).alias(f"p{int(p * 100)}")
+        for p in probs
+    ]
+    return df.groupBy(group_by).agg(*aggs).orderBy(group_by)
+
+
+def percentiles_approx_agg(df: DataFrame, col: str, probs: list[float], accuracy: int = 10000) -> DataFrame:
+    """E4 approximate form (ES t-digest analog; pytest tolerance-tested)."""
+    return df.agg(
+        F.percentile_approx(col, probs, accuracy).alias("percentiles")
+    )
+
+
+def histogram_agg(df: DataFrame, col: str, interval: float) -> DataFrame:
+    """E5 `histogram`: fixed-interval numeric buckets."""
+    bucket = (F.floor(F.col(col) / F.lit(interval)) * F.lit(interval)).alias("bucket")
+    return (
+        df.groupBy(bucket).agg(F.count("*").alias("doc_count")).orderBy("bucket")
+    )
+
+
+def date_histogram_agg(df: DataFrame, ts_col: str, unit: str = "hour") -> DataFrame:
+    """E6 `date_histogram`: calendar-interval buckets."""
+    return (
+        df.groupBy(F.date_trunc(unit, F.col(ts_col)).alias("bucket"))
+        .agg(F.count("*").alias("doc_count"))
+        .orderBy("bucket")
+    )
+
+
+def nested_agg(df: DataFrame, outer: str, ts_col: str, value_col: str) -> DataFrame:
+    """E7 nested bucket tree: terms bucket → date_histogram sub-bucket → metrics."""
+    return (
+        df.groupBy(
+            F.col(outer),
+            F.date_trunc("day", F.col(ts_col)).alias("day"),
+        )
+        .agg(
+            F.count("*").alias("doc_count"),
+            F.round(F.sum(value_col), 4).alias("sum_v"),
+        )
+        .orderBy(outer, "day")
+    )
+
+
+def distinct_agg(df: DataFrame, cols: list[str]) -> DataFrame:
+    """E8 `composite`-style dedup."""
+    return df.select(*cols).distinct().orderBy(*cols)

@@ -1,0 +1,316 @@
+"""Deduplication family for training-data pipelines (task brief):
+
+* exact dedup — hash-groupBy on a normalized-content fingerprint (built-ins);
+* n-gram Jaccard — exact shingle-overlap similarity via self-join (built-ins,
+  DuckDB-checkable); the quadratic-safe form joins on shared shingles only;
+* MinHash + LSH — shingle → k minhashes → b bands → bucket-join candidates
+  (Broder 1997; Leskovec/Rajaraman/Ullman MMDS ch.3 [public]); scales as a
+  band-bucket shuffle instead of an all-pairs product;
+* SimHash — 64-bit hyperplane sketch of token multiset, near-dups differ in
+  few bits (Charikar 2002 [public]);
+* embedding-cosine near-dup — LSH-bucketed or threshold self-join on the
+  embeddings table.
+
+Everything runs as DataFrame ops; the only Python is inside vectorized
+pandas UDFs (minhash/simhash sketches, NumPy per batch).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# --- exact dedup -------------------------------------------------------------
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Groups of byte-equal (after whitespace/case normalization) documents:
+    (fingerprint, n_docs, keep_id=min id, dup_ids)."""
+    from .textops import with_fingerprint
+
+    fp = with_fingerprint(df, text_col)
+    return (
+        fp.groupBy("fingerprint")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min(id_col).alias("keep_id"),
+            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one representative (min id) per distinct normalized content."""
+    from .textops import with_fingerprint
+
+    fp = with_fingerprint(df, text_col)
+    w_min = F.min(id_col).over
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("fingerprint")
+    return (
+        fp.withColumn("_keep", F.min(id_col).over(w))
+        .filter(F.col(id_col) == F.col("_keep"))
+        .drop("_keep", "fingerprint")
+    )
+
+
+# --- shingles ----------------------------------------------------------------
+
+
+def with_shingles(df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, shingle) rows: distinct word n-grams — built-ins only
+    (split + index-slide via transform over a sequence)."""
+    toks = F.split(F.col(text_col), " ")
+    sh = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
+        .filter(F.length("shingle") > 0)
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact n-gram Jaccard over pairs sharing ≥1 shingle:
+    J = |A∩B| / (|A|+|B|-|A∩B|). The shingle self-join only materializes
+    co-occurring pairs (never the full cross product)."""
+    sh = with_shingles(df, n, text_col, id_col).cache()
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "sh_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "sh_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter") / (F.col("sh_a") + F.col("sh_b") - F.col("n_inter")), 4
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# --- MinHash + LSH -----------------------------------------------------------
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def _minhash_params(k: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, (1 << 61) - 1, size=k, dtype=np.uint64)
+    b = rng.integers(0, (1 << 61) - 1, size=k, dtype=np.uint64)
+    return a, b
+
+
+def _shingle_hashes(text: str, n: int) -> np.ndarray:
+    toks = text.split()
+    if len(toks) < n:
+        grams = [" ".join(toks)] if toks else []
+    else:
+        grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+    if not grams:
+        return np.zeros(1, dtype=np.uint64)
+    # FNV-1a 64 per shingle, vectorized over bytes via Python hash fallback
+    out = np.empty(len(grams), dtype=np.uint64)
+    for i, g in enumerate(grams):
+        h = np.uint64(1469598103934665603)
+        for byte in g.encode("utf-8"):
+            h = np.uint64(h ^ np.uint64(byte)) * np.uint64(1099511628211)
+        out[i] = h
+    return out
+
+
+def minhash_udf(k: int = 64, n: int = 3):
+    """Returns a pandas UDF: text → array<long> of k minhash values."""
+    a, b = _minhash_params(k)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def mh(s: pd.Series) -> pd.Series:
+        def one(text: str):
+            sh = _shingle_hashes(text or "", n)
+            # (a*h + b) mod M for all k × |sh| — vectorized outer product
+            vals = (np.outer(a, sh) + b[:, None]) % _MERSENNE
+            return vals.min(axis=1).astype(np.int64).tolist()
+
+        return s.map(one)
+
+    return mh
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    k: int = 64,
+    bands: int = 16,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """LSH candidate pairs: split k minhashes into `bands` rows-per-band
+    groups; docs sharing any band bucket are candidates. One shuffle on
+    (band, bucket_hash) — never an all-pairs join."""
+    rows_per_band = k // bands
+    mh = df.select(F.col(id_col).alias("id"), minhash_udf(k, n)(F.col(text_col)).alias("mh"))
+    banded = mh.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bnd: F.hash(F.slice("mh", bnd * rows_per_band + 1, rows_per_band)),
+            )
+        ).alias("band", "bucket"),
+    )
+    x = banded.alias("x")
+    y = banded.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_jaccard_estimate(
+    df: DataFrame, k: int = 64, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Candidate pairs with estimated Jaccard = fraction of agreeing
+    minhashes (verification stage after LSH)."""
+    cands = minhash_lsh_candidates(df, k=k, n=n, text_col=text_col, id_col=id_col)
+    mh = df.select(F.col(id_col).alias("id"), minhash_udf(k, n)(F.col(text_col)).alias("mh"))
+    return (
+        cands.join(mh.withColumnRenamed("id", "id_a").withColumnRenamed("mh", "mh_a"), "id_a")
+        .join(mh.withColumnRenamed("id", "id_b").withColumnRenamed("mh", "mh_b"), "id_b")
+        .withColumn(
+            "est_jaccard",
+            F.round(
+                F.size(
+                    F.filter(
+                        F.zip_with("mh_a", "mh_b", lambda p, q: (p == q).cast("int")),
+                        lambda v: v == 1,
+                    )
+                )
+                / F.lit(float(k)),
+                4,
+            ),
+        )
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+# --- SimHash -----------------------------------------------------------------
+
+
+@F.pandas_udf(T.LongType())
+def simhash_udf(s: pd.Series) -> pd.Series:
+    """64-bit SimHash over token multiset (Charikar). Vectorized: token FNV
+    hashes → ±1 bit votes → sign."""
+
+    def one(text: str) -> int:
+        toks = (text or "").split()
+        if not toks:
+            return 0
+        hs = np.empty(len(toks), dtype=np.uint64)
+        for i, t in enumerate(toks):
+            h = np.uint64(1469598103934665603)
+            for byte in t.encode("utf-8"):
+                h = np.uint64(h ^ np.uint64(byte)) * np.uint64(1099511628211)
+            hs[i] = h
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
+            np.int64
+        )
+        votes = (2 * bits - 1).sum(axis=0)
+        sig = np.uint64(0)
+        for j in range(64):
+            if votes[j] > 0:
+                sig |= np.uint64(1) << np.uint64(j)
+        return int(sig & np.uint64(0x7FFFFFFFFFFFFFFF))
+
+    return s.map(one)
+
+
+def simhash_near_dups(
+    df: DataFrame, max_hamming: int = 8, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance. Banding on 4×16-bit chunks
+    (pigeonhole: ≤3-bit difference guarantees a shared chunk) prunes the join;
+    pairs are then verified with exact bit_count."""
+    sh = df.select(F.col(id_col).alias("id"), simhash_udf(F.col(text_col)).alias("sig"))
+    chunked = sh.select(
+        "id",
+        "sig",
+        F.posexplode(
+            F.array(*[F.shiftright("sig", 16 * i).bitwiseAND(F.lit(0xFFFF)) for i in range(4)])
+        ).alias("chunk_idx", "chunk"),
+    )
+    x = chunked.alias("x")
+    y = chunked.alias("y")
+    pairs = (
+        x.join(
+            y,
+            (F.col("x.chunk_idx") == F.col("y.chunk_idx"))
+            & (F.col("x.chunk") == F.col("y.chunk"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            F.col("x.sig").alias("sig_a"),
+            F.col("y.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    return (
+        pairs.withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# --- embedding-cosine near-dup -------------------------------------------------
+
+
+def cosine_expr(a, b):
+    """Cosine similarity of two array<float> columns — pure built-ins
+    (zip_with product + aggregate sums), JVM-side."""
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
+    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
+    return dot / (na * nb)
+
+
+def embedding_near_dups(
+    emb: DataFrame, threshold: float = 0.9, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Pairs with cosine ≥ threshold. Brute-force self-join baseline; at scale
+    use engine.ann.lsh_bucketed_pairs (hyperplane-bucketed) instead."""
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(cosine_expr(F.col("va"), F.col("vb")), 4))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -188,6 +188,630 @@ for _name, _q, _k, _mode, _terms, _neg in _BM25_SET:
     )
 
 
+# --- E1-E8 aggregations (ES aggregation parity over events/documents) -------
+
+
+def _q(fn):
+    """Small helper: fn(spark, sf_dir) with fixtures pre-read lazily."""
+    return fn
+
+
+def _ev(spark, sf_dir):
+    return read_fixture(spark, sf_dir, "events")
+
+
+def _docs(spark, sf_dir):
+    return read_fixture(spark, sf_dir, "documents")
+
+
+from .aggs import (  # noqa: E402
+    cardinality_agg,
+    date_histogram_agg,
+    distinct_agg,
+    histogram_agg,
+    nested_agg,
+    percentiles_agg,
+    stats_agg,
+    terms_agg,
+)
+
+register(
+    "agg_terms",
+    lambda s, d: terms_agg(_ev(s, d), "event_type", size=10),
+    """SELECT event_type, count(*) AS doc_count FROM events
+       GROUP BY event_type ORDER BY doc_count DESC, event_type ASC LIMIT 10""",
+)
+
+# HLL++ is exact at this cardinality (5) in both engines' small-set regimes;
+# the approximate large-cardinality behavior is tolerance-tested in pytest.
+register(
+    "agg_cardinality",
+    lambda s, d: cardinality_agg(_ev(s, d), "event_type"),
+    "SELECT count(DISTINCT event_type) AS cardinality FROM events",
+)
+
+register(
+    "agg_cardinality_grouped",
+    lambda s, d: cardinality_agg(_docs(s, d), "lang", group_by="source"),
+    """SELECT source, count(DISTINCT lang) AS cardinality FROM documents
+       GROUP BY source ORDER BY source""",
+)
+
+register(
+    "agg_stats",
+    lambda s, d: stats_agg(_ev(s, d), "value", "event_type"),
+    """SELECT event_type, count(value) AS cnt, round(min(value),4) AS min_v,
+              round(max(value),4) AS max_v, round(avg(value),4) AS avg_v,
+              round(sum(value),4) AS sum_v, round(stddev_samp(value),4) AS std_v
+       FROM events GROUP BY event_type ORDER BY event_type""",
+)
+
+register(
+    "agg_percentiles",
+    lambda s, d: percentiles_agg(_ev(s, d), "value", [0.5, 0.95], "event_type"),
+    """SELECT event_type, round(quantile_cont(value, 0.5),4) AS p50,
+              round(quantile_cont(value, 0.95),4) AS p95
+       FROM events GROUP BY event_type ORDER BY event_type""",
+)
+
+register(
+    "agg_histogram",
+    lambda s, d: histogram_agg(_ev(s, d), "value", 10.0),
+    """SELECT floor(value/10.0)*10.0 AS bucket, count(*) AS doc_count
+       FROM events GROUP BY 1 ORDER BY 1""",
+)
+
+register(
+    "agg_date_histogram",
+    lambda s, d: date_histogram_agg(_ev(s, d), "ts", "hour"),
+    """SELECT date_trunc('hour', ts) AS bucket, count(*) AS doc_count
+       FROM events GROUP BY 1 ORDER BY 1""",
+)
+
+register(
+    "agg_nested",
+    lambda s, d: nested_agg(_ev(s, d), "event_type", "ts", "value"),
+    """SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+              count(*) AS doc_count, round(sum(value),4) AS sum_v
+       FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+)
+
+register(
+    "agg_distinct",
+    lambda s, d: distinct_agg(_ev(s, d), ["event_type", "user_id"]),
+    """SELECT DISTINCT event_type, user_id FROM events
+       ORDER BY event_type, user_id""",
+)
+
+
+# --- F relational operators over the TPC-H-ish star schema ------------------
+
+
+def _tpch(spark, sf_dir, name):
+    return read_fixture(spark, sf_dir, name)
+
+
+def _q_join_agg_topn(spark, sf_dir):
+    """F3/F4/F8: customer⋈orders revenue top-10 — Catalyst broadcasts the
+    dim side; top-k is TakeOrderedAndProject (no full sort)."""
+    c = _tpch(spark, sf_dir, "customer")
+    o = _tpch(spark, sf_dir, "orders")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .orderBy(F.col("total").desc(), F.col("c_custkey").asc())
+        .limit(10)
+    )
+
+
+register(
+    "rel_join_agg_topn",
+    _q_join_agg_topn,
+    """SELECT c_custkey, c_name, round(sum(o_totalprice),2) AS total
+       FROM orders JOIN customer ON o_custkey = c_custkey
+       GROUP BY c_custkey, c_name ORDER BY total DESC, c_custkey ASC LIMIT 10""",
+)
+
+
+def _q_three_way(spark, sf_dir):
+    """TPC-H Q3-flavor three-way join with date filter and computed measure."""
+    c = _tpch(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _tpch(spark, sf_dir, "orders")
+    l = _tpch(spark, sf_dir, "lineitem")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(20)
+    )
+
+
+register(
+    "rel_three_way_join",
+    _q_three_way,
+    """SELECT o_orderkey, o_orderpriority,
+              round(sum(l_extendedprice * (1 - l_discount)),2) AS revenue
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       JOIN customer ON o_custkey = c_custkey
+       WHERE c_mktsegment = 'BUILDING'
+       GROUP BY o_orderkey, o_orderpriority
+       ORDER BY revenue DESC, o_orderkey ASC LIMIT 20""",
+)
+
+
+def _q_anti(spark, sf_dir):
+    """F5: bool.must_not analog — customers with no orders (left_anti)."""
+    c = _tpch(spark, sf_dir, "customer")
+    o = _tpch(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey")
+        .orderBy("c_custkey")
+    )
+
+
+register(
+    "rel_anti_join",
+    _q_anti,
+    """SELECT c_custkey FROM customer
+       WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+       ORDER BY c_custkey""",
+)
+
+
+def _q_semi(spark, sf_dir):
+    """F5: EXISTS — nations that have both customers and suppliers."""
+    n = _tpch(spark, sf_dir, "nation")
+    c = _tpch(spark, sf_dir, "customer")
+    s = _tpch(spark, sf_dir, "supplier")
+    return (
+        n.join(c, n.n_nationkey == c.c_nationkey, "left_semi")
+        .join(s, n.n_nationkey == s.s_nationkey, "left_semi")
+        .select("n_nationkey", "n_name")
+        .orderBy("n_nationkey")
+    )
+
+
+register(
+    "rel_semi_join",
+    _q_semi,
+    """SELECT n_nationkey, n_name FROM nation
+       WHERE n_nationkey IN (SELECT c_nationkey FROM customer)
+         AND n_nationkey IN (SELECT s_nationkey FROM supplier)
+       ORDER BY n_nationkey""",
+)
+
+
+def _q_range_join(spark, sf_dir):
+    """F6: interval join — lineitems shipped within 30 days of order date."""
+    o = _tpch(spark, sf_dir, "orders")
+    l = _tpch(spark, sf_dir, "lineitem")
+    return (
+        l.join(
+            o,
+            (l.l_orderkey == o.o_orderkey)
+            & (l.l_shipdate >= o.o_orderdate)
+            & (l.l_shipdate <= o.o_orderdate + F.expr("INTERVAL 30 DAYS")),
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+        .orderBy("o_orderpriority")
+    )
+
+
+register(
+    "rel_range_join",
+    _q_range_join,
+    """SELECT o_orderpriority, count(*) AS n
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        AND l_shipdate >= o_orderdate
+        AND l_shipdate <= o_orderdate + INTERVAL 30 DAY
+       GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+)
+
+
+def _q_set_ops(spark, sf_dir):
+    """F7: nations with customers but no suppliers (exceptAll on keys)."""
+    c = _tpch(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk")).distinct()
+    s = _tpch(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk")).distinct()
+    return c.exceptAll(s).orderBy("nk")
+
+
+register(
+    "rel_set_except",
+    _q_set_ops,
+    """SELECT DISTINCT c_nationkey AS nk FROM customer
+       EXCEPT SELECT DISTINCT s_nationkey AS nk FROM supplier ORDER BY nk""",
+)
+
+
+def _q_window(spark, sf_dir):
+    """F9: row_number window — each customer's single largest order."""
+    from pyspark.sql import Window
+
+    o = _tpch(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("top_price"))
+        .orderBy("o_custkey")
+    )
+
+
+register(
+    "rel_window_topn",
+    _q_window,
+    """SELECT o_custkey, o_orderkey, round(o_totalprice,2) AS top_price FROM (
+         SELECT *, row_number() OVER (PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+         FROM orders) WHERE rn = 1 ORDER BY o_custkey""",
+)
+
+
+def _q_running_sum(spark, sf_dir):
+    """F9: running frame — cumulative spend per customer over time."""
+    from pyspark.sql import Window
+
+    o = _tpch(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+register(
+    "rel_running_sum",
+    _q_running_sum,
+    """SELECT o_custkey, o_orderkey,
+              round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                    ORDER BY o_orderdate ASC, o_orderkey ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2)
+              AS running_total
+       FROM orders ORDER BY o_custkey, o_orderkey""",
+)
+
+
+def _q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-flavor pricing summary (partial+final hash agg showcase)."""
+    l = _tpch(spark, sf_dir, "lineitem")
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+register(
+    "rel_pricing_summary",
+    _q_pricing_summary,
+    """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty,
+              round(sum(l_extendedprice),2) AS sum_base_price,
+              round(sum(l_extendedprice * (1 - l_discount)),2) AS sum_disc_price,
+              round(avg(l_quantity),4) AS avg_qty, count(*) AS count_order
+       FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+       GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+)
+
+
+# --- G scalar-function surface (JSON / date / string over events) -----------
+
+
+def _q_json(spark, sf_dir):
+    """G: dynamic-doc parity — extract + aggregate a JSON field from props."""
+    return (
+        _ev(spark, sf_dir)
+        .select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("int").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum("k").alias("sum_k"))
+        .orderBy("event_type")
+    )
+
+
+register(
+    "fn_json_extract",
+    _q_json,
+    """SELECT event_type, count(*) AS n,
+              sum(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k
+       FROM events GROUP BY event_type ORDER BY event_type""",
+)
+
+
+def _q_datetime(spark, sf_dir):
+    """G: date/time functions — per-weekday event profile."""
+    return (
+        _ev(spark, sf_dir)
+        .select(
+            F.dayofweek("ts").alias("dow"),
+            F.hour("ts").alias("hr"),
+            "value",
+        )
+        .groupBy("dow", "hr")
+        .agg(F.count("*").alias("n"), F.round(F.avg("value"), 4).alias("avg_v"))
+        .orderBy("dow", "hr")
+    )
+
+
+register(
+    "fn_datetime",
+    _q_datetime,
+    """SELECT dayofweek(ts) + 1 AS dow, hour(ts) AS hr, count(*) AS n,
+              round(avg(value),4) AS avg_v
+       FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+)
+
+
+def _q_string_fns(spark, sf_dir):
+    """G: string functions — normalize + classify document sources."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.select(
+            F.upper(F.substring("source", 1, 3)).alias("prefix"),
+            F.length("text").alias("len"),
+            F.size(F.split("text", " ")).alias("n_tokens"),
+        )
+        .groupBy("prefix")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("len").alias("total_chars"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .orderBy("prefix")
+    )
+
+
+register(
+    "fn_string",
+    _q_string_fns,
+    """SELECT upper(substring(source, 1, 3)) AS prefix, count(*) AS n,
+              sum(length(text)) AS total_chars,
+              sum(len(string_split(text, ' '))) AS total_tokens
+       FROM documents GROUP BY 1 ORDER BY 1""",
+)
+
+
+# --- training-data pipeline operators (task brief: first-class components) --
+# Text analysis / dedup / similarity search over documents + embeddings.
+
+
+def _q_text_quality(spark, sf_dir):
+    from .textops import quality_score
+
+    return quality_score(_docs(spark, sf_dir)).select(
+        "doc_id", "n_tokens", "mean_token_len", "stopword_ratio", "alpha_ratio",
+        "quality_score",
+    )
+
+
+register(
+    "text_quality",
+    _q_text_quality,
+    f"""SELECT doc_id, len(string_split(text,' ')) AS n_tokens,
+              round((length(text) - (len(string_split(text,' ')) - 1))
+                    / len(string_split(text,' ')), 4) AS mean_token_len,
+              round(len(list_filter(string_split(text,' '),
+                    t -> list_contains({sorted(['the','and','of','to','in','is','that','for','with','was'])!r}, t)))
+                    / greatest(len(string_split(text,' ')), 1), 4) AS stopword_ratio,
+              round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                    / greatest(length(text), 1), 4) AS alpha_ratio,
+              round((
+                CAST(len(string_split(text,' ')) BETWEEN 20 AND 1000 AS INT)
+              + CAST(round((length(text) - (len(string_split(text,' ')) - 1))
+                      / len(string_split(text,' ')), 4) BETWEEN 2.5 AND 12.0 AS INT)
+              + CAST(round(len(list_filter(string_split(text,' '),
+                      t -> list_contains({sorted(['the','and','of','to','in','is','that','for','with','was'])!r}, t)))
+                      / greatest(len(string_split(text,' ')), 1), 4) >= 0.01 AS INT)
+              + CAST(round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                      / greatest(length(text), 1), 4) >= 0.6 AS INT)
+              ) / 4.0, 4) AS quality_score
+       FROM documents""",
+)
+
+
+def _q_token_counts(spark, sf_dir):
+    from .textops import with_token_counts
+
+    return with_token_counts(_docs(spark, sf_dir)).select(
+        "doc_id", "ws_tokens", "bpe_est_tokens"
+    )
+
+
+register(
+    "text_token_counts",
+    _q_token_counts,
+    r"""SELECT doc_id, len(string_split_regex(text, '\s+')) AS ws_tokens,
+              len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]{1,3}|[^A-Za-z0-9\s]'))
+                  AS bpe_est_tokens
+       FROM documents""",
+)
+
+
+def _q_fingerprint(spark, sf_dir):
+    from .textops import with_fingerprint
+
+    return with_fingerprint(_docs(spark, sf_dir)).select("doc_id", "fingerprint")
+
+
+register(
+    "text_fingerprint",
+    _q_fingerprint,
+    r"""SELECT doc_id,
+              md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+       FROM documents""",
+)
+
+
+def _q_ngram_jaccard(spark, sf_dir):
+    from .dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.8)
+
+
+register(
+    "dedup_ngram_jaccard",
+    _q_ngram_jaccard,
+    """
+WITH sh AS (
+  SELECT DISTINCT doc_id AS id, s AS shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+               range(1, greatest(len(string_split(text,' ')) - 2, 1) + 1),
+               i -> array_to_string(string_split(text,' ')[i:i+2], ' '))) AS s
+    FROM documents)
+),
+sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS ia, b.id AS ib, count(*) AS ni
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id GROUP BY 1, 2
+)
+SELECT ia AS id_a, ib AS id_b,
+       round(ni * 1.0 / (sa.n_sh + sb.n_sh - ni), 4) AS jaccard
+FROM inter JOIN sizes sa ON ia = sa.id JOIN sizes sb ON ib = sb.id
+WHERE round(ni * 1.0 / (sa.n_sh + sb.n_sh - ni), 4) >= 0.8
+""",
+)
+
+
+def _q_exact_dup_groups(spark, sf_dir):
+    from .dedup import exact_duplicates
+
+    return exact_duplicates(_docs(spark, sf_dir)).select(
+        "fingerprint", "n_docs", "keep_id"
+    )
+
+
+register(
+    "dedup_exact_groups",
+    _q_exact_dup_groups,
+    r"""SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+              count(*) AS n_docs, min(doc_id) AS keep_id
+       FROM documents GROUP BY 1 HAVING count(*) > 1""",
+)
+
+
+# MinHash-LSH / SimHash use engine-pinned hash families — not expressible in
+# ANSI SQL → registered WITHOUT oracles (driver records rows-only checks);
+# their correctness is property-tested against exact Jaccard in pytest.
+
+
+def _q_minhash(spark, sf_dir):
+    from .dedup import minhash_jaccard_estimate
+
+    return minhash_jaccard_estimate(_docs(spark, sf_dir), k=64).filter(
+        F.col("est_jaccard") >= 0.7
+    )
+
+
+register("dedup_minhash_lsh", _q_minhash, None)
+
+
+def _q_simhash(spark, sf_dir):
+    from .dedup import simhash_near_dups
+
+    return simhash_near_dups(_docs(spark, sf_dir), max_hamming=6)
+
+
+register("dedup_simhash", _q_simhash, None)
+
+
+def _q_lang_id(spark, sf_dir):
+    from .textops import language_id_udf
+
+    return (
+        _docs(spark, sf_dir)
+        .select(language_id_udf(F.col("text")).alias("pred_lang"))
+        .groupBy("pred_lang")
+        .agg(F.count("*").alias("n"))
+        .orderBy("pred_lang")
+    )
+
+
+register("text_language_id", _q_lang_id, None)
+
+
+def _q_ann(spark, sf_dir):
+    from .ann import brute_force_topk
+
+    emb = read_fixture(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    casted = emb.withColumn("embedding", F.col("embedding").cast("array<double>"))
+    return brute_force_topk(casted, [float(x) for x in q], k=10)
+
+
+register(
+    "ann_cosine_topk",
+    _q_ann,
+    """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id, round(
+    list_sum(list_transform(range(1,65),
+        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+  / (sqrt(list_sum(list_transform(range(1,65), i -> CAST(e.embedding[i] AS DOUBLE)**2)))
+   * sqrt(list_sum(list_transform(range(1,65), i -> CAST(q.qv[i] AS DOUBLE)**2)))), 4)
+  AS cosine
+FROM embeddings e CROSS JOIN q
+ORDER BY cosine DESC, vec_id ASC LIMIT 10
+""",
+)
+
+
+def _q_emb_near_dups(spark, sf_dir):
+    from .dedup import embedding_near_dups
+
+    emb = read_fixture(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return embedding_near_dups(emb, threshold=0.5)
+
+
+register(
+    "dedup_embedding_cosine",
+    _q_emb_near_dups,
+    """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(
+         list_sum(list_transform(range(1,65),
+             i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+       / (sqrt(list_sum(list_transform(range(1,65), i -> CAST(a.embedding[i] AS DOUBLE)**2)))
+        * sqrt(list_sum(list_transform(range(1,65), i -> CAST(b.embedding[i] AS DOUBLE)**2)))), 4)
+       AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(
+         list_sum(list_transform(range(1,65),
+             i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+       / (sqrt(list_sum(list_transform(range(1,65), i -> CAST(a.embedding[i] AS DOUBLE)**2)))
+        * sqrt(list_sum(list_transform(range(1,65), i -> CAST(b.embedding[i] AS DOUBLE)**2)))), 4) >= 0.5
+""",
+)
+
+
 # ---------------------------------------------------------------------------
 # public contract
 

@@ -1,0 +1,145 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+First-class components beyond the reference's own surface (task brief):
+language-ID, quality scoring, token counting, document fingerprinting —
+each over the `documents`/`pages` corpora. SQL-expressible metrics stay as
+built-in expressions (whole-stage codegen + DuckDB-checkable); the n-gram
+language classifier is a vectorized pandas UDF.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# --- language-ID: character-n-gram + stopword heuristic ---------------------
+# Profiles are tiny pinned sets of highly characteristic function words and
+# bigrams per language (public linguistic facts; no external data).
+
+_LANG_PROFILES: dict[str, set[str]] = {
+    "en": {"the", "and", "of", "to", "in", "is", "that", "for", "with", "was"},
+    "fr": {"le", "la", "les", "de", "des", "et", "est", "une", "que", "dans"},
+    "es": {"el", "la", "los", "de", "y", "es", "que", "en", "una", "por"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "zu"},
+    "zh": set(),  # handled by CJK-ratio below
+}
+
+_CJK_RE = re.compile(r"[㐀-䶿一-鿿]")
+_WORD_RE = re.compile(r"[a-zà-öø-ÿ]+")
+
+
+def language_id(text: str) -> str:
+    """Classify one document: CJK-char ratio → zh; else argmax stopword hits
+    (ties → 'und' unknown, like CLD-style abstain)."""
+    if not text:
+        return "und"
+    n_cjk = len(_CJK_RE.findall(text))
+    if n_cjk * 4 >= len(text.replace(" ", "")) and n_cjk > 0:
+        return "zh"
+    words = _WORD_RE.findall(text.lower())
+    if not words:
+        return "und"
+    scores = {
+        lang: sum(1 for w in words if w in prof)
+        for lang, prof in _LANG_PROFILES.items()
+        if prof
+    }
+    best = max(scores, key=lambda k: (scores[k], k))
+    if scores[best] == 0:
+        return "und"
+    top = [k for k, v in scores.items() if v == scores[best]]
+    return best if len(top) == 1 else "und"
+
+
+@F.pandas_udf(T.StringType())
+def language_id_udf(s: pd.Series) -> pd.Series:
+    return s.map(language_id)
+
+
+# --- quality scoring (SQL expressions — no UDF) ------------------------------
+
+_EN_STOPWORDS = sorted(_LANG_PROFILES["en"])
+
+
+def with_quality_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach per-doc quality signals: length, token count, mean token length,
+    punctuation ratio, stopword ratio, alpha ratio — all built-ins."""
+    c = F.col(text_col)
+    toks = F.split(c, " ")
+    n_toks = F.size(toks)
+    stop_arr = F.array(*[F.lit(w) for w in _EN_STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    n_punct = F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    n_alpha = F.length(F.regexp_replace(c, r"[^A-Za-z]", ""))
+    return (
+        df.withColumn("n_chars_q", F.length(c))
+        .withColumn("n_tokens", n_toks)
+        .withColumn(
+            "mean_token_len",
+            F.round((F.length(c) - (n_toks - 1)) / n_toks, 4),
+        )
+        .withColumn("punct_ratio", F.round(n_punct / F.greatest(F.length(c), F.lit(1)), 4))
+        .withColumn("stopword_ratio", F.round(n_stop / F.greatest(n_toks, F.lit(1)), 4))
+        .withColumn("alpha_ratio", F.round(n_alpha / F.greatest(F.length(c), F.lit(1)), 4))
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Composite 0-1 quality score (Gopher/C4-style heuristic band checks):
+    rewards 20-1000 tokens, ~3-12 char mean token length, some stopwords."""
+    m = with_quality_metrics(df, text_col)
+    in_band = (
+        (F.col("n_tokens") >= 20) & (F.col("n_tokens") <= 1000)
+    ).cast("int") + (
+        (F.col("mean_token_len") >= 2.5) & (F.col("mean_token_len") <= 12.0)
+    ).cast("int") + (F.col("stopword_ratio") >= 0.01).cast("int") + (
+        F.col("alpha_ratio") >= 0.6
+    ).cast("int")
+    return m.withColumn("quality_score", F.round(in_band / F.lit(4.0), 4))
+
+
+# --- token counting (whitespace + BPE-ish subword estimate) ------------------
+
+_BPE_RE = r"[A-Za-z]{1,4}|[0-9]{1,3}|[^A-Za-z0-9\s]"
+
+
+def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """whitespace_tokens: split count; bpe_est_tokens: count of BPE-ish
+    chunks (≤4-char alpha runs, ≤3-digit runs, single punct) — a deterministic
+    regex stand-in for a real BPE vocab (containers lack tokenizer libs)."""
+    c = F.col(text_col)
+    return df.withColumn("ws_tokens", F.size(F.split(c, r"\s+"))).withColumn(
+        "bpe_est_tokens",
+        F.size(F.regexp_extract_all(c, F.lit(_BPE_RE), 0)),
+    )
+
+
+# --- document fingerprinting --------------------------------------------------
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact-dup fingerprint: md5 of NFC-whitespace-normalized text (md5 is
+    available in both Spark and DuckDB → oracle-checkable)."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    return df.withColumn("fingerprint", F.md5(norm))
+
+
+@F.pandas_udf(T.LongType())
+def rolling_hash_udf(s: pd.Series) -> pd.Series:
+    """64-bit polynomial rolling hash over tokens (Rabin-Karp style) —
+    order-sensitive content fingerprint, vectorized per batch."""
+
+    def rh(text: str) -> int:
+        h = np.uint64(1469598103934665603)
+        for tok in (text or "").split():
+            for ch in tok:
+                h = np.uint64(h * np.uint64(1099511628211)) ^ np.uint64(ord(ch))
+            h = np.uint64(h * np.uint64(31))
+        return int(h & np.uint64(0x7FFFFFFFFFFFFFFF))
+
+    return s.map(rh)

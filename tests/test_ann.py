@@ -1,0 +1,80 @@
+"""Similarity-search tests: brute-force correctness, LSH recall, batch mode."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from engine.ann import batch_topk, brute_force_topk, lsh_topk, with_lsh_bucket
+from engine.io import read_fixture
+
+DIM = 64
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return read_fixture(spark, sf_dir, "embeddings").cache()
+
+
+@pytest.fixture(scope="module")
+def vecs(emb):
+    return {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in emb.collect()}
+
+
+def _numpy_topk(vecs, q, k):
+    qn = q / np.linalg.norm(q)
+    sims = {
+        i: round(float(v @ qn / np.linalg.norm(v)), 4) for i, v in vecs.items()
+    }
+    return sorted(sims.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+
+def test_brute_force_matches_numpy(emb, vecs):
+    q = vecs[7]
+    got = brute_force_topk(emb, q.tolist(), k=10).collect()
+    want = _numpy_topk(vecs, q, 10)
+    assert [(r["vec_id"], r["cosine"]) for r in got] == want
+    assert got[0]["vec_id"] == 7 and got[0]["cosine"] == 1.0
+
+
+def test_lsh_recall_against_brute_force(emb, vecs):
+    bucketed = with_lsh_bucket(emb, DIM, n_planes=8).cache()
+    recalls = []
+    for qid in [0, 50, 123, 321, 444]:
+        q = vecs[qid].tolist()
+        exact = {r["vec_id"] for r in brute_force_topk(emb, q, k=10).collect()}
+        approx = {r["vec_id"] for r in lsh_topk(bucketed, q, k=10, n_planes=8, n_flip=2).collect()}
+        recalls.append(len(exact & approx) / 10)
+    assert np.mean(recalls) >= 0.5, recalls  # multiprobe LSH on random 64-d data
+
+
+def test_lsh_scans_fewer_rows(emb, vecs):
+    bucketed = with_lsh_bucket(emb, DIM, n_planes=8).cache()
+    total = emb.count()
+    q = vecs[0]
+    planes_scanned = lsh_topk(bucketed, q.tolist(), k=10, n_planes=8, n_flip=1)
+    # the pruned candidate set must be well under the full table
+    from engine.ann import _hyperplanes, _norm, _probe_buckets
+
+    planes = _hyperplanes(DIM, 8)
+    qn = _norm(q.tolist())
+    sig = sum((1 << j) for j in range(8) if float(planes[j] @ qn) > 0)
+    probes = _probe_buckets(sig, 8, 1)
+    n_cand = bucketed.filter(F.col("lsh_bucket").isin(probes)).count()
+    assert n_cand < total * 0.5
+    assert planes_scanned.count() <= 10
+
+
+def test_batch_topk(spark, emb, vecs):
+    queries = spark.createDataFrame(
+        [(0, vecs[0].tolist()), (1, vecs[99].tolist())],
+        "q_id long, q_vec array<double>",
+    )
+    out = batch_topk(emb, queries, k=5).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["q_id"], []).append((r["vec_id"], r["cosine"]))
+    assert set(by_q) == {0, 1}
+    for qid, src in [(0, vecs[0]), (1, vecs[99])]:
+        want = _numpy_topk(vecs, src, 5)
+        got = sorted(by_q[qid], key=lambda kv: (-kv[1], kv[0]))
+        assert got == want

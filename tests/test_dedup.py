@@ -1,0 +1,121 @@
+"""Dedup family tests: exact, n-gram Jaccard, MinHash+LSH, SimHash, embedding."""
+
+import itertools
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from engine.dedup import (
+    dedup_exact,
+    embedding_near_dups,
+    exact_duplicates,
+    minhash_jaccard_estimate,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash_near_dups,
+    with_shingles,
+)
+from engine.io import read_fixture
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, sf_dir):
+    """documents + planted duplicates: exact copy, near copy, shuffled copy."""
+    docs = read_fixture(spark, sf_dir, "documents").select("doc_id", "text").limit(100)
+    rows = docs.collect()
+    base = {r["doc_id"]: r["text"] for r in rows}
+    planted = [
+        (10_001, base[0]),                                  # exact dup of 0
+        (10_002, base[1] + " extra token tail"),            # near dup of 1
+        (10_003, "Case  VARIANT " + base[2].upper()),       # not a dup (uppercased)
+        (10_004, base[3].replace(base[3].split()[0], "zzq", 1)),  # near dup of 3
+    ]
+    extra = spark.createDataFrame(planted, "doc_id long, text string")
+    return docs.unionByName(extra)
+
+
+def test_exact_duplicates(corpus):
+    groups = exact_duplicates(corpus).collect()
+    pairs = {tuple(g["doc_ids"]) for g in groups}
+    assert (0, 10_001) in pairs
+    kept = dedup_exact(corpus)
+    assert kept.count() == corpus.count() - 1  # only the one exact dup removed
+    assert kept.filter(F.col("doc_id") == 10_001).count() == 0
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    sh = {r["shingle"] for r in with_shingles(df, n=3).collect()}
+    assert sh == {"a b c", "b c d"}
+
+
+def test_ngram_jaccard_matches_python_oracle(corpus):
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(corpus, n=3, threshold=0.5).collect()
+    }
+    rows = {r["doc_id"]: r["text"] for r in corpus.collect()}
+
+    def shingle_set(t):
+        toks = t.split()
+        return {" ".join(toks[i : i + 3]) for i in range(max(len(toks) - 2, 0))} or {t}
+
+    want = {}
+    for a, b in itertools.combinations(sorted(rows), 2):
+        sa, sb = shingle_set(rows[a]), shingle_set(rows[b])
+        inter = len(sa & sb)
+        if inter == 0:
+            continue
+        j = inter / (len(sa) + len(sb) - inter)
+        if round(j, 4) >= 0.5:
+            want[(a, b)] = round(j, 4)
+    assert got == want
+    assert (1, 10_002) in got and (3, 10_004) in got and (0, 10_001) in got
+
+
+def test_minhash_lsh_finds_planted_dups(corpus):
+    cands = {(r["id_a"], r["id_b"]) for r in minhash_lsh_candidates(corpus, k=64, bands=16).collect()}
+    assert (0, 10_001) in cands
+    assert (1, 10_002) in cands
+    assert (3, 10_004) in cands
+
+
+def test_minhash_estimates_jaccard(corpus):
+    est = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in minhash_jaccard_estimate(corpus, k=64).collect()
+    }
+    assert est[(0, 10_001)] == 1.0
+    # near-dups estimate within ±0.25 of truth (k=64 → σ≈0.06, loose bound)
+    truth = {
+        r["id_a"] * 100_000 + r["id_b"]: r["jaccard"]
+        for r in ngram_jaccard_pairs(corpus, n=3, threshold=0.0).collect()
+    }
+    for (a, b), e in est.items():
+        t = truth.get(a * 100_000 + b, 0.0)
+        assert abs(e - t) <= 0.25, (a, b, e, t)
+
+
+def test_simhash_near_dups(corpus):
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_near_dups(corpus, max_hamming=10).collect()}
+    assert pairs.get((0, 10_001)) == 0  # identical text → identical signature
+    assert (1, 10_002) in pairs  # near dup within hamming budget
+
+
+def test_embedding_near_dups_and_oracle(spark, sf_dir):
+    emb = read_fixture(spark, sf_dir, "embeddings").limit(120)
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_near_dups(emb, threshold=0.5).collect()
+    }
+    rows = emb.collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+    want = {}
+    for a, b in itertools.combinations(sorted(vecs), 2):
+        c = float(vecs[a] @ vecs[b] / (np.linalg.norm(vecs[a]) * np.linalg.norm(vecs[b])))
+        if round(c, 4) >= 0.5:
+            want[(a, b)] = round(c, 4)
+    assert set(got) == set(want)
+    for kpair, v in got.items():
+        assert v == pytest.approx(want[kpair], abs=2e-4)
