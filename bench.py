@@ -1,0 +1,113 @@
+#!/usr/bin/env python
+"""Headline benchmark — driver contract (TESTDATA.md; BASELINE.md).
+
+Runs the engine's headline operations at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Phases (matching BASELINE.json's north rule):
+  1. ``refine_pages``  — HTML-strip + tokenize over a deterministic synthetic
+     Common-Crawl-style pages corpus (Arrow-vectorized UDF path, B1-B3).
+  2. ``index_build``   — full inverted-index build (salted term shuffle →
+     delta+varint postings with block-max metadata → segment merge) over the
+     `documents` fixture.
+  3. headline queries  — block-max WAND top-k BM25, exhaustive BM25,
+     relational/agg/dedup/ANN representatives from `queries()`.
+
+Extra top-level keys report docs/sec for the two build phases so the driver's
+BENCH_r{N}.json carries the north-rule throughput numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+N_REFINE_PAGES = int(os.environ.get("BENCH_REFINE_PAGES", "8000"))
+
+HEADLINE = [
+    "bm25_and",
+    "bm25_wand_hot_term",
+    "bm25_wand_and",
+    "bm25_wand_or",
+    "bm25_wand_and_k100",
+    "rel_pricing_summary",
+    "rel_join_agg_topn",
+    "agg_date_histogram",
+    "agg_cardinality_grouped",
+    "text_quality",
+    "dedup_minhash_lsh",
+    "ann_cosine_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8)))
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    try:
+        sf = float(tag.replace("sf", ""))
+    except ValueError:
+        sf = tag
+
+    from engine import registry
+    from engine.packaging import ensure_workers_can_import
+    from engine.pages import pages_df
+    from engine.refine import refine_pages
+    from engine.session import get_spark
+
+    spark = get_spark("bench", cpus=cpus)
+    ensure_workers_can_import(spark)
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    # -- 1. refine stage throughput over synthetic pages (north rule) -------
+    pages = pages_df(spark, N_REFINE_PAGES, partitions=cpus * 2).cache()
+    n_pages = pages.count()  # materialize input outside the timed window
+    t0 = time.perf_counter()
+    refined = refine_pages(pages)
+    n_refined = refined.count()
+    dt = time.perf_counter() - t0
+    timings["refine_pages"] = round(dt, 3)
+    extras["refine_docs_per_sec"] = round(n_pages / dt, 1)
+    pages.unpersist()
+
+    # -- 2. index build throughput (north rule), shared with WAND queries ---
+    t0 = time.perf_counter()
+    idx = registry._indexed(spark, sf_dir)  # builds fresh per process
+    dt = time.perf_counter() - t0
+    timings["index_build"] = round(dt, 3)
+    extras["index_docs_per_sec"] = round(idx.manifest.n_docs / dt, 1)
+
+    # -- 3. headline queries -------------------------------------------------
+    qs = registry.queries()
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        rows = qs[name](spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        assert rows is not None
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        "n_refine_pages": n_refined,
+        "n_index_docs": idx.manifest.n_docs,
+        **extras,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

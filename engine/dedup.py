@@ -122,22 +122,47 @@ def _minhash_params(k: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
-def _shingle_hashes(text: str, n: int) -> np.ndarray:
+def _token_hash_cache() -> dict:
+    """Per-batch memo: token → stable 64-bit hash (blake2b, C-speed).
+    Natural-language batches repeat tokens heavily, so the cache turns the
+    hashing cost from O(total bytes) into O(unique-token bytes)."""
+    import hashlib
+
+    cache: dict[str, int] = {}
+
+    def h(tok: str) -> int:
+        v = cache.get(tok)
+        if v is None:
+            v = int.from_bytes(
+                hashlib.blake2b(tok.encode("utf-8"), digest_size=8).digest(), "little"
+            )
+            cache[tok] = v
+        return v
+
+    return h
+
+
+_ROLL = np.uint64(1099511628211)  # FNV prime as the polynomial base
+
+
+def _shingle_hashes(text: str, n: int, th) -> np.ndarray:
+    """Hashes of word n-grams: polynomial combination of per-token hashes,
+    fully vectorized (wraparound mod 2^64 is intentional)."""
     toks = text.split()
-    if len(toks) < n:
-        grams = [" ".join(toks)] if toks else []
-    else:
-        grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
-    if not grams:
+    if not toks:
         return np.zeros(1, dtype=np.uint64)
-    # FNV-1a 64 per shingle, vectorized over bytes via Python hash fallback
-    out = np.empty(len(grams), dtype=np.uint64)
-    for i, g in enumerate(grams):
-        h = np.uint64(1469598103934665603)
-        for byte in g.encode("utf-8"):
-            h = np.uint64(h ^ np.uint64(byte)) * np.uint64(1099511628211)
-        out[i] = h
-    return out
+    hs = np.fromiter((th(t) for t in toks), dtype=np.uint64, count=len(toks))
+    if len(toks) <= n:
+        out = np.zeros(1, dtype=np.uint64)
+        for j in range(len(toks)):
+            out = out * _ROLL + hs[j]
+        return out
+    with np.errstate(over="ignore"):
+        acc = hs[: len(hs) - n + 1].copy()
+        for j in range(1, n):
+            acc *= _ROLL
+            acc += hs[j : len(hs) - n + 1 + j]
+    return acc
 
 
 def minhash_udf(k: int = 64, n: int = 3):
@@ -146,15 +171,25 @@ def minhash_udf(k: int = 64, n: int = 3):
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def mh(s: pd.Series) -> pd.Series:
+        th = _token_hash_cache()
+
         def one(text: str):
-            sh = _shingle_hashes(text or "", n)
+            sh = _shingle_hashes(text or "", n, th)
             # (a*h + b) mod M for all k × |sh| — vectorized outer product
-            vals = (np.outer(a, sh) + b[:, None]) % _MERSENNE
+            with np.errstate(over="ignore"):
+                vals = (np.outer(a, sh) + b[:, None]) % _MERSENNE
             return vals.min(axis=1).astype(np.int64).tolist()
 
         return s.map(one)
 
     return mh
+
+
+def minhash_signatures(
+    df: DataFrame, k: int = 64, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, mh array<long>[k]) — one Arrow-batched UDF pass over the corpus."""
+    return df.select(F.col(id_col).alias("id"), minhash_udf(k, n)(F.col(text_col)).alias("mh"))
 
 
 def minhash_lsh_candidates(
@@ -164,12 +199,13 @@ def minhash_lsh_candidates(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: split k minhashes into `bands` rows-per-band
     groups; docs sharing any band bucket are candidates. One shuffle on
     (band, bucket_hash) — never an all-pairs join."""
     rows_per_band = k // bands
-    mh = df.select(F.col(id_col).alias("id"), minhash_udf(k, n)(F.col(text_col)).alias("mh"))
+    mh = signatures if signatures is not None else minhash_signatures(df, k, n, text_col, id_col)
     banded = mh.select(
         "id",
         F.posexplode(
@@ -197,9 +233,10 @@ def minhash_jaccard_estimate(
     df: DataFrame, k: int = 64, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """Candidate pairs with estimated Jaccard = fraction of agreeing
-    minhashes (verification stage after LSH)."""
-    cands = minhash_lsh_candidates(df, k=k, n=n, text_col=text_col, id_col=id_col)
-    mh = df.select(F.col(id_col).alias("id"), minhash_udf(k, n)(F.col(text_col)).alias("mh"))
+    minhashes (verification stage after LSH). The signature table is computed
+    once and cached — the sketch UDF is the expensive pass."""
+    mh = minhash_signatures(df, k, n, text_col, id_col).cache()
+    cands = minhash_lsh_candidates(df, k=k, n=n, text_col=text_col, id_col=id_col, signatures=mh)
     return (
         cands.join(mh.withColumnRenamed("id", "id_a").withColumnRenamed("mh", "mh_a"), "id_a")
         .join(mh.withColumnRenamed("id", "id_b").withColumnRenamed("mh", "mh_b"), "id_b")
@@ -228,25 +265,19 @@ def simhash_udf(s: pd.Series) -> pd.Series:
     """64-bit SimHash over token multiset (Charikar). Vectorized: token FNV
     hashes → ±1 bit votes → sign."""
 
+    th = _token_hash_cache()
+
     def one(text: str) -> int:
         toks = (text or "").split()
         if not toks:
             return 0
-        hs = np.empty(len(toks), dtype=np.uint64)
-        for i, t in enumerate(toks):
-            h = np.uint64(1469598103934665603)
-            for byte in t.encode("utf-8"):
-                h = np.uint64(h ^ np.uint64(byte)) * np.uint64(1099511628211)
-            hs[i] = h
+        hs = np.fromiter((th(t) for t in toks), dtype=np.uint64, count=len(toks))
         bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
             np.int64
         )
         votes = (2 * bits - 1).sum(axis=0)
-        sig = np.uint64(0)
-        for j in range(64):
-            if votes[j] > 0:
-                sig |= np.uint64(1) << np.uint64(j)
-        return int(sig & np.uint64(0x7FFFFFFFFFFFFFFF))
+        sig = int.from_bytes(np.packbits(votes > 0, bitorder="little").tobytes(), "little")
+        return sig & 0x7FFFFFFFFFFFFFFF
 
     return s.map(one)
 

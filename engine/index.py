@@ -31,6 +31,7 @@ import json
 import os
 from dataclasses import dataclass
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -68,36 +69,72 @@ POSTINGS_SCHEMA = T.StructType(
 )
 
 
-def _encode_fn(avgdl: float, block_size: int):
-    """Grouped-map encoder: one (term,bucket,shard,seg,part) group → one row."""
+_POSTINGS_COLS = [f.name for f in POSTINGS_SCHEMA.fields]
+_GROUP_COLS = ["bucket", "shard", "seg_id", "part", "term"]
 
-    def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        term, bucket, shard, seg_id, part = key
-        enc = encode_postings(
-            pdf["doc_id"].to_numpy(),
-            pdf["tf"].to_numpy(),
-            pdf["dl"].to_numpy(),
-            avgdl=avgdl,
-            block_size=block_size,
-        )
-        return pd.DataFrame(
-            [
-                {
-                    "term": term,
-                    "bucket": int(bucket),
-                    "shard": int(shard),
-                    "seg_id": int(seg_id),
-                    "part": int(part),
-                    "df": enc["df"],
-                    "cf": enc["cf"],
-                    "doc_ids_enc": enc["doc_ids_enc"],
-                    "tfs_enc": enc["tfs_enc"],
-                    "dls_enc": enc["dls_enc"],
-                    "skips": enc["skips"],
-                    "block_max": enc["block_max"],
-                }
-            ]
-        )
+
+def sorted_run_starts(pdf: pd.DataFrame, key_cols: list[str]) -> np.ndarray:
+    """Indices where a new key run begins in a key-sorted frame (vectorized)."""
+    n = len(pdf)
+    change = np.zeros(n, dtype=bool)
+    if n:
+        change[0] = True
+        for c in key_cols:
+            v = pdf[c].to_numpy()
+            change[1:] |= v[1:] != v[:-1]
+    return np.flatnonzero(change)
+
+
+def _encode_stream_fn(avgdl: float, block_size: int):
+    """Streaming encoder for `mapInPandas` over partitions sorted by
+    (bucket,shard,seg_id,part,term,doc_id).
+
+    Sort-based shuffle + a streaming run scanner instead of
+    groupBy().applyInPandas: grouped-map pays ~ms of Arrow dispatch PER
+    GROUP, which the Zipf tail of rare single-posting terms turns into the
+    dominant cost; here dispatch is per Arrow batch (~10k rows) and memory
+    is bounded by one batch + the largest single run (itself bounded by
+    docs_per_shard × salting). Runs spanning batch boundaries are carried
+    over between iterations."""
+
+    def fn(batches):
+        leftover: pd.DataFrame | None = None
+
+        def encode_runs(pdf: pd.DataFrame, starts: np.ndarray, end: int) -> pd.DataFrame:
+            ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+            tfs = pdf["tf"].to_numpy(dtype=np.int64)
+            dls = pdf["dl"].to_numpy(dtype=np.int64)
+            bounds = np.append(starts, end)
+            rows = []
+            for i in range(len(bounds) - 1):
+                s, e = int(bounds[i]), int(bounds[i + 1])
+                enc = encode_postings(ids[s:e], tfs[s:e], dls[s:e], avgdl, block_size)
+                r = pdf.iloc[s]
+                rows.append(
+                    (
+                        r["term"], int(r["bucket"]), int(r["shard"]),
+                        int(r["seg_id"]), int(r["part"]),
+                        enc["df"], enc["cf"], enc["doc_ids_enc"], enc["tfs_enc"],
+                        enc["dls_enc"], enc["skips"], enc["block_max"],
+                    )
+                )
+            return pd.DataFrame(rows, columns=_POSTINGS_COLS)
+
+        for pdf in batches:
+            if leftover is not None:
+                pdf = pd.concat([leftover, pdf], ignore_index=True)
+                leftover = None
+            if not len(pdf):
+                continue
+            starts = sorted_run_starts(pdf, _GROUP_COLS)
+            if len(starts) == 1:  # single (possibly incomplete) run — hold
+                leftover = pdf
+                continue
+            last = int(starts[-1])
+            leftover = pdf.iloc[last:].reset_index(drop=True)
+            yield encode_runs(pdf, starts[:-1], last)
+        if leftover is not None and len(leftover):
+            yield encode_runs(leftover, np.array([0]), len(leftover))
 
     return fn
 
@@ -115,27 +152,30 @@ def encode_segment(
 ) -> DataFrame:
     """Encode one segment's postings from tf rows (term, doc_id, tf, dl).
 
-    The groupBy below IS the salted repartition-by-term shuffle: Catalyst
-    plans one Exchange on (term,bucket,shard,seg_id,part); hot terms spread
-    over n_salts parts so no single reducer gets the full "the" list.
+    The repartition below IS the salted repartition-by-term shuffle: one
+    Exchange on (bucket,shard,seg_id,part). Non-hot terms route by term hash
+    (whole list on one reducer); hot terms route by doc hash so no single
+    reducer gets the full "the" list (C5 salting). Each reducer then
+    sort-streams its runs through one mapInPandas encoder — Spark's external
+    shuffle sort does the grouping, so memory stays bounded and there is no
+    per-term Arrow dispatch.
     """
     df = (
         tf_dl.withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"))
         .withColumn("shard", (F.col("doc_id") / F.lit(docs_per_shard)).cast("int"))
         .withColumn("seg_id", F.lit(seg_id).cast("int"))
     )
+    term_part = F.pmod(F.xxhash64("term", F.lit(1)), F.lit(n_salts)).cast("int")
     if hot_terms:
         hot = F.col("term").isin(list(hot_terms))
-        df = df.withColumn(
-            "part",
-            F.when(hot, F.pmod(F.xxhash64("doc_id"), F.lit(n_salts)).cast("int")).otherwise(
-                F.lit(0)
-            ),
-        )
+        salt = F.pmod(F.xxhash64("doc_id"), F.lit(n_salts)).cast("int")
+        df = df.withColumn("part", F.when(hot, salt).otherwise(term_part))
     else:
-        df = df.withColumn("part", F.lit(0).cast("int"))
-    return df.groupBy("term", "bucket", "shard", "seg_id", "part").applyInPandas(
-        _encode_fn(avgdl, block_size), POSTINGS_SCHEMA
+        df = df.withColumn("part", term_part)
+    return (
+        df.repartition("bucket", "shard", "seg_id", "part")
+        .sortWithinPartitions(*_GROUP_COLS, "doc_id")
+        .mapInPandas(_encode_stream_fn(avgdl, block_size), POSTINGS_SCHEMA)
     )
 
 
@@ -209,12 +249,18 @@ def build_index(
             stage_doc_stats(), "doc_id"
         )  # (term, doc_id, tf, dl)
 
+    cached: list[DataFrame] = []
     if checkpoint is not None:
+        # checkpoint stages are parquet-materialized — no recompute by design
         ds = checkpoint.stage("doc_stats", stage_doc_stats)
         tf_dl = checkpoint.stage("tf", stage_tf)
     else:
-        ds = stage_doc_stats()
-        tf_dl = stage_tf()
+        # ds/tf_dl are each consumed by several downstream jobs (corpus stats,
+        # hot-term detection, one filter per segment, final sinks) — cache so
+        # the tokenize UDF pass runs once, not once per consumer
+        ds = stage_doc_stats().cache()
+        tf_dl = stage_tf().cache()
+        cached = [ds, tf_dl]
 
     n_docs, avgdl = corpus_stats(ds)
     ts = term_stats(tf_dl.select("term", "doc_id", "tf"))
@@ -268,6 +314,8 @@ def build_index(
         os.path.join(out_root, "term_dict")
     )
     ds.write.mode("overwrite").parquet(os.path.join(out_root, "doc_stats"))
+    for c in cached:
+        c.unpersist()
 
     manifest = IndexManifest(
         root=out_root,
