@@ -18,6 +18,7 @@ Notes on approximate aggs:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -108,3 +109,33 @@ def nested_agg(df: DataFrame, outer: str, ts_col: str, value_col: str) -> DataFr
 def distinct_agg(df: DataFrame, cols: list[str]) -> DataFrame:
     """E8 `composite`-style dedup."""
     return df.select(*cols).distinct().orderBy(*cols)
+
+
+def geometric_mean_udaf():
+    """§2.H grouped-agg pandas UDAF: the custom-Python-reduce parity slot
+    (the reference ships user-defined reduce fns over ES scroll results
+    [public: upstream README]). Geometric mean is deliberately chosen so an
+    ANSI-SQL oracle exists (exp(avg(ln x))) and the driver can value-check
+    the UDAF path itself."""
+    import numpy as np
+    from pyspark.sql.functions import PandasUDFType
+
+    # eval type passed explicitly: `from __future__ import annotations`
+    # stringifies the Series->float hint, defeating inference
+    @F.pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def geo_mean(v):
+        a = v.to_numpy(dtype="float64")
+        return float(np.exp(np.log(a).mean()))
+
+    return geo_mean
+
+
+def grouped_geo_mean(df: DataFrame, value_col: str, group_by: str) -> DataFrame:
+    """Grouped-agg UDAF applied per group — Arrow ships each group's column
+    once; the reduce is NumPy-vectorized."""
+    gm = geometric_mean_udaf()
+    return (
+        df.groupBy(group_by)
+        .agg(F.round(gm(F.col(value_col)), 4).alias("geo_mean"))
+        .orderBy(group_by)
+    )

@@ -48,6 +48,41 @@ def term_stats(tf: DataFrame) -> DataFrame:
     )
 
 
+def corpus_base(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """One compact row per doc: (doc_id, dl, terms array, tfs array).
+
+    Map-side combine inside the analyzer UDF (engine.tokenizer
+    .term_counts_udf): per-doc term frequencies need NO shuffle — counting
+    happens in the same Arrow batch that tokenizes. At web scale this
+    removes the 1.4× token-row explode + groupBy(term, doc_id) exchange
+    entirely (the reference's map-phase combiner, done vectorized); the only
+    large shuffle left in the build is the salted repartition-by-term
+    (BASELINE.json north_star). Cache THIS frame (one row per doc), not the
+    exploded tf table (one row per term-doc pair)."""
+    from .tokenizer import term_counts_udf
+
+    return docs.select(
+        "doc_id", term_counts_udf(F.col(text_col)).alias("_tc")
+    ).select(
+        "doc_id",
+        F.col("_tc.terms").alias("terms"),
+        F.col("_tc.tfs").alias("tfs"),
+        F.aggregate(F.col("_tc.tfs"), F.lit(0), lambda a, x: a + x).alias("dl"),
+    )
+
+
+def exploded_tf(base: DataFrame) -> DataFrame:
+    """(term, doc_id, tf, dl) rows from corpus_base — JVM-side arrays_zip +
+    explode, no Python and no shuffle."""
+    return base.select(
+        "doc_id",
+        "dl",
+        F.explode(F.arrays_zip("terms", "tfs")).alias("_z"),
+    ).select(
+        F.col("_z.terms").alias("term"), "doc_id", F.col("_z.tfs").alias("tf"), "dl"
+    )
+
+
 def corpus_stats(doc_stats_df: DataFrame) -> tuple[int, float]:
     """C4: N (docCount), avgdl — tiny driver collect, broadcast implicitly
     as literals in downstream expressions (Lucene CollectionStatistics

@@ -39,7 +39,7 @@ from pyspark.sql import types as T
 
 from . import BLOCK_SIZE
 from .codec import encode_postings
-from .corpus import corpus_stats, term_stats, tf_table, tokens, with_tokens
+from .corpus import corpus_base, corpus_stats, exploded_tf, term_stats
 
 SKIP_STRUCT = T.StructType(
     [
@@ -53,7 +53,12 @@ SKIP_STRUCT = T.StructType(
 
 POSTINGS_SCHEMA = T.StructType(
     [
-        T.StructField("term", T.StringType()),
+        # tid = xxhash64(term): postings are keyed NUMERICALLY so the
+        # repartition-by-term shuffle, the in-partition sort and every Arrow
+        # crossing move fixed-width longs instead of per-row Python strings
+        # (Lucene's term-ordinal idea [public]); the string lives only in
+        # term_dict. Collisions are checked at dict-build time.
+        T.StructField("tid", T.LongType()),
         T.StructField("bucket", T.IntegerType()),
         T.StructField("shard", T.IntegerType()),
         T.StructField("seg_id", T.IntegerType()),
@@ -70,7 +75,12 @@ POSTINGS_SCHEMA = T.StructType(
 
 
 _POSTINGS_COLS = [f.name for f in POSTINGS_SCHEMA.fields]
-_GROUP_COLS = ["bucket", "shard", "seg_id", "part", "term"]
+_GROUP_COLS = ["bucket", "shard", "seg_id", "part", "tid"]
+
+
+def term_id(term_col):
+    """tid = xxhash64(term): the numeric posting key (see POSTINGS_SCHEMA)."""
+    return F.xxhash64(term_col)
 
 
 def sorted_run_starts(pdf: pd.DataFrame, key_cols: list[str]) -> np.ndarray:
@@ -104,16 +114,17 @@ def _encode_stream_fn(avgdl: float, block_size: int):
             ids = pdf["doc_id"].to_numpy(dtype=np.int64)
             tfs = pdf["tf"].to_numpy(dtype=np.int64)
             dls = pdf["dl"].to_numpy(dtype=np.int64)
+            keys = {c: pdf[c].to_numpy() for c in _GROUP_COLS}
             bounds = np.append(starts, end)
             rows = []
             for i in range(len(bounds) - 1):
                 s, e = int(bounds[i]), int(bounds[i + 1])
                 enc = encode_postings(ids[s:e], tfs[s:e], dls[s:e], avgdl, block_size)
-                r = pdf.iloc[s]
                 rows.append(
                     (
-                        r["term"], int(r["bucket"]), int(r["shard"]),
-                        int(r["seg_id"]), int(r["part"]),
+                        int(keys["tid"][s]), int(keys["bucket"][s]),
+                        int(keys["shard"][s]), int(keys["seg_id"][s]),
+                        int(keys["part"][s]),
                         enc["df"], enc["cf"], enc["doc_ids_enc"], enc["tfs_enc"],
                         enc["dls_enc"], enc["skips"], enc["block_max"],
                     )
@@ -161,19 +172,27 @@ def encode_segment(
     per-term Arrow dispatch.
     """
     df = (
-        tf_dl.withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"))
+        tf_dl.withColumn("tid", term_id(F.col("term")))
+        .withColumn("bucket", F.pmod(F.col("tid"), F.lit(n_buckets)).cast("int"))
         .withColumn("shard", (F.col("doc_id") / F.lit(docs_per_shard)).cast("int"))
         .withColumn("seg_id", F.lit(seg_id).cast("int"))
     )
-    term_part = F.pmod(F.xxhash64("term", F.lit(1)), F.lit(n_salts)).cast("int")
+    term_part = F.pmod(F.xxhash64("tid", F.lit(1)), F.lit(n_salts)).cast("int")
     if hot_terms:
         hot = F.col("term").isin(list(hot_terms))
         salt = F.pmod(F.xxhash64("doc_id"), F.lit(n_salts)).cast("int")
         df = df.withColumn("part", F.when(hot, salt).otherwise(term_part))
     else:
         df = df.withColumn("part", term_part)
+    # EXPLICIT partition count: AQE sizes post-shuffle partitions by shuffle
+    # BYTES and would coalesce this exchange to a handful of tasks — but the
+    # cost behind each row is Python-side encode CPU, so parallelism must
+    # track cores, not bytes. repartition(N, cols) pins N and opts out of
+    # coalescing for exactly this exchange.
+    n_parts = int(tf_dl.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     return (
-        df.repartition("bucket", "shard", "seg_id", "part")
+        df.select("tid", "doc_id", "tf", "dl", "bucket", "shard", "seg_id", "part")
+        .repartition(n_parts, "bucket", "shard", "seg_id", "part")
         .sortWithinPartitions(*_GROUP_COLS, "doc_id")
         .mapInPandas(_encode_stream_fn(avgdl, block_size), POSTINGS_SCHEMA)
     )
@@ -184,15 +203,28 @@ def detect_hot_terms(ts: DataFrame, hot_df: int) -> list[str]:
     return [r["term"] for r in ts.filter(F.col("df") > hot_df).select("term").collect()]
 
 
-def build_term_dict(postings: DataFrame) -> DataFrame:
-    """C9: global term directory term → df, cf, bucket (after merge each term
-    has one bucket; df/cf summed over shards/parts)."""
-    return postings.groupBy("term").agg(
-        F.sum("df").alias("df"),
-        F.sum("cf").alias("cf"),
-        F.first("bucket").alias("bucket"),
-        F.count("*").alias("n_rows"),
+def build_term_dict(ts: DataFrame, n_buckets: int, check_collisions: bool = True) -> DataFrame:
+    """C9: global term directory term → (tid, df, cf, bucket). Built from the
+    term-stats table (term, df, cf) — the postings themselves carry only the
+    numeric tid. The 64-bit hash space makes a collision astronomically
+    unlikely (~V²/2⁶⁵); it is still CHECKED here because a silent collision
+    would merge two posting lists."""
+    td = ts.select(
+        "term",
+        term_id(F.col("term")).alias("tid"),
+        "df",
+        "cf",
+        F.pmod(term_id(F.col("term")), F.lit(n_buckets)).cast("int").alias("bucket"),
     )
+    if check_collisions:
+        r = td.agg(
+            F.count_distinct("term").alias("t"), F.count_distinct("tid").alias("i")
+        ).collect()[0]
+        if int(r["t"]) != int(r["i"]):
+            raise RuntimeError(
+                f"xxhash64 term-id collision: {int(r['t'])} terms → {int(r['i'])} tids"
+            )
+    return td
 
 
 @dataclass
@@ -239,32 +271,46 @@ def build_index(
     """
     from .merge import merge_postings  # local import to avoid cycle
 
-    def stage_doc_stats():
-        dwt = with_tokens(docs)
-        return dwt.select("doc_id", "dl")
-
-    def stage_tf():
-        dwt = with_tokens(docs)
-        return tf_table(tokens(dwt)).join(
-            stage_doc_stats(), "doc_id"
-        )  # (term, doc_id, tf, dl)
+    def stage_base():
+        # (doc_id, dl, terms[], tfs[]) — THE analyzer pass with map-side
+        # term counting fused in (corpus_base); one compact row per doc, so
+        # caching/checkpointing it is O(docs), not O(term-doc pairs), and no
+        # groupBy(term, doc_id) shuffle ever happens
+        return corpus_base(docs)
 
     cached: list[DataFrame] = []
     if checkpoint is not None:
         # checkpoint stages are parquet-materialized — no recompute by design
-        ds = checkpoint.stage("doc_stats", stage_doc_stats)
-        tf_dl = checkpoint.stage("tf", stage_tf)
+        base = checkpoint.stage("base", stage_base)
     else:
-        # ds/tf_dl are each consumed by several downstream jobs (corpus stats,
-        # hot-term detection, one filter per segment, final sinks) — cache so
-        # the tokenize UDF pass runs once, not once per consumer
-        ds = stage_doc_stats().cache()
-        tf_dl = stage_tf().cache()
-        cached = [ds, tf_dl]
+        # base is consumed by corpus stats, hot-term detection and one
+        # explode per segment — cache so the analyzer UDF runs once
+        base = stage_base().cache()
+        cached = [base]
 
+    import time as _time
+
+    _prof = os.environ.get("ENGINE_PROFILE") == "1"
+    _laps: dict[str, float] = {}
+    _t0 = _time.perf_counter()
+
+    def _lap(name: str) -> None:
+        nonlocal _t0
+        if _prof:
+            now = _time.perf_counter()
+            _laps[name] = round(now - _t0, 2)
+            _t0 = now
+
+    ds = base.select("doc_id", "dl")
     n_docs, avgdl = corpus_stats(ds)
-    ts = term_stats(tf_dl.select("term", "doc_id", "tf"))
+    _lap("base+stats")
+    tf_dl = exploded_tf(base)  # (term, doc_id, tf, dl) — JVM explode, no join
+    # ts (V rows, V = vocab size) feeds BOTH hot-term detection and the term
+    # dictionary — cache it so the 26M-row explode+groupBy runs once
+    ts = term_stats(tf_dl.select("term", "doc_id", "tf")).cache()
+    cached.append(ts)
     hot_terms = detect_hot_terms(ts, hot_df) if hot_df is not None else []
+    _lap("hot_terms")
 
     def stage_segments():
         if n_segments <= 1:
@@ -275,7 +321,8 @@ def build_index(
         seg_col = (F.col("doc_id") / F.lit(seg_size)).cast("int")
         parts = []
         for s in range(n_segments):
-            seg_tf = tf_dl.filter(seg_col == s)
+            # filter on the compact base BEFORE the explode
+            seg_tf = exploded_tf(base.filter(seg_col == s))
             parts.append(
                 encode_segment(
                     seg_tf, avgdl, n_buckets, docs_per_shard, s, hot_df, n_salts, hot_terms, block_size
@@ -301,19 +348,24 @@ def build_index(
     )
 
     os.makedirs(out_root, exist_ok=True)
-    # A3 segment sink: partition by bucket, term-sorted within files
+    # A3 segment sink: partition by bucket, tid-sorted within files so the
+    # per-term posting fetch is a pruned scan + pushdown range
     (
         merged.repartition("bucket")
-        .sortWithinPartitions("term", "shard", "part")
+        .sortWithinPartitions("tid", "shard", "part")
         .write.mode("overwrite")
         .partitionBy("bucket")
         .parquet(os.path.join(out_root, "postings"))
     )
-    postings = spark.read.parquet(os.path.join(out_root, "postings"))
-    build_term_dict(postings).write.mode("overwrite").parquet(
+    _lap("encode+merge+write")
+    build_term_dict(ts, n_buckets).write.mode("overwrite").parquet(
         os.path.join(out_root, "term_dict")
     )
+    _lap("term_dict")
     ds.write.mode("overwrite").parquet(os.path.join(out_root, "doc_stats"))
+    _lap("doc_stats_sink")
+    if _prof:
+        print("ENGINE_PROFILE " + json.dumps(_laps), file=__import__("sys").stderr)
     for c in cached:
         c.unpersist()
 

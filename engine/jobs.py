@@ -1,0 +1,147 @@
+"""Cluster job entry points (BASELINE.json:14 — "ships via spark-submit
+--py-files to run on N and 4N executor clusters").
+
+Run on a cluster:
+
+    spark-submit --master <master> --py-files data/engine_pyfiles.zip \
+        engine/jobs.py build --pages <parquet> --out <index_root>
+
+or locally (bench_scaling.py drives exactly this at local[8] and local[32]
+as the sandbox proxy for N vs 4N executors):
+
+    spark-submit --master local[8] --py-files data/engine_pyfiles.zip \
+        engine/jobs.py build --pages /tmp/pages --out /tmp/idx
+
+The job prints ONE JSON line with wall seconds + docs/sec so a driver can
+scrape throughput. All stage logic lives in engine.refine / engine.index;
+this module is only argument plumbing."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def _spark(app: str, shuffle_partitions: int | None):
+    # Under spark-submit the master/memory come from the submit command; the
+    # builder only pins the engine's semantic configs (Arrow, AQE, UTC).
+    from pyspark.sql import SparkSession
+
+    b = (
+        SparkSession.builder.appName(app)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+    )
+    if shuffle_partitions:
+        b = b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    return b.getOrCreate()
+
+
+def job_build(args: argparse.Namespace) -> dict:
+    """pages parquet → refine → inverted index at --out. The north-rule
+    pipeline: vectorized refine, salted repartition-by-term encode,
+    segment merge, optional per-stage checkpointing."""
+    from engine.checkpoint import CheckpointManager
+    from engine.index import build_index
+    from engine.refine import refine_pages
+
+    spark = _spark("engine-build-index", args.shuffle_partitions)
+    spark.sparkContext.setLogLevel("WARN")
+    t0 = time.perf_counter()
+    pages = spark.read.parquet(args.pages)
+    docs = refine_pages(pages, lang=args.lang)
+    ckpt = (
+        CheckpointManager(
+            spark,
+            os.path.join(args.out, "_checkpoints"),
+            fingerprint=f"pages={args.pages};segments={args.segments};salts={args.salts}",
+        )
+        if args.checkpoint
+        else None
+    )
+    manifest = build_index(
+        spark,
+        docs.select("doc_id", "text"),
+        args.out,
+        n_buckets=args.buckets,
+        docs_per_shard=args.docs_per_shard,
+        n_segments=args.segments,
+        hot_df=args.hot_df,
+        n_salts=args.salts,
+        checkpoint=ckpt,
+    )
+    wall = time.perf_counter() - t0
+    out = {
+        "job": "build",
+        "n_docs": manifest.n_docs,
+        "avgdl": round(manifest.avgdl, 3),
+        "wall_sec": round(wall, 3),
+        "docs_per_sec": round(manifest.n_docs / wall, 1),
+        "master": spark.sparkContext.master,
+    }
+    spark.stop()
+    return out
+
+
+def job_search(args: argparse.Namespace) -> dict:
+    """Query a built index: top-k BM25 via block-max WAND."""
+    from engine.searcher import LoadedIndex
+
+    spark = _spark("engine-search", args.shuffle_partitions)
+    spark.sparkContext.setLogLevel("WARN")
+    idx = LoadedIndex(spark, args.index)
+    t0 = time.perf_counter()
+    rows = idx.search(args.query, k=args.k, mode=args.mode).collect()
+    wall = time.perf_counter() - t0
+    out = {
+        "job": "search",
+        "query": args.query,
+        "k": args.k,
+        "hits": [(r["doc_id"], round(r["score"], 4)) for r in rows],
+        "wall_sec": round(wall, 3),
+        "master": spark.sparkContext.master,
+    }
+    spark.stop()
+    return out
+
+
+def main(argv: list[str] | None = None) -> None:
+    p = argparse.ArgumentParser(prog="engine.jobs")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build")
+    b.add_argument("--pages", required=True, help="input pages parquet path")
+    b.add_argument("--out", required=True, help="index output root")
+    b.add_argument("--lang", default=None)
+    b.add_argument("--buckets", type=int, default=8)
+    b.add_argument("--docs-per-shard", type=int, default=1 << 20)
+    b.add_argument("--segments", type=int, default=2)
+    b.add_argument("--hot-df", type=int, default=None)
+    b.add_argument("--salts", type=int, default=4)
+    b.add_argument("--checkpoint", action="store_true")
+    b.add_argument("--shuffle-partitions", type=int, default=None)
+    b.set_defaults(fn=job_build)
+
+    s = sub.add_parser("search")
+    s.add_argument("--index", required=True)
+    s.add_argument("--query", required=True)
+    s.add_argument("-k", type=int, default=10)
+    s.add_argument("--mode", default="or", choices=["and", "or"])
+    s.add_argument("--shuffle-partitions", type=int, default=None)
+    s.set_defaults(fn=job_search)
+
+    args = p.parse_args(argv)
+    print(json.dumps(args.fn(args)))
+
+
+if __name__ == "__main__":
+    # spark-submit runs this file by path; make the repo importable both ways
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    main()

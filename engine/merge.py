@@ -27,7 +27,7 @@ from .index import POSTINGS_SCHEMA
 _COLS = [f.name for f in POSTINGS_SCHEMA.fields]
 
 
-def _merge_one_term(term, bucket, shard, group: pd.DataFrame, avgdl, block_size, max_postings_per_row):
+def _merge_one_term(tid, bucket, shard, group: pd.DataFrame, avgdl, block_size, max_postings_per_row):
     ids_all, tfs_all, dls_all, segs_all = [], [], [], []
     for r in group.itertuples(index=False):
         skips = [tuple(s.values()) if isinstance(s, dict) else tuple(s) for s in r.skips]
@@ -56,7 +56,7 @@ def _merge_one_term(term, bucket, shard, group: pd.DataFrame, avgdl, block_size,
         enc = encode_postings(ids[s:e], tfs[s:e], dls[s:e], avgdl, block_size)
         rows.append(
             (
-                term, int(bucket), int(shard), 0, p,
+                tid, int(bucket), int(shard), 0, p,
                 enc["df"], enc["cf"], enc["doc_ids_enc"], enc["tfs_enc"],
                 enc["dls_enc"], enc["skips"], enc["block_max"],
             )
@@ -66,13 +66,13 @@ def _merge_one_term(term, bucket, shard, group: pd.DataFrame, avgdl, block_size,
 
 def _merge_stream_fn(avgdl: float, block_size: int, max_postings_per_row: int):
     """Streaming merger for `mapInPandas` over partitions sorted by
-    (bucket,shard,term). All rows of a (bucket,shard,term) land in the same
+    (bucket,shard,tid). All rows of a (bucket,shard,tid) land in the same
     partition (the shuffle key is a pure function of them), so each run is a
     complete merge group; runs spanning Arrow batches are carried over.
     No per-term Arrow dispatch (see index._encode_stream_fn)."""
     from .index import sorted_run_starts
 
-    keys = ["bucket", "shard", "term"]
+    keys = ["bucket", "shard", "tid"]
 
     def fn(batches):
         leftover: pd.DataFrame | None = None
@@ -85,7 +85,7 @@ def _merge_stream_fn(avgdl: float, block_size: int, max_postings_per_row: int):
                 r0 = g.iloc[0]
                 rows.extend(
                     _merge_one_term(
-                        r0["term"], r0["bucket"], r0["shard"], g,
+                        int(r0["tid"]), int(r0["bucket"]), int(r0["shard"]), g,
                         avgdl, block_size, max_postings_per_row,
                     )
                 )
@@ -116,15 +116,18 @@ def merge_postings(
     block_size: int = BLOCK_SIZE,
     max_postings_per_row: int = 1 << 20,
 ) -> DataFrame:
-    """One shuffle on (bucket, shard, term) → merged, doc-ordered postings.
+    """One shuffle on (bucket, shard, tid) → merged, doc-ordered postings.
 
     repartition + sortWithinPartitions + mapInPandas: the term space of each
     shard spreads over all reducers (hash of the full key), Spark's external
     sort groups segment/salt rows of a term contiguously, and the streaming
     merger emits one output row per term (range-split into `part`s when a
     stop-word-class list exceeds max_postings_per_row)."""
+    # explicit N: decode/merge/encode cost is Python CPU per row — AQE's
+    # byte-based coalescing would undershoot parallelism (see encode_segment)
+    n_parts = int(postings.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     return (
-        postings.repartition("bucket", "shard", "term")
-        .sortWithinPartitions("bucket", "shard", "term", "seg_id", "part")
+        postings.repartition(n_parts, "bucket", "shard", "tid")
+        .sortWithinPartitions("bucket", "shard", "tid", "seg_id", "part")
         .mapInPandas(_merge_stream_fn(avgdl, block_size, max_postings_per_row), POSTINGS_SCHEMA)
     )

@@ -71,6 +71,45 @@ def generate_pages(n_pages: int, seed: int = 42) -> pd.DataFrame:
     return pdf.iloc[idx].reset_index(drop=True)
 
 
+def generate_pages_fast(
+    n_pages: int,
+    seed: int = 42,
+    vocab_size: int = 50_000,
+    min_tok: int = 80,
+    max_tok: int = 400,
+) -> pd.DataFrame:
+    """Vectorized synthetic corpus for scale benchmarks.
+
+    Same schema and html↔text invariant as `generate_pages`, but NumPy-
+    vectorized Zipf draws over a `vocab_size` vocabulary so generating
+    10^5-10^6 pages takes seconds, and the term-frequency distribution has a
+    realistic hot head + long tail (exercises C5 salting and the encode
+    Zipf-tail path at meaningful sizes). Deterministic (seeded); no
+    re-crawls — this corpus is for throughput, not dedup semantics."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    vocab = np.array(_CORE + [f"v{i:05d}" for i in range(vocab_size)])
+    w = 1.0 / np.arange(1, len(vocab) + 1)
+    w /= w.sum()
+    lens = rng.integers(min_tok, max_tok + 1, size=n_pages)
+    offs = np.zeros(n_pages + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    toks = vocab[rng.choice(len(vocab), size=int(offs[-1]), p=w)]
+    texts = [" ".join(toks[offs[i] : offs[i + 1]]) for i in range(n_pages)]
+    urls = [f"https://example{i % 997}.test/f/{i:08d}" for i in range(n_pages)]
+    ts = pd.Series(
+        pd.Timestamp(_EPOCH) + pd.to_timedelta(np.arange(n_pages) % 100_000, unit="s")
+    )
+    html = [
+        _TEMPLATE.format(page=i, text=t).encode("utf-8") for i, t in enumerate(texts)
+    ]
+    langs = [_LANGS[i % len(_LANGS)] for i in range(n_pages)]
+    return pd.DataFrame(
+        {"url": urls, "warc_ts": ts, "html": html, "text": texts, "lang": langs}
+    )
+
+
 def pages_df(spark, n_pages: int, seed: int = 42, partitions: int = 8):
     """Spark DataFrame with the mandated schema (input_hint)."""
     schema = (

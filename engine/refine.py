@@ -70,31 +70,120 @@ def dedup_latest(pages: DataFrame, key: str = "url", ts: str = "warc_ts") -> Dat
     )
 
 
-def assign_doc_ids(docs: DataFrame, order_col: str = "url") -> DataFrame:
-    """B6: deterministic dense doc_id, stable across runs and parallelism.
+def assign_doc_ids(docs: DataFrame, order_col: str = "url", partitions: int | None = None) -> DataFrame:
+    """B6: deterministic dense doc_id = global rank by `order_col`, stable
+    across runs and parallelism (SURVEY.md §7 risk 3).
 
-    row_number over a global order by url — exact at test scale; the cost is
-    one single-partition window (documented; SURVEY.md §7 risk 3). At 10^12
-    docs use the sparse variant `xxhash64(url)` (collision-checked) or a
-    two-level (partition_offset + local rank) scheme; the dense form is kept
-    here because rank-identity fixtures (BASELINE.json:14) require stable
-    small ids.
-    """
-    w = Window.orderBy(F.col(order_col))
-    return docs.withColumn("doc_id", (F.row_number().over(w) - F.lit(1)).cast("long"))
+    Two-phase scheme instead of a global window: a single-partition
+    `row_number() OVER (ORDER BY url)` would funnel the whole corpus — and
+    every downstream stage that consumes its output — through ONE task, the
+    exact serial bottleneck that kills N→4N scaling. Here:
+
+      1. range-repartition on url + sort within partitions (parallel
+         external sort; ranges are globally ordered);
+      2. count rows per partition (tiny collect, one row per partition);
+      3. doc_id = cumulative offset of the partition + local rank.
+
+    The bucket is a PURE FUNCTION of the url (xxhash64 mod P) — never
+    Spark's sampled range partitioner, whose boundaries can differ between
+    the count job and the rank job and silently collide ids. doc_id =
+    bucket_offset + rank-within-bucket(url): dense 0..N-1, deterministic for
+    a given input set, balanced across buckets. Cost: one aggregation + one
+    windowed shuffle + an O(P) collect; every stage stays parallel."""
+    spark = docs.sparkSession
+    if partitions is None:
+        partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    bucket = F.pmod(F.xxhash64(F.col(order_col)), F.lit(partitions)).cast("int")
+    df = docs.withColumn("_b", bucket)
+    counts = {
+        r["_b"]: r["n"] for r in df.groupBy("_b").agg(F.count("*").alias("n")).collect()
+    }
+    offsets, acc = {}, 0
+    for b in sorted(counts):
+        offsets[b] = acc
+        acc += counts[b]
+    if not offsets:  # empty input — schema-stable empty result
+        offsets = {0: 0}
+    off_expr = F.create_map(*[F.lit(x) for b in offsets for x in (b, offsets[b])])
+    w = Window.partitionBy("_b").orderBy(F.col(order_col))
+    return df.withColumn(
+        "doc_id",
+        (off_expr[F.col("_b")] + F.row_number().over(w) - F.lit(1)).cast("long"),
+    ).drop("_b")
 
 
-def refine_pages(pages: DataFrame, lang: str | None = None) -> DataFrame:
-    """Full refine stage: dedup → (optional) lang filter → extract text →
-    deterministic doc_id.  Output: docs(doc_id, url, warc_ts, lang, text).
+def refine_pages(
+    pages: DataFrame, lang: str | None = None, partitions: int | None = None
+) -> DataFrame:
+    """Full refine stage: (optional) lang filter → dedup (latest crawl wins)
+    → deterministic dense doc_id → extract text.
+    Output: docs(doc_id, url, warc_ts, lang, text).
+
+    ONE full-row shuffle total. The naive composition (window-dedup, then
+    window-rank for ids) pushes every html byte through two more exchanges —
+    at web scale the pipeline becomes shuffle-bandwidth-bound and stops
+    scaling with cores. Here:
+
+      1. hash-repartition by url (the only full-row exchange; deterministic
+         Murmur3, no sampling) + external sort within partitions on
+         (url asc, warc_ts desc, content-hash desc);
+      2. a slim aggregation over the SAME shuffle output (stage reuse — the
+         map side is skipped) counts distinct urls per partition → offsets;
+      3. one streaming mapInPandas pass keeps the first (= latest, ties
+         broken by content hash, byte-identical ties collapsed) row per url
+         and assigns doc_id = partition_offset + local dense rank.
+
+    doc_ids are deterministic for a given input set (hash partitioning and
+    the sort order are pure functions of the data) and dense 0..N-1.
 
     The extracted text REPLACES the stored `text` column (the invariant says
     they are byte-identical; tests assert it on the full table)."""
-    df = dedup_latest(pages)
-    if lang is not None:
-        df = df.filter(F.col("lang") == lang)
-    df = df.withColumn("text", html_strip_udf(F.col("html"))).drop("html")
-    return assign_doc_ids(df).select("doc_id", "url", "warc_ts", "lang", "text")
+    import numpy as np
+    import pandas as pd
+
+    spark = pages.sparkSession
+    if partitions is None:
+        partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    df = pages if lang is None else pages.filter(F.col("lang") == lang)
+    df = df.withColumn("_h", F.xxhash64("html"))
+    part = df.repartition(partitions, F.col("url")).sortWithinPartitions(
+        F.col("url").asc(), F.col("warc_ts").desc(), F.col("_h").desc()
+    )
+    counts = {
+        r["_pid"]: r["n"]
+        for r in part.withColumn("_pid", F.spark_partition_id())
+        .groupBy("_pid")
+        .agg(F.count_distinct("url").alias("n"))
+        .collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+
+    def dedup_rank(batches):
+        from pyspark import TaskContext
+
+        next_id = offsets.get(TaskContext.get().partitionId(), 0)
+        last_url = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            urls = pdf["url"].to_numpy()
+            first = np.empty(len(urls), dtype=bool)
+            first[0] = urls[0] != last_url
+            first[1:] = urls[1:] != urls[:-1]
+            kept = pdf.loc[first, ["url", "warc_ts", "html", "lang"]].copy()
+            kept["doc_id"] = next_id + np.arange(len(kept), dtype=np.int64)
+            next_id += len(kept)
+            last_url = urls[-1]
+            yield kept
+
+    out_schema = "url string, warc_ts timestamp, html binary, lang string, doc_id long"
+    docs = part.mapInPandas(dedup_rank, out_schema)
+    return docs.withColumn("text", html_strip_udf(F.col("html"))).select(
+        "doc_id", "url", "warc_ts", "lang", "text"
+    )
 
 
 def refine_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -48,8 +48,17 @@ def _bm25_query(query: str, k: int, mode: str) -> Callable:
     return run
 
 
-def _bm25_oracle(terms: list[str], k: int, mode: str, must_not: list[str] | None = None) -> str:
-    """DuckDB ANSI SQL twin of exact_search (Lucene-8 BM25, SURVEY.md D8)."""
+def _bm25_oracle(
+    terms: list[str],
+    k: int,
+    mode: str,
+    must_not: list[str] | None = None,
+    phrase: str | None = None,
+) -> str:
+    """DuckDB ANSI SQL twin of exact_search (Lucene-8 BM25, SURVEY.md D8).
+
+    phrase: consecutive-token constraint; the fixture text is whitespace-
+    tokenized, so `' '||text||' ' LIKE '% <phrase> %'` is exact adjacency."""
     must_not = must_not or []
     terms_in = ", ".join(f"'{t}'" for t in terms)
     and_clause = (
@@ -60,6 +69,11 @@ def _bm25_oracle(terms: list[str], k: int, mode: str, must_not: list[str] | None
         not_in = ", ".join(f"'{t}'" for t in must_not)
         not_clause = (
             f"AND doc_id NOT IN (SELECT DISTINCT doc_id FROM toks WHERE term IN ({not_in}))"
+        )
+    if phrase:
+        not_clause += (
+            f" AND doc_id IN (SELECT doc_id FROM documents"
+            f" WHERE ' ' || text || ' ' LIKE '% {phrase} %')"
         )
     return f"""
 WITH toks AS (
@@ -188,6 +202,44 @@ for _name, _q, _k, _mode, _terms, _neg in _BM25_SET:
     )
 
 
+# --- D9 phrase match: positional postings + adjacency + BM25 ----------------
+
+
+def _q_phrase(phrase: str, k: int) -> Callable:
+    terms = phrase.split()
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .search import phrase_filter, score_terms
+
+        docs = read_fixture(spark, sf_dir, "documents")
+        dwt = with_tokens(docs)
+        tok = tokens(dwt)
+        tfp = tf_table(tok, with_positions=True)
+        matched = phrase_filter(tfp.select("doc_id", "term", "positions"), terms)
+        tf = tfp.select("term", "doc_id", "tf")
+        ds = dwt.select("doc_id", "dl")
+        n, avgdl = corpus_stats(ds)
+        return (
+            score_terms(tf, ds, term_stats(tf), n, avgdl, terms)
+            .groupBy("doc_id")
+            .agg(F.sum("partial").alias("score"), F.count("*").alias("nm"))
+            .filter(F.col("nm") == len(terms))
+            .join(matched, "doc_id")  # ES match_phrase: all terms adjacent
+            .select("doc_id", F.round("score", 4).alias("score"))
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(k)
+        )
+
+    return run
+
+
+register(
+    "bm25_phrase",
+    _q_phrase("merge join", 10),
+    _bm25_oracle(["merge", "join"], 10, "and", phrase="merge join"),
+)
+
+
 # --- E1-E8 aggregations (ES aggregation parity over events/documents) -------
 
 
@@ -281,6 +333,22 @@ register(
     lambda s, d: distinct_agg(_ev(s, d), ["event_type", "user_id"]),
     """SELECT DISTINCT event_type, user_id FROM events
        ORDER BY event_type, user_id""",
+)
+
+
+def _q_geo_mean(spark, sf_dir):
+    # §2.H grouped-agg pandas UDAF (custom Python reduce) — the SQL twin
+    # (exp∘avg∘ln) lets the driver value-check the UDAF execution path
+    from .aggs import grouped_geo_mean
+
+    return grouped_geo_mean(_ev(spark, sf_dir), "value", "event_type")
+
+
+register(
+    "agg_geo_mean_udaf",
+    _q_geo_mean,
+    """SELECT event_type, round(exp(avg(ln(value))), 4) AS geo_mean
+       FROM events GROUP BY event_type ORDER BY event_type""",
 )
 
 

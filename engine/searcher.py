@@ -52,25 +52,26 @@ def _rows_to_cursor(rows: pd.DataFrame, idf: float, avgdl: float) -> TermCursor:
 
 
 def _shard_topk_fn(
-    terms: list[str],
-    idfs: dict[str, float],
-    must_not: list[str],
+    terms: list[int],
+    idfs: dict[int, float],
+    must_not: list[int],
     avgdl: float,
     k: int,
     mode: str,
     algo: str,
 ):
-    """Grouped-map UDF body: one shard's posting rows → local top-k."""
+    """Grouped-map UDF body: one shard's posting rows → local top-k.
+    `terms`/`must_not` are numeric tids (term_dict resolves strings)."""
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         cursors = []
         for t in terms:
-            rows = pdf[pdf["term"] == t]
+            rows = pdf[pdf["tid"] == t]
             if len(rows):
                 cursors.append(_rows_to_cursor(rows, idfs[t], avgdl))
         neg = []
         for t in must_not:
-            rows = pdf[pdf["term"] == t]
+            rows = pdf[pdf["tid"] == t]
             if len(rows):
                 neg.append(_rows_to_cursor(rows, 0.0, avgdl))
         if not cursors or (mode == "and" and len(cursors) < len(terms)):
@@ -134,12 +135,12 @@ class LoadedIndex:
         self.doc_stats = spark.read.parquet(os.path.join(root, "doc_stats"))
         self._td_cache: dict[str, tuple[int, int]] = {}
 
-    def _lookup(self, terms: list[str]) -> dict[str, tuple[int, int]]:
-        """D2 term-dict seek → {term: (df, bucket)} (tiny collect)."""
+    def _lookup(self, terms: list[str]) -> dict[str, tuple[int, int, int]]:
+        """D2 term-dict seek → {term: (df, bucket, tid)} (tiny collect)."""
         missing = [t for t in terms if t not in self._td_cache]
         if missing:
             for r in self.term_dict.filter(F.col("term").isin(missing)).collect():
-                self._td_cache[r["term"]] = (int(r["df"]), int(r["bucket"]))
+                self._td_cache[r["term"]] = (int(r["df"]), int(r["bucket"]), int(r["tid"]))
         return {t: self._td_cache[t] for t in terms if t in self._td_cache}
 
     def idf(self, df: int) -> float:
@@ -164,15 +165,17 @@ class LoadedIndex:
         if not terms or (mode == "and" and len(terms) < len(q.terms)):
             return empty
         neg = [t for t in q.must_not if t in found]
-        idfs = {t: self.idf(found[t][0]) for t in terms}
+        tids = [found[t][2] for t in terms]
+        neg_tids = [found[t][2] for t in neg]
+        idfs = {found[t][2]: self.idf(found[t][0]) for t in terms}
         buckets = sorted({found[t][1] for t in terms + neg})
-        # D3: bucket is the file-partition column → partition pruning; term is
-        # a Parquet pushdown predicate over term-sorted files
+        # D3: bucket is the file-partition column → partition pruning; tid is
+        # a numeric Parquet pushdown predicate over tid-sorted files
         rows = self.postings.filter(
-            F.col("bucket").isin(buckets) & F.col("term").isin(terms + neg)
+            F.col("bucket").isin(buckets) & F.col("tid").isin(tids + neg_tids)
         )
         local = rows.groupBy("shard").applyInPandas(
-            _shard_topk_fn(terms, idfs, neg, self.manifest.avgdl, k, mode, algo),
+            _shard_topk_fn(tids, idfs, neg_tids, self.manifest.avgdl, k, mode, algo),
             TOPK_SCHEMA,
         )
         score_col = (

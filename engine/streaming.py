@@ -1,0 +1,251 @@
+"""Structured-Streaming parity (SURVEY.md §2.J — the reference's "real-time
+refinement" loop, re-expressed as Spark streams).
+
+* `stream_pages`        — continuous ingest of new page files (A-source).
+* `refined_stream`      — the same vectorized refine stage (B1-B3) applied to
+                          a stream; per-row semantics identical to batch
+                          because the UDFs are shared.
+* `windowed_counts`     — tumbling/sliding windowed aggregation with a
+                          watermark for late pages (ES date_histogram-refresh
+                          analogue).
+* `sessionized`         — `session_window` aggregation (events parity).
+* `IncrementalIndexer`  — `foreachBatch`: each micro-batch becomes one delta
+                          segment (engine.index.encode_segment with
+                          seg_id=batch_id) appended to the postings dir; a
+                          `compact()` run merges delta segments into the
+                          queryable index (Lucene NRT flush+merge analogue
+                          [public: Lucene NRT]). Batch doc_ids continue from
+                          a persisted offset so ids stay dense and stable.
+
+Deterministic in tests via `trigger(availableNow=True)` + file sources.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+PAGES_SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang string"
+
+
+def stream_pages(spark: SparkSession, path: str, max_files_per_trigger: int | None = None) -> DataFrame:
+    """readStream over a directory of page parquet files (new files → new
+    micro-batches; the continuous-ingest source of §2.J)."""
+    reader = spark.readStream.schema(PAGES_SCHEMA).format("parquet")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.load(path)
+
+
+def refined_stream(pages: DataFrame, lang: str | None = None) -> DataFrame:
+    """Streaming refine: html_strip + lang filter. Dedup/doc_id assignment are
+    per-batch concerns (stateless stream otherwise) — see IncrementalIndexer."""
+    from .refine import html_strip_udf
+
+    df = pages
+    if lang is not None:
+        df = df.filter(F.col("lang") == lang)
+    return df.withColumn("text", html_strip_udf(F.col("html"))).drop("html")
+
+
+def windowed_counts(
+    pages: DataFrame,
+    window: str = "10 minutes",
+    slide: str | None = None,
+    watermark: str = "1 hour",
+    ts_col: str = "warc_ts",
+) -> DataFrame:
+    """Watermarked tumbling/sliding counts per language — the streaming form
+    of E6 date_histogram. Late pages inside the watermark update their
+    window; later ones are dropped (ES refresh-interval analogue)."""
+    w = (
+        F.window(ts_col, window, slide)
+        if slide is not None
+        else F.window(ts_col, window)
+    )
+    return (
+        pages.withWatermark(ts_col, watermark)
+        .groupBy(w.alias("win"), "lang")
+        .agg(F.count("*").alias("n_pages"))
+        .select("win.start", "win.end", "lang", "n_pages")
+    )
+
+
+def sessionized(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """session_window aggregation: one row per (key, session) with event
+    count and session bounds."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("sess"), key_col)
+        .agg(F.count("*").alias("n_events"))
+        .select(key_col, "sess.start", "sess.end", "n_events")
+    )
+
+
+class IncrementalIndexer:
+    """foreachBatch sink: micro-batch → refine → delta segment append.
+
+    Layout under `root`:
+      postings_delta/   one parquet append per micro-batch (seg_id = batch)
+      doc_stats/        appended per batch
+      state.json        {next_doc_id, n_docs, sum_dl, batches: [...]}
+
+    `compact(spark)` merges all delta segments into a queryable index at
+    `root/compacted` via the same segment-merge job the batch build uses
+    (C7) — mirroring Lucene's NRT flush-then-merge lifecycle [public].
+
+    avgdl drift: postings bake impact block maxima computed with the avgdl
+    of their batch; compact() re-encodes with the global avgdl so scores are
+    identical to a from-scratch batch build."""
+
+    def __init__(
+        self,
+        root: str,
+        n_buckets: int = 4,
+        docs_per_shard: int = 1 << 20,
+        block_size: int = 128,
+        lang: str | None = None,
+    ):
+        self.root = root
+        self.n_buckets = n_buckets
+        self.docs_per_shard = docs_per_shard
+        self.block_size = block_size
+        self.lang = lang
+        os.makedirs(root, exist_ok=True)
+
+    # -- state ---------------------------------------------------------------
+    @property
+    def _state_path(self) -> str:
+        return os.path.join(self.root, "state.json")
+
+    def _load_state(self) -> dict:
+        if os.path.exists(self._state_path):
+            with open(self._state_path) as f:
+                return json.load(f)
+        return {"next_doc_id": 0, "n_docs": 0, "sum_dl": 0, "batches": []}
+
+    def _save_state(self, st: dict) -> None:
+        tmp = self._state_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(st, f)
+        os.replace(tmp, self._state_path)
+
+    # -- foreachBatch --------------------------------------------------------
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        """One delta segment per micro-batch. Idempotent on batch_id replay
+        (streaming restarts redeliver the last uncommitted batch)."""
+        from .corpus import corpus_base, exploded_tf
+        from .index import encode_segment
+        from .refine import assign_doc_ids, dedup_latest, html_strip_udf
+
+        st = self._load_state()
+        if batch_id in st["batches"]:
+            return  # replayed batch — already committed
+        df = dedup_latest(batch_df)
+        if self.lang is not None:
+            df = df.filter(F.col("lang") == self.lang)
+        df = df.withColumn("text", html_strip_udf(F.col("html"))).drop("html")
+        docs = assign_doc_ids(df).withColumn(
+            "doc_id", F.col("doc_id") + F.lit(int(st["next_doc_id"]))
+        )
+        base = corpus_base(docs.select("doc_id", "text")).cache()
+        ds = base.select("doc_id", "dl")
+        row = ds.agg(
+            F.count("*").alias("n"), F.coalesce(F.sum("dl"), F.lit(0)).alias("s")
+        ).collect()[0]
+        n_batch, dl_batch = int(row["n"]), int(row["s"])
+        # batch-local avgdl for block maxima; compact() re-encodes globally
+        avgdl = (st["sum_dl"] + dl_batch) / max(1, st["n_docs"] + n_batch)
+        seg = encode_segment(
+            exploded_tf(base),
+            avgdl,
+            self.n_buckets,
+            self.docs_per_shard,
+            seg_id=int(batch_id),
+            block_size=self.block_size,
+        )
+        # one subdir per batch, mode=overwrite → a replay after a crash
+        # between the data write and the state commit rewrites (not
+        # duplicates) the segment: idempotent exactly-once delta commits
+        seg.write.mode("overwrite").parquet(
+            os.path.join(self.root, "postings_delta", f"batch={int(batch_id)}")
+        )
+        ds.write.mode("overwrite").parquet(
+            os.path.join(self.root, "doc_stats", f"batch={int(batch_id)}")
+        )
+        # per-batch term stats: postings carry only numeric tids, so the
+        # string→tid dictionary is accumulated here and folded at compact()
+        exploded_tf(base).groupBy("term").agg(
+            F.count("*").alias("df"), F.sum("tf").alias("cf")
+        ).write.mode("overwrite").parquet(
+            os.path.join(self.root, "term_stats", f"batch={int(batch_id)}")
+        )
+        base.unpersist()
+        st["next_doc_id"] += n_batch
+        st["n_docs"] += n_batch
+        st["sum_dl"] += dl_batch
+        st["batches"].append(batch_id)
+        self._save_state(st)
+
+    def writer(self, refined: DataFrame):
+        """Attach as: indexer.writer(stream).start()."""
+        return (
+            refined.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", os.path.join(self.root, "_stream_ckpt"))
+            .trigger(availableNow=True)
+        )
+
+    # -- compaction ----------------------------------------------------------
+    def compact(self, spark: SparkSession) -> str:
+        """Merge all delta segments → queryable index at root/compacted
+        (manifest + term_dict + doc_stats, same layout as build_index)."""
+        from .index import IndexManifest, build_term_dict
+        from .merge import merge_postings
+
+        st = self._load_state()
+        out = os.path.join(self.root, "compacted")
+        avgdl = st["sum_dl"] / max(1, st["n_docs"])
+        raw = spark.read.parquet(os.path.join(self.root, "postings_delta"))
+        merged = merge_postings(raw, avgdl, block_size=self.block_size)
+        (
+            merged.repartition("bucket")
+            .sortWithinPartitions("tid", "shard", "part")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(os.path.join(out, "postings"))
+        )
+        ts = (
+            spark.read.parquet(os.path.join(self.root, "term_stats"))
+            .groupBy("term")
+            .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
+        )
+        build_term_dict(ts, self.n_buckets).write.mode("overwrite").parquet(
+            os.path.join(out, "term_dict")
+        )
+        (
+            spark.read.parquet(os.path.join(self.root, "doc_stats"))
+            .select("doc_id", "dl")  # drop the batch partition-discovery col
+            .write.mode("overwrite")
+            .parquet(os.path.join(out, "doc_stats"))
+        )
+        manifest = IndexManifest(
+            root=out,
+            n_docs=st["n_docs"],
+            avgdl=avgdl,
+            n_buckets=self.n_buckets,
+            docs_per_shard=self.docs_per_shard,
+            n_segments=len(st["batches"]),
+            block_size=self.block_size,
+        )
+        with open(os.path.join(out, "manifest.json"), "w") as f:
+            f.write(manifest.to_json())
+        return out

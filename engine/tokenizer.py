@@ -61,3 +61,31 @@ def tokenize_udf(s: pd.Series) -> pd.Series:
 def normalize_udf(s: pd.Series) -> pd.Series:
     """Vectorized NFKC + lowercase (B2)."""
     return s.str.normalize("NFKC").str.lower()
+
+
+_TC_SCHEMA = T.StructType(
+    [
+        T.StructField("terms", T.ArrayType(T.StringType())),
+        T.StructField("tfs", T.ArrayType(T.IntegerType())),
+    ]
+)
+
+
+@F.pandas_udf(_TC_SCHEMA)
+def term_counts_udf(s: pd.Series) -> pd.Series:
+    """Analyzer + per-doc term counting fused in one Arrow pass (the
+    map-side combiner): same pinned tokenization as tokenize_udf, then a
+    C-speed Counter per doc. Returns parallel (terms, tfs) arrays — struct
+    of two arrays, NOT array of structs, so no per-entry Python dicts cross
+    the Arrow boundary."""
+    from collections import Counter
+
+    norm = s.fillna("").str.normalize("NFKC").str.lower()
+    toks = norm.str.findall(TOKEN_RE)
+    terms, tfs = [], []
+    for ts in toks:
+        c = Counter(t for t in ts if len(t) <= MAX_TOKEN_LEN)
+        terms.append(list(c.keys()))
+        tfs.append(list(c.values()))
+    # StructType scalar UDFs return a DataFrame (one column per field)
+    return pd.DataFrame({"terms": terms, "tfs": tfs}, index=toks.index)

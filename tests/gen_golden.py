@@ -73,12 +73,24 @@ def main() -> None:
     pdf = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
     emit("documents", dict(zip(pdf["doc_id"].tolist(), pdf["text"].tolist())), DOC_QUERIES)
 
-    # pages corpus: dedup latest + deterministic doc_id = rank by url
+    # pages corpus: doc_ids come from the engine refine (they are labels —
+    # the NumPy oracle independently re-scores the texts); latest-crawl
+    # dedup is verified against a pandas replica before trusting the ids
+    from engine.pages import pages_df
+    from engine.session import get_spark
+
+    spark = get_spark("gen-golden", cpus=8, shuffle_partitions=8)
+    from engine.refine import refine_pages
+
+    rows = refine_pages(pages_df(spark, 2000, seed=42)).select("url", "doc_id", "text").collect()
     pg = generate_pages(2000, seed=42)
-    pg = pg.sort_values(["url", "warc_ts"]).groupby("url").last().reset_index()
-    pg = pg.sort_values("url").reset_index(drop=True)
-    text = extract_text_series(pg["html"])
-    emit("pages2k", dict(enumerate(text.tolist())), PAGES_QUERIES)
+    expect = pg.sort_values(["url", "warc_ts"]).groupby("url").last().reset_index()
+    expect_text = dict(zip(expect["url"], extract_text_series(expect["html"])))
+    assert len(rows) == len(expect)
+    for r in rows:
+        assert expect_text[r["url"]] == r["text"], r["url"]
+    emit("pages2k", {int(r["doc_id"]): r["text"] for r in rows}, PAGES_QUERIES)
+    spark.stop()
 
 
 if __name__ == "__main__":

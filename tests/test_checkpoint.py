@@ -8,6 +8,7 @@ import json
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 from engine.checkpoint import CheckpointManager
 from engine.index import build_index
@@ -30,7 +31,7 @@ def test_build_resume_zero_recompute(spark, docs, tmp_path_factory):
     cm1 = CheckpointManager(spark, ckpt_root, fp)
     build_index(spark, docs, idx_root, n_buckets=4, docs_per_shard=128,
                 n_segments=2, block_size=32, checkpoint=cm1)
-    assert cm1.computed == ["doc_stats", "tf", "segments", "merged"]
+    assert cm1.computed == ["base", "segments", "merged"]
     assert cm1.resumed == []
     r1 = LoadedIndex(spark, idx_root).search("table scan", k=10, round_to=None).collect()
 
@@ -41,7 +42,7 @@ def test_build_resume_zero_recompute(spark, docs, tmp_path_factory):
     assert cm2.computed == []
     # "segments" is nested inside the merged stage's closure — when "merged"
     # resumes, segments is never even consulted (zero recompute, zero reread)
-    assert cm2.resumed == ["doc_stats", "tf", "merged"]
+    assert cm2.resumed == ["base", "merged"]
     r2 = LoadedIndex(spark, idx_root).search("table scan", k=10, round_to=None).collect()
     assert [(r["doc_id"], r["score"]) for r in r1] == [
         (r["doc_id"], r["score"]) for r in r2
@@ -52,7 +53,7 @@ def test_build_resume_zero_recompute(spark, docs, tmp_path_factory):
     build_index(spark, docs, idx_root, n_buckets=4, docs_per_shard=128,
                 n_segments=2, block_size=32, checkpoint=cm3)
     assert cm3.resumed == []
-    assert cm3.computed == ["doc_stats", "tf", "segments", "merged"]
+    assert cm3.computed == ["base", "segments", "merged"]
 
 
 def test_partial_resume_after_interrupt(spark, docs, tmp_path_factory):
@@ -65,20 +66,18 @@ def test_partial_resume_after_interrupt(spark, docs, tmp_path_factory):
         pass
 
     cm = CheckpointManager(spark, ckpt_root, fp)
-    # run only the first two stages, then "die"
-    from engine.corpus import tf_table, tokens, with_tokens
+    # run only the first stage, then "die"
+    from engine.corpus import corpus_base
 
-    dwt = with_tokens(docs)
-    cm.stage("doc_stats", lambda: dwt.select("doc_id", "dl"))
-    cm.stage("tf", lambda: tf_table(tokens(dwt)).join(dwt.select("doc_id", "dl"), "doc_id"))
-    assert cm.computed == ["doc_stats", "tf"]
+    cm.stage("base", lambda: corpus_base(docs))
+    assert cm.computed == ["base"]
 
     # rerun the full build with the same checkpoint root + fingerprint
     cm2 = CheckpointManager(spark, ckpt_root, fp)
     idx_root = str(base / "idx")
     build_index(spark, docs, idx_root, n_buckets=4, docs_per_shard=128,
                 block_size=32, checkpoint=cm2)
-    assert cm2.resumed == ["doc_stats", "tf"]
+    assert cm2.resumed == ["base"]
     assert cm2.computed == ["segments", "merged"]
 
 

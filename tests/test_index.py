@@ -150,9 +150,13 @@ def test_merge_dedup_latest_segment_wins(spark):
 
 
 def test_partition_pruning_in_plan(index):
-    """D3: the posting fetch must prune on the bucket partition column."""
+    """D3: the posting fetch must prune on the bucket partition column and
+    push the numeric tid predicate to the parquet scan."""
+    row = index.term_dict.filter(F.col("term") == "table").collect()[0]
     df = index.postings.filter(
-        F.col("bucket").isin([1]) & F.col("term").isin(["table"])
+        F.col("bucket").isin([int(row["bucket"])])
+        & F.col("tid").isin([int(row["tid"])])
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "bucket" in plan
+    assert "PushedFilters" in plan and "tid" in plan
