@@ -347,16 +347,12 @@ def build_index(
         else stage_merged()
     )
 
+    from .io import write_postings_shards
+
     os.makedirs(out_root, exist_ok=True)
     # A3 segment sink: partition by bucket, tid-sorted within files so the
     # per-term posting fetch is a pruned scan + pushdown range
-    (
-        merged.repartition("bucket")
-        .sortWithinPartitions("tid", "shard", "part")
-        .write.mode("overwrite")
-        .partitionBy("bucket")
-        .parquet(os.path.join(out_root, "postings"))
-    )
+    write_postings_shards(merged, os.path.join(out_root, "postings"))
     _lap("encode+merge+write")
     build_term_dict(ts, n_buckets).write.mode("overwrite").parquet(
         os.path.join(out_root, "term_dict")

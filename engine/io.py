@@ -47,12 +47,13 @@ def write_table(df: DataFrame, path: str, mode: str = "overwrite", partition_by=
 
 def write_postings_shards(postings: DataFrame, path: str, mode: str = "overwrite"):
     """A3: segment sink — shards partitioned by term-hash bucket and sorted by
-    term within partitions, so a query-time term lookup prunes to one bucket
-    directory and Parquet min/max skips row groups on `term`
+    tid within partitions, so a query-time term lookup prunes to one bucket
+    directory and Parquet min/max skips row groups on the numeric `tid`
     (BASELINE.json:6 "queryable index shards"; mirrors Lucene's term-sorted
-    dictionary [public]). On Iceberg: `PARTITIONED BY (bucket(term, B))`."""
+    dictionary [public]). On Iceberg: `PARTITIONED BY (bucket(tid, B))`."""
     (
-        postings.sortWithinPartitions("term")
+        postings.repartition("bucket")
+        .sortWithinPartitions("tid", "shard", "part")
         .write.mode(mode)
         .partitionBy("bucket")
         .parquet(path)

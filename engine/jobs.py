@@ -28,8 +28,13 @@ import time
 def _spark(app: str, shuffle_partitions: int | None):
     # Under spark-submit the master/memory come from the submit command; the
     # builder only pins the engine's semantic configs (Arrow, AQE, UTC).
+    # Returns (session, owned): a pre-existing active session (tests,
+    # notebooks) is reused and NOT stopped by the job.
     from pyspark.sql import SparkSession
 
+    existing = SparkSession.getActiveSession()
+    if existing is not None:
+        return existing, False
     b = (
         SparkSession.builder.appName(app)
         .config("spark.sql.adaptive.enabled", "true")
@@ -41,7 +46,7 @@ def _spark(app: str, shuffle_partitions: int | None):
     )
     if shuffle_partitions:
         b = b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-    return b.getOrCreate()
+    return b.getOrCreate(), True
 
 
 def job_build(args: argparse.Namespace) -> dict:
@@ -52,7 +57,7 @@ def job_build(args: argparse.Namespace) -> dict:
     from engine.index import build_index
     from engine.refine import refine_pages
 
-    spark = _spark("engine-build-index", args.shuffle_partitions)
+    spark, owned = _spark("engine-build-index", args.shuffle_partitions)
     spark.sparkContext.setLogLevel("WARN")
     t0 = time.perf_counter()
     pages = spark.read.parquet(args.pages)
@@ -86,7 +91,8 @@ def job_build(args: argparse.Namespace) -> dict:
         "docs_per_sec": round(manifest.n_docs / wall, 1),
         "master": spark.sparkContext.master,
     }
-    spark.stop()
+    if owned:
+        spark.stop()
     return out
 
 
@@ -94,7 +100,7 @@ def job_search(args: argparse.Namespace) -> dict:
     """Query a built index: top-k BM25 via block-max WAND."""
     from engine.searcher import LoadedIndex
 
-    spark = _spark("engine-search", args.shuffle_partitions)
+    spark, owned = _spark("engine-search", args.shuffle_partitions)
     spark.sparkContext.setLogLevel("WARN")
     idx = LoadedIndex(spark, args.index)
     t0 = time.perf_counter()
@@ -108,7 +114,8 @@ def job_search(args: argparse.Namespace) -> dict:
         "wall_sec": round(wall, 3),
         "master": spark.sparkContext.master,
     }
-    spark.stop()
+    if owned:
+        spark.stop()
     return out
 
 

@@ -60,7 +60,14 @@ def _bm25_oracle(
     phrase: consecutive-token constraint; the fixture text is whitespace-
     tokenized, so `' '||text||' ' LIKE '% <phrase> %'` is exact adjacency."""
     must_not = must_not or []
-    terms_in = ", ".join(f"'{t}'" for t in terms)
+    if terms and terms[0].startswith("LIKE:"):
+        # multi-term expansion (ES prefix/wildcard): score the union of all
+        # vocabulary terms matching the pattern
+        terms_in = None
+        term_pred = f"tf.term LIKE '{terms[0][5:]}'"
+    else:
+        terms_in = ", ".join(f"'{t}'" for t in terms)
+        term_pred = f"tf.term IN ({terms_in})"
     and_clause = (
         f"AND n_matched = {len(terms)}" if mode == "and" else ""
     )
@@ -91,7 +98,7 @@ scores AS (
   JOIN (SELECT term, count(*) AS df FROM tf GROUP BY 1) df USING (term)
   JOIN dl USING (doc_id)
   CROSS JOIN stats
-  WHERE tf.term IN ({terms_in})
+  WHERE {term_pred}
   GROUP BY tf.doc_id
 )
 SELECT doc_id, round(score, 4) AS score
@@ -237,6 +244,103 @@ register(
     "bm25_phrase",
     _q_phrase("merge join", 10),
     _bm25_oracle(["merge", "join"], 10, "and", phrase="merge join"),
+)
+
+
+# --- multi-term expansion (ES prefix/wildcard) + filtered search ------------
+
+
+def _expand_terms(ts, pattern_sql: str) -> list[str]:
+    """D2 dictionary scan: vocabulary terms matching a SQL LIKE pattern —
+    the ES prefix/wildcard rewrite (expand, then score as a disjunction;
+    [public: ES multi-term query rewrite]). The dictionary is V rows, so
+    this is a tiny scan + collect."""
+    return [r["term"] for r in ts.filter(F.col("term").like(pattern_sql)).collect()]
+
+
+def _q_prefix(pattern_sql: str, k: int, indexed: bool) -> Callable:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        if indexed:
+            idx = _indexed(spark, sf_dir)
+            terms = [
+                r["term"]
+                for r in idx.term_dict.filter(F.col("term").like(pattern_sql)).collect()
+            ]
+            return idx.search(" ".join(sorted(terms)), k=k, mode="or", algo="wand")
+        tf, ds, ts, n, avgdl = _built_corpus(spark, sf_dir)
+        terms = _expand_terms(ts, pattern_sql)
+        return exact_search(tf, ds, ts, n, avgdl, " ".join(sorted(terms)), k=k, mode="or")
+
+    return run
+
+
+register(
+    "bm25_prefix",
+    _q_prefix("sca%", 10, indexed=False),
+    _bm25_oracle(["LIKE:sca%"], 10, "or"),
+)
+register(
+    "bm25_wand_prefix",
+    _q_prefix("sca%", 10, indexed=True),
+    _bm25_oracle(["LIKE:sca%"], 10, "or"),
+)
+register(
+    "bm25_wildcard",
+    _q_prefix("%erge%", 10, indexed=False),
+    _bm25_oracle(["LIKE:%erge%"], 10, "or"),
+)
+
+
+def _q_filtered_range(spark, sf_dir):
+    """ES bool query: match 'table scan' scored normally, filter clause
+    (lang='en' AND n_chars range) restricts candidates WITHOUT affecting
+    scores (corpus-level idf/avgdl — ES filter-context semantics [public]).
+    D10 range + D11-adjacent."""
+    from .search import range_filter, score_terms
+
+    docs = read_fixture(spark, sf_dir, "documents")
+    tf, ds, ts, n, avgdl = _built_corpus(spark, sf_dir)
+    allowed = range_filter(
+        docs.filter(F.col("lang") == "en"), "n_chars", 200, 400
+    ).select("doc_id")
+    return (
+        score_terms(tf, ds, ts, n, avgdl, ["table", "scan"])
+        .groupBy("doc_id")
+        .agg(F.sum("partial").alias("score"))
+        .join(allowed, "doc_id")  # filter context: no score contribution
+        .select("doc_id", F.round("score", 4).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
+register(
+    "bm25_filtered_range",
+    _q_filtered_range,
+    """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl)) ) AS score
+  FROM tf
+  JOIN (SELECT term, count(*) AS df FROM tf GROUP BY 1) df USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats
+  WHERE tf.term IN ('table', 'scan')
+  GROUP BY tf.doc_id
+)
+SELECT s.doc_id, round(s.score, 4) AS score
+FROM scores s JOIN documents d USING (doc_id)
+WHERE d.lang = 'en' AND d.n_chars BETWEEN 200 AND 400
+ORDER BY score DESC, doc_id ASC
+LIMIT 10
+""",
 )
 
 
