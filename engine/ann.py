@@ -142,3 +142,81 @@ def batch_topk(
         .filter(F.col("rank") <= k)
         .select(q_id_col, id_col, "cosine", "rank")
     )
+
+
+# --- IVF (inverted-file) index: the coarse-quantizer scale path --------------
+
+
+def train_centroids(
+    emb: DataFrame,
+    n_clusters: int = 16,
+    sample: int = 2048,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """IVF coarse quantizer: k-means on a SMALL deterministic sample
+    (first `sample` ids), trained driver-side in NumPy — the standard IVF
+    architecture (train tiny, assign distributed; [public: FAISS IVF]).
+    Deterministic: sample by id order, seeds = first k sample rows."""
+    rows = (
+        emb.orderBy(id_col).limit(sample).select(vec_col).collect()
+    )
+    x = np.asarray([r[0] for r in rows], dtype=np.float64)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    c = x[:n_clusters].copy()
+    for _ in range(iters):
+        sims = x @ c.T
+        assign = sims.argmax(axis=1)
+        for j in range(n_clusters):
+            m = assign == j
+            if m.any():
+                v = x[m].mean(axis=0)
+                c[j] = v / max(np.linalg.norm(v), 1e-12)
+    return c
+
+
+def assign_clusters(
+    emb: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed assignment: one Arrow pass, NumPy matmul per batch;
+    centroids ride in the UDF closure (tiny broadcast)."""
+    c = centroids.astype(np.float64)
+
+    @F.pandas_udf(T.IntegerType())
+    def cluster(s: pd.Series) -> pd.Series:
+        x = np.asarray(s.tolist(), dtype=np.float64)
+        x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        return pd.Series((x @ c.T).argmax(axis=1).astype(np.int32))
+
+    return emb.withColumn("ivf_cluster", cluster(F.col(vec_col)))
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids: np.ndarray,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only the nprobe clusters nearest the query —
+    `ivf_cluster IN (...)` prunes at the scan (with the assignment table
+    written partitioned by ivf_cluster this is partition pruning at 100 TB)."""
+    qn = _norm(query_vec)
+    order = np.argsort(-(centroids @ qn))
+    probes = [int(j) for j in order[:nprobe]]
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        assigned.filter(F.col("ivf_cluster").isin(probes))
+        .select(
+            F.col(id_col),
+            F.round(cosine_expr(F.col(vec_col), q), 4).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -984,6 +984,82 @@ WHERE round(
 )
 
 
+# --- IVF ANN (scale path) + LSH ANN — approximate, property-tested ----------
+
+_IVF_CACHE: dict[str, tuple] = {}
+
+
+def _ivf_assigned(spark, sf_dir):
+    from .ann import assign_clusters, train_centroids
+
+    if sf_dir not in _IVF_CACHE:
+        emb = read_fixture(spark, sf_dir, "embeddings").withColumn(
+            "embedding", F.col("embedding").cast("array<double>")
+        )
+        cents = train_centroids(emb, n_clusters=16)
+        _IVF_CACHE[sf_dir] = (assign_clusters(emb, cents).cache(), cents)
+    return _IVF_CACHE[sf_dir]
+
+
+def _q_ann_ivf(spark, sf_dir):
+    from .ann import ivf_topk
+
+    assigned, cents = _ivf_assigned(spark, sf_dir)
+    q = assigned.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return ivf_topk(assigned, cents, [float(x) for x in q], k=10, nprobe=4)
+
+
+register("ann_ivf_topk", _q_ann_ivf, None)  # approximate → rows-only + pytest recall
+
+
+def _q_ann_lsh(spark, sf_dir):
+    from .ann import lsh_topk, with_lsh_bucket
+
+    emb = read_fixture(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    # few planes + 2-bit multiprobe at fixture scale so buckets stay populated;
+    # at 10^9+ vectors raise n_planes so buckets stay small instead
+    bucketed = with_lsh_bucket(emb, dim=len(q), n_planes=6)
+    return lsh_topk(bucketed, [float(x) for x in q], k=10, n_planes=6, n_flip=2)
+
+
+register("ann_lsh_topk", _q_ann_lsh, None)  # approximate → rows-only + pytest recall
+
+
+# --- multimodal plumbing (binary media columns; stub decode documented) -----
+
+
+def _q_mm_features(spark, sf_dir):
+    from .multimodal import extract_features, synthetic_media
+
+    media = synthetic_media(spark, n=64)
+    return (
+        extract_features(media)
+        .select("media_id", "kind", "n_bytes", "sha256")
+        .orderBy("media_id")
+    )
+
+
+register("mm_feature_extract", _q_mm_features, None)  # binary in → rows-only
+
+
+def _q_mm_frames(spark, sf_dir):
+    from .multimodal import sample_frames, synthetic_media
+
+    media = synthetic_media(spark, n=64)
+    return (
+        sample_frames(media.filter(F.col("kind") == "video"), every_ms=1000)
+        .groupBy("media_id")
+        .agg(F.count("*").alias("n_frames"), F.max("frame_ts_ms").alias("last_ts_ms"))
+        .orderBy("media_id")
+    )
+
+
+register("mm_frame_sample", _q_mm_frames, None)  # binary in → rows-only
+
+
 # ---------------------------------------------------------------------------
 # public contract
 

@@ -78,3 +78,38 @@ def test_batch_topk(spark, emb, vecs):
         want = _numpy_topk(vecs, src, 5)
         got = sorted(by_q[qid], key=lambda kv: (-kv[1], kv[0]))
         assert got == want
+
+
+def test_ivf_recall_against_brute_force(spark, emb, vecs):
+    from engine.ann import assign_clusters, ivf_topk, train_centroids
+
+    cast = emb.withColumn("embedding", F.col("embedding").cast("array<double>"))
+    cents = train_centroids(cast, n_clusters=8)
+    assigned = assign_clusters(cast, cents).cache()
+    # every vector lands in exactly one cluster
+    assert assigned.count() == len(vecs)
+    hits = 0
+    total = 0
+    for qid in list(vecs)[:5]:
+        q = vecs[qid].tolist()
+        want = {i for i, _ in _numpy_topk(vecs, np.asarray(q), 10)}
+        got = {r["vec_id"] for r in ivf_topk(assigned, cents, q, k=10, nprobe=4).collect()}
+        hits += len(want & got)
+        total += len(want)
+    assert hits / total >= 0.6, f"IVF recall {hits}/{total}"
+
+
+def test_ivf_scans_fewer_rows(spark, emb, vecs):
+    from engine.ann import assign_clusters, ivf_topk, train_centroids
+
+    cast = emb.withColumn("embedding", F.col("embedding").cast("array<double>"))
+    cents = train_centroids(cast, n_clusters=8)
+    assigned = assign_clusters(cast, cents)
+    q = vecs[0].tolist()
+    probed = ivf_topk(assigned, cents, q, k=10, nprobe=2)
+    # the nprobe filter must restrict the candidate set well below the corpus
+    n_candidates = assigned.filter(F.col("ivf_cluster").isin(
+        [int(j) for j in np.argsort(-(cents @ (np.asarray(q)/np.linalg.norm(q))))[:2]]
+    )).count()
+    assert n_candidates < len(vecs)
+    assert probed.count() == 10
