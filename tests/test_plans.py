@@ -1,0 +1,73 @@
+"""Physical-plan regression tests: the optimizations the engine relies on at
+scale must actually appear in Catalyst's chosen plan (broadcast the small
+dimension, push filters into the parquet scan, prune columns) — a plan that
+silently degrades to shuffle joins or full scans would still pass value
+checks at sf0.01 but collapse at 100 TB."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as se
+
+
+@pytest.fixture(scope="module")
+def qs():
+    return se.queries()
+
+
+def _plan(spark, qs, name, sf_dir):
+    return qs[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_dim_joins_broadcast(spark, qs, sf_dir):
+    """customer/orders dims broadcast — no shuffle join on the small side."""
+    p = _plan(spark, qs, "rel_three_way_join", sf_dir)
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in p
+
+
+def test_bm25_stats_join_broadcast(spark, qs, sf_dir):
+    """exact BM25: per-term stats side must broadcast (score_terms)."""
+    p = _plan(spark, qs, "bm25_and", sf_dir)
+    assert "BroadcastHashJoin" in p
+
+
+def test_pricing_summary_pushdown(spark, qs, sf_dir):
+    """F2: the shipdate predicate must reach the parquet scan."""
+    p = _plan(spark, qs, "rel_pricing_summary", sf_dir)
+    assert "LessThanOrEqual(l_shipdate" in p
+
+
+def test_mktsegment_pushdown(spark, qs, sf_dir):
+    p = _plan(spark, qs, "rel_three_way_join", sf_dir)
+    assert "EqualTo(c_mktsegment,BUILDING)" in p
+
+
+def test_column_pruning_token_counts(spark, qs, sf_dir):
+    """F1: a 2-column computation must not read the whole documents schema."""
+    p = _plan(spark, qs, "text_token_counts", sf_dir)
+    import re
+
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", p)
+    assert schemas, p
+    for s in schemas:
+        cols = [c.split(":")[0] for c in s.split(",") if c]
+        assert "lang" not in cols and "source" not in cols, cols
+
+
+def test_postings_fetch_prunes_and_pushes(spark, sf_dir):
+    """D3 (duplicated from test_index at driver level): bucket partition
+    pruning + numeric tid pushdown on the postings scan."""
+    from engine.registry import _indexed
+
+    idx = _indexed(spark, sf_dir)
+    from pyspark.sql import functions as F
+
+    row = idx.term_dict.limit(1).collect()[0]
+    df = idx.postings.filter(
+        (F.col("bucket") == int(row["bucket"])) & (F.col("tid") == int(row["tid"]))
+    )
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in p and "bucket" in p
+    assert "EqualTo(tid" in p
