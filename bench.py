@@ -94,6 +94,19 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
         assert rows is not None
 
+    # -- 4. batched query throughput (one scan answers the whole set) --------
+    batch = {
+        "b1": "table", "b2": "dup", "b3": "sort merge join",
+        "b4": "window stream", "b5": "scan -filter", "b6": "customer order",
+        "b7": "the", "b8": "index query value",
+    }
+    t0 = time.perf_counter()
+    n_hits = idx.search_many(batch, k=10).count()
+    dt = time.perf_counter() - t0
+    timings["wand_batch_8"] = round(dt, 3)
+    extras["batch_queries_per_sec"] = round(len(batch) / dt, 2)
+    assert n_hits > 0
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_total",

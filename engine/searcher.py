@@ -187,7 +187,108 @@ class LoadedIndex:
             .limit(k)
         )
 
+    def search_many(
+        self,
+        queries: dict[str, str] | list[tuple[str, str]],
+        k: int = 10,
+        mode: str = "or",
+        round_to: int | None = 4,
+    ) -> DataFrame:
+        """Batched top-k for a whole query set → DataFrame(qid, doc_id, score).
+
+        ONE pruned postings scan + ONE grouped Arrow pass answers every
+        query (the reference query set runs as a batch job, not one Spark
+        job per query): the bucket/tid predicates are the union over all
+        queries, each shard computes every query's local top-k in-loop, and
+        a single per-qid window finishes the coordinating merge. Per-query
+        Spark overhead amortizes to ~zero."""
+        from pyspark.sql import Window
+
+        items = list(queries.items()) if isinstance(queries, dict) else list(queries)
+        all_terms: list[str] = []
+        parsed = []
+        for qid, qtext in items:
+            q = parse_query(qtext)
+            parsed.append((qid, q))
+            all_terms += q.terms + q.must_not
+        found = self._lookup(all_terms)
+        specs = []
+        for qid, q in parsed:
+            terms = [t for t in q.terms if t in found]
+            if not terms or (mode == "and" and len(terms) < len(q.terms)):
+                continue
+            specs.append(
+                {
+                    "qid": qid,
+                    "tids": [found[t][2] for t in terms],
+                    "idfs": {found[t][2]: self.idf(found[t][0]) for t in terms},
+                    "neg": [found[t][2] for t in q.must_not if t in found],
+                    "k": k,
+                    "mode": mode,
+                }
+            )
+        empty = self.spark.createDataFrame([], BATCH_TOPK_SCHEMA)
+        if not specs:
+            return empty
+        tids = sorted({t for s in specs for t in s["tids"] + s["neg"]})
+        buckets = sorted({found[t][1] for t in found})
+        rows = self.postings.filter(
+            F.col("bucket").isin(buckets) & F.col("tid").isin(tids)
+        )
+        local = rows.groupBy("shard").applyInPandas(
+            _shard_multi_topk_fn(specs, self.manifest.avgdl, "wand"),
+            BATCH_TOPK_SCHEMA,
+        )
+        score_col = (
+            F.round(F.col("score"), round_to) if round_to is not None else F.col("score")
+        )
+        w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        return (
+            local.select("qid", "doc_id", score_col.alias("score"))
+            .withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") <= k)
+            .drop("_r")
+            .orderBy("qid", F.col("score").desc(), F.col("doc_id").asc())
+        )
+
     def fetch(self, topk: DataFrame, docs: DataFrame, cols=None) -> DataFrame:
         from .search import fetch
 
         return fetch(topk, docs, cols)
+
+
+BATCH_TOPK_SCHEMA = "qid string, doc_id long, score double"
+
+
+def _shard_multi_topk_fn(specs: list[dict], avgdl: float, algo: str):
+    """Grouped-map body for search_many: one shard's postings → local top-k
+    for EVERY query in `specs` (each {qid, tids, idfs, neg, k, mode}).
+    One scan + one Arrow crossing amortized over the whole query batch."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        out_q, out_d, out_s = [], [], []
+        by_tid = {int(t): g for t, g in pdf.groupby("tid", sort=False)}
+        for spec in specs:
+            cursors = []
+            for t in spec["tids"]:
+                rows = by_tid.get(int(t))
+                if rows is not None:
+                    cursors.append(_rows_to_cursor(rows, spec["idfs"][t], avgdl))
+            neg = [
+                _rows_to_cursor(by_tid[int(t)], 0.0, avgdl)
+                for t in spec["neg"]
+                if int(t) in by_tid
+            ]
+            if not cursors or (spec["mode"] == "and" and len(cursors) < len(spec["tids"])):
+                continue
+            if spec["mode"] == "and":
+                hits = intersect_topk(cursors, spec["k"], must_not=neg)
+            else:
+                hits = wand_topk(cursors, spec["k"], must_not=neg)
+            for d, s in hits:
+                out_q.append(spec["qid"])
+                out_d.append(d)
+                out_s.append(s)
+        return pd.DataFrame({"qid": out_q, "doc_id": out_d, "score": out_s})
+
+    return fn

@@ -160,3 +160,15 @@ def test_partition_pruning_in_plan(index):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "bucket" in plan
     assert "PushedFilters" in plan and "tid" in plan
+
+
+def test_search_many_matches_single(index):
+    """Batched query execution == per-query execution, rank-identical."""
+    batch = {f"q{i}": q for i, (q, _, _) in enumerate(QUERIES[:6])}
+    got = index.search_many(batch, k=10, mode="or").collect()
+    by_qid: dict[str, list] = {}
+    for r in got:
+        by_qid.setdefault(r["qid"], []).append((r["doc_id"], r["score"]))
+    for i, (q, _, _) in enumerate(QUERIES[:6]):
+        single = [(r["doc_id"], r["score"]) for r in index.search(q, k=10, mode="or").collect()]
+        assert by_qid.get(f"q{i}", []) == single, q
