@@ -29,15 +29,25 @@ from .search import exact_search
 # shared builders
 
 
+_CORPUS_CACHE: dict[str, tuple] = {}
+
+
 def _built_corpus(spark: SparkSession, sf_dir: str):
-    docs = read_fixture(spark, sf_dir, "documents")
-    dwt = with_tokens(docs)
-    tok = tokens(dwt)
-    tf = tf_table(tok)
-    ds = dwt.select("doc_id", "dl")
-    ts = term_stats(tf)
-    n, avgdl = corpus_stats(ds)
-    return tf, ds, ts, n, avgdl
+    """tf/ds/ts + corpus stats, derived from ONE cached corpus_base pass per
+    sf_dir (the same no-tf-shuffle path build_index uses) — the exact-BM25
+    query family would otherwise re-run the analyzer per query."""
+    if sf_dir not in _CORPUS_CACHE:
+        from .corpus import corpus_base, exploded_tf
+
+        docs = read_fixture(spark, sf_dir, "documents")
+        base = corpus_base(docs).cache()
+        tf_dl = exploded_tf(base)
+        tf = tf_dl.select("term", "doc_id", "tf")
+        ds = base.select("doc_id", "dl")
+        ts = term_stats(tf).cache()
+        n, avgdl = corpus_stats(ds)
+        _CORPUS_CACHE[sf_dir] = (tf, ds, ts, n, avgdl)
+    return _CORPUS_CACHE[sf_dir]
 
 
 def _bm25_query(query: str, k: int, mode: str) -> Callable:
