@@ -450,6 +450,58 @@ register(
 )
 
 
+def _q_significant_terms(spark, sf_dir):
+    """ES `significant_terms`: terms over-represented in a foreground set
+    (lang='de' docs) vs the whole corpus, scored with JLH =
+    (fg% − bg%) · (fg% / bg%) [public: ES significant_terms docs].
+    Pure built-ins: two doc-frequency aggregates + a join."""
+    tf, ds, ts, n, avgdl = _built_corpus(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    fg_ids = docs.filter(F.col("lang") == "de").select("doc_id")
+    fg_n = fg_ids.count()
+    fg_df = (
+        tf.join(F.broadcast(fg_ids), "doc_id")
+        .groupBy("term")
+        .agg(F.count("*").alias("fg_df"))
+    )
+    return (
+        fg_df.join(ts.select("term", "df"), "term")
+        .select(
+            "term",
+            F.round(
+                (F.col("fg_df") / F.lit(float(fg_n)) - F.col("df") / F.lit(float(n)))
+                * (F.col("fg_df") / F.lit(float(fg_n)))
+                / (F.col("df") / F.lit(float(n))),
+                4,
+            ).alias("jlh"),
+        )
+        .orderBy(F.col("jlh").desc(), F.col("term").asc())
+        .limit(10)
+    )
+
+
+register(
+    "agg_significant_terms",
+    _q_significant_terms,
+    """
+WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1,2),
+bg AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+fgids AS (SELECT doc_id FROM documents WHERE lang = 'de'),
+fgn AS (SELECT count(*) AS fg_n FROM fgids),
+fg AS (SELECT term, count(*) AS fg_df FROM tf JOIN fgids USING (doc_id) GROUP BY 1)
+SELECT fg.term,
+       round( (fg.fg_df / CAST(fgn.fg_n AS DOUBLE) - bg.df / CAST(n.n_docs AS DOUBLE))
+            * (fg.fg_df / CAST(fgn.fg_n AS DOUBLE)) / (bg.df / CAST(n.n_docs AS DOUBLE)), 4)
+       AS jlh
+FROM fg JOIN bg USING (term) CROSS JOIN n CROSS JOIN fgn
+ORDER BY jlh DESC, term ASC
+LIMIT 10
+""",
+)
+
+
 def _q_geo_mean(spark, sf_dir):
     # §2.H grouped-agg pandas UDAF (custom Python reduce) — the SQL twin
     # (exp∘avg∘ln) lets the driver value-check the UDAF execution path
