@@ -450,6 +450,129 @@ register(
 )
 
 
+def _q_top_hits(spark, sf_dir):
+    """ES `top_hits` sub-aggregation: per event_type bucket, the top-3
+    events by value — window row_number over each bucket."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").desc(), F.col("event_id").asc()
+    )
+    return (
+        _ev(spark, sf_dir)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("event_type", "rank", "event_id", F.round("value", 4).alias("value"))
+        .orderBy("event_type", "rank")
+    )
+
+
+register(
+    "agg_top_hits",
+    _q_top_hits,
+    """
+SELECT event_type, rank, event_id, round(value, 4) AS value FROM (
+  SELECT event_type, event_id, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value DESC, event_id ASC) AS rank
+  FROM events
+) WHERE rank <= 3 ORDER BY event_type, rank
+""",
+)
+
+
+def _q_composite_page(spark, sf_dir):
+    """ES `composite` aggregation with after-key pagination: page 2 of the
+    (event_type, user_id) bucket space, page size 50 — the resumable,
+    sort-keyed scan ES uses for full bucket enumeration. After-key
+    pagination is a WHERE on the composite sort key, so the filter pushes
+    into the scan instead of skipping rows."""
+    after_type, after_user = "click", 400
+    return (
+        _ev(spark, sf_dir)
+        .groupBy("event_type", "user_id")
+        .agg(F.count("*").alias("doc_count"))
+        .filter(
+            (F.col("event_type") > after_type)
+            | ((F.col("event_type") == after_type) & (F.col("user_id") > after_user))
+        )
+        .orderBy("event_type", "user_id")
+        .limit(50)
+    )
+
+
+register(
+    "agg_composite_page",
+    _q_composite_page,
+    """
+SELECT event_type, user_id, count(*) AS doc_count
+FROM events
+GROUP BY event_type, user_id
+HAVING (event_type > 'click') OR (event_type = 'click' AND user_id > 400)
+ORDER BY event_type, user_id
+LIMIT 50
+""",
+)
+
+
+def _q_highlight(spark, sf_dir):
+    """ES `highlight` (plain highlighter parity): top-5 BM25 docs for
+    'merge join' with a snippet window around the first 'merge' occurrence,
+    the match wrapped in <em> tags — all built-in string functions."""
+    tf, ds, ts, n, avgdl = _built_corpus(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    topk = exact_search(tf, ds, ts, n, avgdl, "merge join", k=5, mode="and")
+    pos = F.instr(F.col("text"), F.lit("merge"))  # 1-based; >0 by construction
+    start = F.greatest(pos - F.lit(20), F.lit(1))
+    snippet = F.substring(F.col("text"), start, F.lit(60))
+    return (
+        F.broadcast(topk)
+        .join(docs.select("doc_id", "text"), "doc_id")
+        .select(
+            "doc_id",
+            "score",
+            F.regexp_replace(snippet, "merge", "<em>merge</em>").alias("snippet"),
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    )
+
+
+register(
+    "search_highlight",
+    _q_highlight,
+    f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / stats.avgdl)) ) AS score,
+         count(*) AS n_matched
+  FROM tf
+  JOIN (SELECT term, count(*) AS df FROM tf GROUP BY 1) df USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats
+  WHERE tf.term IN ('merge', 'join')
+  GROUP BY tf.doc_id
+),
+topk AS (
+  SELECT doc_id, round(score, 4) AS score FROM scores
+  WHERE n_matched = 2
+  ORDER BY score DESC, doc_id ASC LIMIT 5
+)
+SELECT t.doc_id, t.score,
+       replace(substring(d.text, greatest(instr(d.text, 'merge') - 20, 1), 60),
+               'merge', '<em>merge</em>') AS snippet
+FROM topk t JOIN documents d USING (doc_id)
+ORDER BY t.score DESC, t.doc_id ASC
+""",
+)
+
+
 def _q_significant_terms(spark, sf_dir):
     """ES `significant_terms`: terms over-represented in a foreground set
     (lang='de' docs) vs the whole corpus, scored with JLH =
