@@ -40,6 +40,10 @@ N_PAGES = int(os.environ.get("SCALING_PAGES", "150000"))
 LEVELS = tuple(
     int(x) for x in os.environ.get("SCALING_LEVELS", "1,4").split(",")
 )
+if len(LEVELS) != 2:
+    raise SystemExit(
+        f"SCALING_LEVELS must name exactly two core counts 'lo,hi' (got {LEVELS!r})"
+    )
 MARK_BEGIN = "<!-- scaling:begin -->"
 MARK_END = "<!-- scaling:end -->"
 

@@ -34,6 +34,10 @@ def _spark(app: str, shuffle_partitions: int | None):
 
     existing = SparkSession.getActiveSession()
     if existing is not None:
+        # Honor an explicit --shuffle-partitions even on session reuse — it is
+        # a runtime-settable conf, and encode/merge parallelism reads it.
+        if shuffle_partitions:
+            existing.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
         return existing, False
     b = (
         SparkSession.builder.appName(app)

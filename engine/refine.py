@@ -70,6 +70,16 @@ def dedup_latest(pages: DataFrame, key: str = "url", ts: str = "warc_ts") -> Dat
     )
 
 
+# Fixed id-bucket count: doc_id = bucket_offset + rank-within-bucket must be a
+# pure function of the INPUT DATA, never of session config.  Deriving the
+# bucket count from spark.sql.shuffle.partitions made the same corpus get
+# different ids under different configs (e.g. bench_scaling passes
+# --shuffle-partitions cpus*2, so local[1] and local[4] builds disagreed).
+# 1024 buckets keeps the offset map tiny (O(1KB) collect) while giving any
+# realistic cluster enough id-groups to balance.
+ID_BUCKETS = 1024
+
+
 def assign_doc_ids(docs: DataFrame, order_col: str = "url", partitions: int | None = None) -> DataFrame:
     """B6: deterministic dense doc_id = global rank by `order_col`, stable
     across runs and parallelism (SURVEY.md §7 risk 3).
@@ -89,10 +99,12 @@ def assign_doc_ids(docs: DataFrame, order_col: str = "url", partitions: int | No
     the count job and the rank job and silently collide ids. doc_id =
     bucket_offset + rank-within-bucket(url): dense 0..N-1, deterministic for
     a given input set, balanced across buckets. Cost: one aggregation + one
-    windowed shuffle + an O(P) collect; every stage stays parallel."""
-    spark = docs.sparkSession
+    windowed shuffle + an O(P) collect; every stage stays parallel.
+
+    The bucket count is the fixed ID_BUCKETS constant (NOT the session's
+    shuffle-partition conf) so ids are invariant across configs/parallelism."""
     if partitions is None:
-        partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        partitions = ID_BUCKETS
     bucket = F.pmod(F.xxhash64(F.col(order_col)), F.lit(partitions)).cast("int")
     df = docs.withColumn("_b", bucket)
     counts = {
@@ -115,26 +127,38 @@ def assign_doc_ids(docs: DataFrame, order_col: str = "url", partitions: int | No
 def refine_pages(
     pages: DataFrame, lang: str | None = None, partitions: int | None = None
 ) -> DataFrame:
-    """Full refine stage: (optional) lang filter → dedup (latest crawl wins)
+    """Full refine stage: dedup (latest crawl wins) → (optional) lang filter
     → deterministic dense doc_id → extract text.
     Output: docs(doc_id, url, warc_ts, lang, text).
+
+    Semantics order matters: dedup FIRST, then the lang filter — matching ES
+    reindex-by-_id upsert semantics and the streaming IncrementalIndexer. If
+    a url's newest crawl is in a filtered-out language, the url is DROPPED
+    (the older in-language crawl must not resurrect). The filter is applied
+    to the per-url winner inside the same fused pass, so it costs nothing.
 
     ONE full-row shuffle total. The naive composition (window-dedup, then
     window-rank for ids) pushes every html byte through two more exchanges —
     at web scale the pipeline becomes shuffle-bandwidth-bound and stops
     scaling with cores. Here:
 
-      1. hash-repartition by url (the only full-row exchange; deterministic
-         Murmur3, no sampling) + external sort within partitions on
-         (url asc, warc_ts desc, content-hash desc);
-      2. a slim aggregation over the SAME shuffle output (stage reuse — the
-         map side is skipped) counts distinct urls per partition → offsets;
+      1. hash-repartition by id-bucket `_b = xxhash64(url) mod ID_BUCKETS`
+         (the only full-row exchange; deterministic, no sampling) + external
+         sort within partitions on (_b, url asc, warc_ts desc, content-hash
+         desc); a url's rows land in exactly one bucket, a bucket in exactly
+         one partition, and buckets are contiguous within a partition;
+      2. a slim counting pass over the SAME shuffle output (map side reused)
+         counts surviving docs per id-bucket → offset map (O(ID_BUCKETS)
+         collect);
       3. one streaming mapInPandas pass keeps the first (= latest, ties
-         broken by content hash, byte-identical ties collapsed) row per url
-         and assigns doc_id = partition_offset + local dense rank.
+         broken by content hash, byte-identical ties collapsed) row per url,
+         applies the lang filter to the winner, and assigns
+         doc_id = bucket_offset + dense rank within bucket.
 
-    doc_ids are deterministic for a given input set (hash partitioning and
-    the sort order are pure functions of the data) and dense 0..N-1.
+    doc_ids are deterministic for a given input set AND invariant under
+    session config / parallelism: bucketing uses the fixed ID_BUCKETS
+    constant, never spark.sql.shuffle.partitions (physical partition count
+    only affects task granularity, not bucket membership or order).
 
     The extracted text REPLACES the stored `text` column (the invariant says
     they are byte-identical; tests assert it on the full table)."""
@@ -144,40 +168,69 @@ def refine_pages(
     spark = pages.sparkSession
     if partitions is None:
         partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    df = pages if lang is None else pages.filter(F.col("lang") == lang)
-    df = df.withColumn("_h", F.xxhash64("html"))
-    part = df.repartition(partitions, F.col("url")).sortWithinPartitions(
-        F.col("url").asc(), F.col("warc_ts").desc(), F.col("_h").desc()
+    df = pages.withColumn("_h", F.xxhash64("html")).withColumn(
+        "_b", F.pmod(F.xxhash64("url"), F.lit(ID_BUCKETS)).cast("int")
     )
-    counts = {
-        r["_pid"]: r["n"]
-        for r in part.withColumn("_pid", F.spark_partition_id())
-        .groupBy("_pid")
-        .agg(F.count_distinct("url").alias("n"))
-        .collect()
-    }
-    offsets, acc = {}, 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
+    part = df.repartition(partitions, F.col("_b")).sortWithinPartitions(
+        F.col("_b").asc(), F.col("url").asc(), F.col("warc_ts").desc(), F.col("_h").desc()
+    )
 
-    def dedup_rank(batches):
-        from pyspark import TaskContext
+    def _first_per_url(pdf: pd.DataFrame, last_url) -> pd.DataFrame:
+        urls = pdf["url"].to_numpy()
+        first = np.empty(len(urls), dtype=bool)
+        first[0] = urls[0] != last_url
+        first[1:] = urls[1:] != urls[:-1]
+        kept = pdf.loc[first]
+        if lang is not None:
+            kept = kept[kept["lang"].to_numpy() == lang]
+        return kept
 
-        next_id = offsets.get(TaskContext.get().partitionId(), 0)
+    def count_kept(batches):
+        counts: dict[int, int] = {}
         last_url = None
         for pdf in batches:
             if not len(pdf):
                 continue
-            urls = pdf["url"].to_numpy()
-            first = np.empty(len(urls), dtype=bool)
-            first[0] = urls[0] != last_url
-            first[1:] = urls[1:] != urls[:-1]
-            kept = pdf.loc[first, ["url", "warc_ts", "html", "lang"]].copy()
-            kept["doc_id"] = next_id + np.arange(len(kept), dtype=np.int64)
-            next_id += len(kept)
-            last_url = urls[-1]
-            yield kept
+            kept = _first_per_url(pdf, last_url)
+            for b, n in kept.groupby("_b").size().items():
+                counts[int(b)] = counts.get(int(b), 0) + int(n)
+            last_url = pdf["url"].iloc[-1]
+        yield pd.DataFrame(
+            {
+                "_b": pd.Series(list(counts.keys()), dtype="int32"),
+                "n": pd.Series(list(counts.values()), dtype="int64"),
+            }
+        )
+
+    counts = {
+        r["_b"]: r["n"]
+        for r in part.select("_b", "url", "lang").mapInPandas(count_kept, "_b int, n long").collect()
+    }
+    offsets, acc = {}, 0
+    for b in sorted(counts):
+        offsets[b] = acc
+        acc += counts[b]
+
+    def dedup_rank(batches):
+        emitted: dict[int, int] = {}  # per-bucket rows already assigned
+        last_url = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            kept = _first_per_url(pdf, last_url)[["_b", "url", "warc_ts", "html", "lang"]].copy()
+            last_url = pdf["url"].iloc[-1]
+            if not len(kept):
+                continue
+            bvals = kept["_b"].to_numpy()
+            base = np.fromiter(
+                (offsets[int(b)] + emitted.get(int(b), 0) for b in bvals),
+                dtype=np.int64,
+                count=len(bvals),
+            )
+            kept["doc_id"] = base + kept.groupby("_b").cumcount().to_numpy(dtype=np.int64)
+            for b, n in kept.groupby("_b").size().items():
+                emitted[int(b)] = emitted.get(int(b), 0) + int(n)
+            yield kept.drop(columns=["_b"])
 
     out_schema = "url string, warc_ts timestamp, html binary, lang string, doc_id long"
     docs = part.mapInPandas(dedup_rank, out_schema)

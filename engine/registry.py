@@ -29,14 +29,26 @@ from .search import exact_search
 # shared builders
 
 
-_CORPUS_CACHE: dict[str, tuple] = {}
+_CORPUS_CACHE: dict[tuple, tuple] = {}
+
+
+def _cache_key(spark: SparkSession, sf_dir: str) -> tuple:
+    """Caches hold DataFrames bound to the session that created them; key by
+    (session identity, sf_dir) so a restarted session never sees stale
+    entries referencing a dead JVM."""
+    try:
+        sid = spark.sparkContext.applicationId
+    except Exception:  # stopped context — force a fresh entry
+        sid = id(spark)
+    return (sid, sf_dir)
 
 
 def _built_corpus(spark: SparkSession, sf_dir: str):
     """tf/ds/ts + corpus stats, derived from ONE cached corpus_base pass per
     sf_dir (the same no-tf-shuffle path build_index uses) — the exact-BM25
     query family would otherwise re-run the analyzer per query."""
-    if sf_dir not in _CORPUS_CACHE:
+    key = _cache_key(spark, sf_dir)
+    if key not in _CORPUS_CACHE:
         from .corpus import corpus_base, exploded_tf
 
         docs = read_fixture(spark, sf_dir, "documents")
@@ -46,8 +58,8 @@ def _built_corpus(spark: SparkSession, sf_dir: str):
         ds = base.select("doc_id", "dl")
         ts = term_stats(tf).cache()
         n, avgdl = corpus_stats(ds)
-        _CORPUS_CACHE[sf_dir] = (tf, ds, ts, n, avgdl)
-    return _CORPUS_CACHE[sf_dir]
+        _CORPUS_CACHE[key] = (tf, ds, ts, n, avgdl)
+    return _CORPUS_CACHE[key]
 
 
 def _bm25_query(query: str, k: int, mode: str) -> Callable:
@@ -158,7 +170,7 @@ register(
     """
 WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
 tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2)
-SELECT term, count(*) AS df, sum(tf) AS cf FROM tf GROUP BY term ORDER BY term
+SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY term ORDER BY term
 """,
 )
 
@@ -179,14 +191,15 @@ register(
 # Same result surface as exact BM25 → same DuckDB oracles. The index is built
 # once per sf_dir (multi-shard, salted, merged) and cached for the process.
 
-_INDEX_CACHE: dict[str, object] = {}
+_INDEX_CACHE: dict[tuple, object] = {}
 
 
 def _indexed(spark: SparkSession, sf_dir: str):
     from .index import build_index
     from .searcher import LoadedIndex
 
-    if sf_dir not in _INDEX_CACHE:
+    key = _cache_key(spark, sf_dir)
+    if key not in _INDEX_CACHE:
         tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
         root = os.path.join("/root/repo/data/index_cache", tag)
         docs = read_fixture(spark, sf_dir, "documents").select("doc_id", "text")
@@ -200,8 +213,8 @@ def _indexed(spark: SparkSession, sf_dir: str):
             hot_df=100,  # most fixture terms are hot → salting on the graded path
             n_salts=4,
         )
-        _INDEX_CACHE[sf_dir] = LoadedIndex(spark, root)
-    return _INDEX_CACHE[sf_dir]
+        _INDEX_CACHE[key] = LoadedIndex(spark, root)
+    return _INDEX_CACHE[key]
 
 
 def _indexed_query(query: str, k: int, mode: str) -> Callable:
@@ -896,7 +909,7 @@ register(
     "fn_json_extract",
     _q_json,
     """SELECT event_type, count(*) AS n,
-              sum(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k
+              CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k
        FROM events GROUP BY event_type ORDER BY event_type""",
 )
 
@@ -948,8 +961,8 @@ register(
     "fn_string",
     _q_string_fns,
     """SELECT upper(substring(source, 1, 3)) AS prefix, count(*) AS n,
-              sum(length(text)) AS total_chars,
-              sum(len(string_split(text, ' '))) AS total_tokens
+              CAST(sum(length(text)) AS BIGINT) AS total_chars,
+              CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
        FROM documents GROUP BY 1 ORDER BY 1""",
 )
 
@@ -1171,19 +1184,20 @@ WHERE round(
 
 # --- IVF ANN (scale path) + LSH ANN — approximate, property-tested ----------
 
-_IVF_CACHE: dict[str, tuple] = {}
+_IVF_CACHE: dict[tuple, tuple] = {}
 
 
 def _ivf_assigned(spark, sf_dir):
     from .ann import assign_clusters, train_centroids
 
-    if sf_dir not in _IVF_CACHE:
+    key = _cache_key(spark, sf_dir)
+    if key not in _IVF_CACHE:
         emb = read_fixture(spark, sf_dir, "embeddings").withColumn(
             "embedding", F.col("embedding").cast("array<double>")
         )
         cents = train_centroids(emb, n_clusters=16)
-        _IVF_CACHE[sf_dir] = (assign_clusters(emb, cents).cache(), cents)
-    return _IVF_CACHE[sf_dir]
+        _IVF_CACHE[key] = (assign_clusters(emb, cents).cache(), cents)
+    return _IVF_CACHE[key]
 
 
 def _q_ann_ivf(spark, sf_dir):
