@@ -83,11 +83,29 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_df: int | None = 256,
 ) -> DataFrame:
     """Exact n-gram Jaccard over pairs sharing ≥1 shingle:
     J = |A∩B| / (|A|+|B|-|A∩B|). The shingle self-join only materializes
-    co-occurring pairs (never the full cross product)."""
-    sh = with_shingles(df, n, text_col, id_col).cache()
+    co-occurring pairs (never the full cross product).
+
+    max_df caps hot shingles: the self-join multiplies df² per shingle, so a
+    boilerplate trigram shared by 1M docs would materialize 10¹² pairs. Any
+    shingle with df > max_df is dropped from BOTH the intersection and the
+    per-doc sizes (standard practice — ubiquitous shingles carry no
+    discriminative signal), bounding the join output at |shingles|·max_df².
+    The hot-shingle list is tiny by construction and broadcast. Pass
+    max_df=None to disable (exact textbook Jaccard, small corpora only)."""
+    sh = with_shingles(df, n, text_col, id_col)
+    if max_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    sh = sh.cache()
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -335,12 +353,92 @@ def cosine_expr(a, b):
 def embedding_near_dups(
     emb: DataFrame, threshold: float = 0.9, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
-    """Pairs with cosine ≥ threshold. Brute-force self-join baseline; at scale
-    use engine.ann.lsh_bucketed_pairs (hyperplane-bucketed) instead."""
+    """Pairs with cosine ≥ threshold. Brute-force all-pairs self-join — the
+    EXACT small-scale oracle only (pytest recall baseline). Never register
+    this as a contract query: O(N²) rows is a scale-killer. The scale path is
+    embedding_near_dups_lsh below."""
     a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(cosine_expr(F.col("va"), F.col("vb")), 4))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def _band_signature_udf(dim: int, n_planes: int, n_bands: int, seed: int = 29):
+    """Pandas UDF: embedding → array<int> of n_bands hyperplane sign-bucket
+    ids (band b uses its own n_planes random hyperplanes). One Arrow pass
+    computes every band's signature via a single (n, bands*planes) matmul."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_bands * n_planes, dim))
+    weights = (1 << np.arange(n_planes, dtype=np.int64)).reshape(1, n_planes)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def sig(s: pd.Series) -> pd.Series:
+        mat = np.stack(s.map(lambda v: np.asarray(v, dtype=np.float64)).to_numpy())
+        bits = (mat @ planes.T) > 0  # (n, bands*planes)
+        bits = bits.reshape(len(mat), n_bands, n_planes)
+        buckets = (bits * weights).sum(axis=2).astype(np.int32)  # (n, bands)
+        return pd.Series(list(buckets))
+
+    return sig
+
+
+def embedding_near_dups_lsh(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    dim: int = 64,
+    n_planes: int = 12,
+    n_bands: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 29,
+) -> DataFrame:
+    """Scale path for embedding near-dup: multi-band random-hyperplane LSH
+    (SimHash for angles — Charikar 2002 [public]) candidates + exact cosine
+    verification. The plan contains NO unbucketed self-join:
+
+      1. one Arrow UDF pass → n_bands bucket ids per vector;
+      2. posexplode → (band, bucket) rows; self-join on equality of
+         (band, bucket) with id_a < id_b — the only pair-producing shuffle,
+         keyed by bucket, never the cross product;
+      3. distinct candidates re-join the embedding table (shuffle on id) and
+         the exact cosine filter keeps true near-dups (precision = 1.0).
+
+    Recall: a pair at angle θ collides in one band with p=(1-θ/π)^n_planes
+    and is a candidate if ANY band collides: 1-(1-p)^n_bands. At the 0.9
+    default (θ≈25.8°) the 12×16 default gives ~93% recall, rising steeply
+    above the threshold; property-tested vs the brute-force oracle. At larger
+    N, grow n_planes (bucket count 2^n_planes) to keep buckets small and add
+    bands to restore recall — both scale the shuffle linearly, never
+    quadratically."""
+    # slim banded frame: (id, band, bucket) only — vectors rejoin later so the
+    # pair-producing shuffle never moves the embedding payload
+    banded = emb.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(_band_signature_udf(dim, n_planes, n_bands, seed)(F.col(vec_col))).alias(
+            "band", "bucket"
+        ),
+    )
+    x = banded.alias("x")
+    y = banded.alias("y")
+    cands = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
         .withColumn("cosine", F.round(cosine_expr(F.col("va"), F.col("vb")), 4))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")

@@ -1041,20 +1041,24 @@ register(
 def _q_ngram_jaccard(spark, sf_dir):
     from .dedup import ngram_jaccard_pairs
 
-    return ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.8)
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.8, max_df=256)
 
 
 register(
     "dedup_ngram_jaccard",
     _q_ngram_jaccard,
     """
-WITH sh AS (
+WITH sh0 AS (
   SELECT DISTINCT doc_id AS id, s AS shingle FROM (
     SELECT doc_id,
            unnest(list_transform(
                range(1, greatest(len(string_split(text,' ')) - 2, 1) + 1),
                i -> array_to_string(string_split(text,' ')[i:i+2], ' '))) AS s
     FROM documents)
+),
+sh AS (  -- hot-shingle cap (df > 256 dropped), mirroring max_df=256
+  SELECT * FROM sh0
+  WHERE shingle NOT IN (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) > 256)
 ),
 sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
 inter AS (
@@ -1153,33 +1157,35 @@ ORDER BY cosine DESC, vec_id ASC LIMIT 10
 
 
 def _q_emb_near_dups(spark, sf_dir):
-    from .dedup import embedding_near_dups
+    """Contract query = the SCALE path (hyperplane-banded LSH candidates +
+    exact cosine verify; no unbucketed self-join anywhere in the plan). The
+    brute-force all-pairs form stays in pytest only as the recall oracle
+    (tests/test_dedup.py) — approximate candidates mean no DuckDB twin, so
+    the driver records a rows-only check by design.
 
-    emb = read_fixture(spark, sf_dir, "embeddings").withColumn(
-        "embedding", F.col("embedding").cast("array<double>")
+    The synthetic embeddings are near-orthogonal (max pair cosine ≈0.51), so
+    near-dups at the 0.9 operating threshold are PLANTED deterministically:
+    each vec_id < 200 gets a perturbed twin v' = v + 0.15·roll(v,1) (cosine
+    ≈0.99 to its source), making the rows-only row count non-vacuous."""
+    from .dedup import embedding_near_dups_lsh
+
+    emb = read_fixture(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
-    return embedding_near_dups(emb, threshold=0.5)
+    d = 64
+    shifted = F.transform(
+        F.sequence(F.lit(0), F.lit(d - 1)),
+        lambda i: F.get("embedding", i) + F.lit(0.15) * F.get("embedding", (i + 1) % d),
+    )
+    planted = emb.filter(F.col("vec_id") < 200).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), shifted.alias("embedding")
+    )
+    return embedding_near_dups_lsh(
+        emb.unionByName(planted), threshold=0.9, dim=64, n_planes=12, n_bands=16
+    )
 
 
-register(
-    "dedup_embedding_cosine",
-    _q_emb_near_dups,
-    """
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       round(
-         list_sum(list_transform(range(1,65),
-             i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
-       / (sqrt(list_sum(list_transform(range(1,65), i -> CAST(a.embedding[i] AS DOUBLE)**2)))
-        * sqrt(list_sum(list_transform(range(1,65), i -> CAST(b.embedding[i] AS DOUBLE)**2)))), 4)
-       AS cosine
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE round(
-         list_sum(list_transform(range(1,65),
-             i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
-       / (sqrt(list_sum(list_transform(range(1,65), i -> CAST(a.embedding[i] AS DOUBLE)**2)))
-        * sqrt(list_sum(list_transform(range(1,65), i -> CAST(b.embedding[i] AS DOUBLE)**2)))), 4) >= 0.5
-""",
-)
+register("dedup_embedding_cosine", _q_emb_near_dups, None)
 
 
 # --- IVF ANN (scale path) + LSH ANN — approximate, property-tested ----------

@@ -119,3 +119,85 @@ def test_embedding_near_dups_and_oracle(spark, sf_dir):
     assert set(got) == set(want)
     for kpair, v in got.items():
         assert v == pytest.approx(want[kpair], abs=2e-4)
+
+
+def test_embedding_near_dups_lsh_recall_and_precision(spark, sf_dir):
+    """Scale-path LSH near-dup vs the brute-force oracle on planted twins.
+    Precision must be exact (candidates are cosine-verified); recall on
+    cosine≈0.99 pairs must be ≥0.9 with the contract parameters."""
+    from pyspark.sql import functions as F
+
+    from engine.dedup import embedding_near_dups_lsh
+
+    emb = (
+        read_fixture(spark, sf_dir, "embeddings")
+        .limit(150)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    )
+    shifted = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda i: F.get("embedding", i) + F.lit(0.15) * F.get("embedding", (i + 1) % 64),
+    )
+    planted = emb.select((F.col("vec_id") + 1_000_000).alias("vec_id"), shifted.alias("embedding"))
+    both = emb.unionByName(planted)
+    bf = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_near_dups(both, threshold=0.9).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_near_dups_lsh(
+            both, threshold=0.9, dim=64, n_planes=12, n_bands=16
+        ).collect()
+    }
+    assert set(got) <= set(bf)  # precision 1.0: every pair is a true near-dup
+    assert len(got) >= 0.9 * len(bf)  # recall on ~0.99-cosine twins
+    for kpair, v in got.items():
+        assert v == bf[kpair]  # exact verified cosine, same rounding
+
+
+def test_embedding_lsh_plan_has_no_unbucketed_self_join(spark, sf_dir):
+    """The pair-producing join must be keyed on (band, bucket) — a cross/
+    theta join over ids would be the 100 TB scale-killer this op replaces."""
+    from pyspark.sql import functions as F
+
+    from engine.dedup import embedding_near_dups_lsh
+
+    emb = read_fixture(spark, sf_dir, "embeddings").limit(50).withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    plan = embedding_near_dups_lsh(emb)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ngram_jaccard_hot_shingle_cap(spark):
+    """A shingle shared by every doc must not materialize O(N^2) pairs: with
+    max_df the ubiquitous shingle is dropped from intersections AND sizes."""
+    n_docs = 60
+    rows = [
+        (i, f"common boiler plate unique{i} token{i} tail{i} word{i}")
+        for i in range(n_docs)
+    ]
+    # every doc shares the 'common boiler plate' trigram; nothing else overlaps
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = ngram_jaccard_pairs(df, n=3, threshold=0.01, max_df=None)
+    capped = ngram_jaccard_pairs(df, n=3, threshold=0.01, max_df=10)
+    assert uncapped.count() == n_docs * (n_docs - 1) // 2  # the quadratic bomb
+    assert capped.count() == 0  # cap defuses it: no discriminative overlap left
+
+
+def test_ngram_jaccard_cap_keeps_true_dups(spark):
+    """Capping hot shingles must still find real near-duplicates."""
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta"),
+        (1, "alpha beta gamma delta epsilon zeta eta iota"),  # near-dup of 0
+        (2, "one two three four five six seven eight"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, n=3, threshold=0.5, max_df=10).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] >= 0.5
+    assert all(p == (0, 1) for p in pairs)
