@@ -56,13 +56,17 @@ def score_terms(
     """Per-(doc, term) BM25 partial scores for the given terms.
 
     Plan shape: `term IN (...)` filters push to the tf scan; the per-term
-    stats side is tiny → broadcast join; dl join runs as AQE-chosen
-    hash/sort-merge. All arithmetic stays JVM-side (no UDF)."""
+    stats side is tiny → broadcast join. When the tf frame carries `dl`
+    inline (engine/corpus.exploded_tf does), the doc-length join is skipped
+    entirely — one fewer full shuffle per query; otherwise dl joins as an
+    AQE-chosen hash/sort-merge. All arithmetic stays JVM-side (no UDF)."""
     tf_q = tf.filter(F.col("term").isin(terms))
     ts_q = term_stats.filter(F.col("term").isin(terms))
+    joined = tf_q.join(F.broadcast(ts_q.select("term", "df")), "term")
+    if "dl" not in tf.columns:
+        joined = joined.join(doc_stats, "doc_id")
     return (
-        tf_q.join(F.broadcast(ts_q.select("term", "df")), "term")
-        .join(doc_stats, "doc_id")
+        joined
         .select(
             "doc_id",
             "term",

@@ -59,6 +59,7 @@ def _shard_topk_fn(
     k: int,
     mode: str,
     algo: str,
+    after: tuple[float, int] | None = None,
 ):
     """Grouped-map UDF body: one shard's posting rows → local top-k.
     `terms`/`must_not` are numeric tids (term_dict resolves strings)."""
@@ -112,11 +113,11 @@ def _shard_topk_fn(
                         )
                         parts.append(i)
                 mn_ids = np.concatenate(parts) if parts else None
-            hits = exhaustive_topk(lists, k, avgdl, mode=mode, must_not_ids=mn_ids)
+            hits = exhaustive_topk(lists, k, avgdl, mode=mode, must_not_ids=mn_ids, after=after)
         elif mode == "and":
-            hits = intersect_topk(cursors, k, must_not=neg)
+            hits = intersect_topk(cursors, k, must_not=neg, after=after)
         else:
-            hits = wand_topk(cursors, k, must_not=neg)
+            hits = wand_topk(cursors, k, must_not=neg, after=after)
         return pd.DataFrame(
             {"doc_id": [h[0] for h in hits], "score": [h[1] for h in hits]}
         )
@@ -154,10 +155,15 @@ class LoadedIndex:
         mode: str = "or",
         algo: str = "wand",
         round_to: int | None = 4,
+        after: tuple[float, int] | None = None,
     ) -> DataFrame:
         """Top-k → DataFrame(doc_id, score) ordered (score desc, doc_id asc).
 
-        algo: 'wand' (block-max, default) | 'exhaustive' (oracle path)."""
+        algo: 'wand' (block-max, default) | 'exhaustive' (oracle path).
+        after: resumable ranked cursor [public: ES search_after] — the
+        (score, doc_id) of the last hit of the previous page; only hits
+        sorting strictly after it are returned (pushed into the per-shard
+        top-k heap, so deep pagination never widens k per shard)."""
         q = parse_query(query)
         found = self._lookup(q.terms + q.must_not)
         terms = [t for t in q.terms if t in found]
@@ -175,7 +181,7 @@ class LoadedIndex:
             F.col("bucket").isin(buckets) & F.col("tid").isin(tids + neg_tids)
         )
         local = rows.groupBy("shard").applyInPandas(
-            _shard_topk_fn(tids, idfs, neg_tids, self.manifest.avgdl, k, mode, algo),
+            _shard_topk_fn(tids, idfs, neg_tids, self.manifest.avgdl, k, mode, algo, after),
             TOPK_SCHEMA,
         )
         score_col = (

@@ -168,12 +168,38 @@ def _excluded(doc: int, must_not: list[TermCursor]) -> bool:
     return any(c.next_geq(doc) == doc for c in must_not)
 
 
+def _round_half_up(s: float, nd: int = 4) -> float:
+    """Match Spark's F.round (HALF_UP) for non-negative scores — Python's
+    built-in round is banker's and can disagree on .xxxx5 boundaries."""
+    p = 10.0**nd
+    import math
+
+    return math.floor(s * p + 0.5) / p
+
+
+def _after_ok(score: float, doc: int, after: tuple[float, int] | None) -> bool:
+    """search_after cursor predicate: hit qualifies iff it sorts strictly
+    AFTER (after_score, after_doc) in page order (rounded score DESC, doc
+    ASC). Compared on the ROUNDED score because the page boundary the caller
+    holds comes from the rounded page-1 output [public: ES search_after]."""
+    if after is None:
+        return True
+    r = _round_half_up(score)
+    return r < after[0] or (r == after[0] and doc > after[1])
+
+
 def wand_topk(
     cursors: list[TermCursor],
     k: int,
     must_not: list[TermCursor] | None = None,
+    after: tuple[float, int] | None = None,
 ) -> list[tuple[int, float]]:
-    """Block-max WAND disjunctive top-k → [(doc_id, score)] rank-ordered."""
+    """Block-max WAND disjunctive top-k → [(doc_id, score)] rank-ordered.
+
+    after: resumable-cursor pagination — only hits sorting strictly after
+    (score, doc_id) enter the heap; θ pruning still rises from the heap as
+    usual (hits BELOW the cursor score must stay reachable, so the cursor
+    itself cannot seed θ)."""
     must_not = must_not or []
     active = [c for c in cursors if c.n_blocks > 0]
     for c in active:
@@ -224,7 +250,8 @@ def wand_topk(
                     if c.doc != pivot_doc:
                         break
                     s += c.score()
-                theta = _push(heap, k, s, pivot_doc)
+                if _after_ok(s, pivot_doc, after):
+                    theta = _push(heap, k, s, pivot_doc)
             for c in active:
                 if c.doc == pivot_doc:
                     c.next_geq(pivot_doc + 1)
@@ -241,6 +268,7 @@ def intersect_topk(
     cursors: list[TermCursor],
     k: int,
     must_not: list[TermCursor] | None = None,
+    after: tuple[float, int] | None = None,
 ) -> list[tuple[int, float]]:
     """Conjunctive (bool.must) top-k: document-at-a-time posting-list
     intersection led by the rarest list, galloping via next_geq
@@ -263,7 +291,8 @@ def intersect_topk(
         if aligned:
             if not _excluded(d, must_not):
                 s = sum(c.score() for c in order)
-                _push(heap, k, s, d)
+                if _after_ok(s, d, after):
+                    _push(heap, k, s, d)
             d = lead.next_geq(d + 1)
     return _heap_result(heap)
 
@@ -276,6 +305,7 @@ def exhaustive_topk(
     must_not_ids: np.ndarray | None = None,
     k1: float = BM25_K1,
     b: float = BM25_B,
+    after: tuple[float, int] | None = None,
 ) -> list[tuple[int, float]]:
     """Non-skipping vectorized scorer — the oracle twin of wand/intersect.
 
@@ -302,6 +332,9 @@ def exhaustive_topk(
         mask &= counts == len(lists)
     if must_not_ids is not None and len(must_not_ids):
         mask &= ~np.isin(uniq, must_not_ids)
+    if after is not None:
+        rounded = np.floor(scores * 1e4 + 0.5) / 1e4
+        mask &= (rounded < after[0]) | ((rounded == after[0]) & (uniq > after[1]))
     uniq, scores = uniq[mask], scores[mask]
     if len(uniq) == 0:
         return []

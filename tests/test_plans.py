@@ -71,3 +71,13 @@ def test_postings_fetch_prunes_and_pushes(spark, sf_dir):
     p = df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in p and "bucket" in p
     assert "EqualTo(tid" in p
+
+
+def test_exact_bm25_no_doc_stats_join(spark, qs, sf_dir):
+    """The exact path carries dl inline in the tf frame (corpus.exploded_tf),
+    so score_terms must plan exactly ONE join (the broadcast stats join) —
+    the doc_id shuffle join against doc_stats would be a full extra exchange
+    per query at scale (VERDICT r01 'What's wrong' #4)."""
+    p = _plan(spark, qs, "bm25_hot_term", sf_dir)
+    assert p.count("SortMergeJoin") == 0
+    assert p.count("ShuffledHashJoin") == 0

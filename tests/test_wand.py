@@ -135,3 +135,52 @@ def test_tie_break_doc_id_asc():
     ]
     got = wand_topk(c, 5)
     assert [d for d, _ in got] == [0, 1, 2, 3, 4]
+
+
+class TestSearchAfter:
+    """ES search_after parity: page1 ∪ page2 == top-2k, rank-preserved."""
+
+    def test_pages_partition_topk(self, spark, sf_dir):
+        from engine.registry import _indexed
+
+        idx = _indexed(spark, sf_dir)
+        for query, mode in [("table", "or"), ("customer order", "and"),
+                            ("sort merge join", "or")]:
+            top20 = idx.search(query, k=20, mode=mode).collect()
+            p1 = idx.search(query, k=10, mode=mode).collect()
+            if len(p1) < 10:
+                continue
+            last = p1[-1]
+            p2 = idx.search(
+                query, k=10, mode=mode,
+                after=(float(last["score"]), int(last["doc_id"])),
+            ).collect()
+            got = [(r["doc_id"], r["score"]) for r in p1 + p2]
+            want = [(r["doc_id"], r["score"]) for r in top20]
+            assert got == want, (query, mode)
+
+    def test_after_exhausts(self, spark, sf_dir):
+        from engine.registry import _indexed
+
+        idx = _indexed(spark, sf_dir)
+        # a rare term with few hits: paging past the end returns empty
+        hits = idx.search("dup", k=1000, mode="or").collect()
+        last = hits[-1]
+        nxt = idx.search(
+            "dup", k=10, mode="or",
+            after=(float(last["score"]), int(last["doc_id"])),
+        ).collect()
+        assert nxt == []
+
+    def test_after_matches_exhaustive(self, spark, sf_dir):
+        from engine.registry import _indexed
+
+        idx = _indexed(spark, sf_dir)
+        p1 = idx.search("table scan", k=5, mode="or").collect()
+        last = p1[-1]
+        after = (float(last["score"]), int(last["doc_id"]))
+        wand = idx.search("table scan", k=5, mode="or", algo="wand", after=after).collect()
+        ex = idx.search("table scan", k=5, mode="or", algo="exhaustive", after=after).collect()
+        assert [(r["doc_id"], r["score"]) for r in wand] == [
+            (r["doc_id"], r["score"]) for r in ex
+        ]
