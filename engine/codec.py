@@ -23,12 +23,19 @@ _U7 = np.uint64(7)
 _U0x7F = np.uint64(0x7F)
 
 
-def varint_encode(values: np.ndarray) -> bytes:
-    """LEB128-style variable-byte encode of a uint64 array (vectorized)."""
+def _varint_encode_offsets(
+    values: np.ndarray, boundaries: np.ndarray
+) -> tuple[bytes, np.ndarray]:
+    """LEB128-style variable-byte encode of a uint64 array (vectorized),
+    plus the byte offset of each requested value index.
+
+    Because each value's encoding is independent, the whole-stream encode is
+    byte-identical to concatenating per-block encodes — so one call replaces
+    a per-block Python loop and `boundaries` yields the skip byte offsets."""
     v = np.ascontiguousarray(values, dtype=np.uint64)
     n = len(v)
     if n == 0:
-        return b""
+        return b"", np.zeros(len(boundaries), dtype=np.int64)
     # bytes needed per value
     nb = np.ones(n, dtype=np.int64)
     tmp = v >> _U7
@@ -44,14 +51,22 @@ def varint_encode(values: np.ndarray) -> bytes:
         byte = ((v[mask] >> np.uint64(7 * j)) & _U0x7F).astype(np.uint8)
         cont = (nb[mask] - 1 > j).astype(np.uint8) << 7
         out[idx] = byte | cont
-    return out.tobytes()
+    bo = offs[boundaries] if len(boundaries) else np.empty(0, dtype=np.int64)
+    return out.tobytes(), bo
 
 
-def varint_decode(buf: bytes | bytearray | memoryview) -> np.ndarray:
-    """Decode a varint byte stream back to a uint64 array (vectorized)."""
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128-style variable-byte encode of a uint64 array (vectorized)."""
+    return _varint_encode_offsets(values, np.empty(0, dtype=np.int64))[0]
+
+
+def _varint_decode_starts(
+    buf: bytes | bytearray | memoryview,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Decode a varint byte stream → (uint64 values, start byte of each value)."""
     b = np.frombuffer(buf, dtype=np.uint8)
     if len(b) == 0:
-        return np.empty(0, dtype=np.uint64)
+        return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
     ends = np.flatnonzero((b & 0x80) == 0)  # last byte of each value
     n = len(ends)
     starts = np.empty(n, dtype=np.int64)
@@ -64,7 +79,12 @@ def varint_decode(buf: bytes | bytearray | memoryview) -> np.ndarray:
         vals[mask] |= (b[starts[mask] + j].astype(np.uint64) & _U0x7F) << np.uint64(
             7 * j
         )
-    return vals
+    return vals, starts
+
+
+def varint_decode(buf: bytes | bytearray | memoryview) -> np.ndarray:
+    """Decode a varint byte stream back to a uint64 array (vectorized)."""
+    return _varint_decode_starts(buf)[0]
 
 
 def delta_encode(sorted_ids: np.ndarray) -> np.ndarray:
@@ -123,42 +143,44 @@ def encode_postings(
     tf = np.asarray(tfs, dtype=np.int64)[order]
     dl = np.asarray(dls, dtype=np.int64)[order]
     n = len(ids)
+    if n == 0:
+        return {
+            "doc_ids_enc": b"", "tfs_enc": b"", "dls_enc": b"",
+            "skips": [], "block_max": 0.0, "df": 0, "cf": 0,
+        }
     impacts = bm25_impact(tf, dl, avgdl)
 
-    doc_parts: list[bytes] = []
-    tf_parts: list[bytes] = []
-    dl_parts: list[bytes] = []
-    skips: list[tuple[int, int, int, int, float]] = []
-    doc_off = 0
-    tf_off = 0
-    dl_off = 0
-    for s in range(0, n, block_size):
-        e = min(s + block_size, n)
-        blk_ids = ids[s:e]
-        gaps = np.empty(e - s, dtype=np.uint64)
-        gaps[0] = np.uint64(blk_ids[0])  # each block restarts from absolute id
-        if e - s > 1:
-            gaps[1:] = np.diff(blk_ids).astype(np.uint64)
-        d = varint_encode(gaps)
-        t = varint_encode(tf[s:e].astype(np.uint64))
-        l = varint_encode(dl[s:e].astype(np.uint64))
-        skips.append(
-            (int(blk_ids[0]), doc_off, tf_off, dl_off, float(impacts[s:e].max()))
+    # One vectorized pass over the whole list: the gap stream with per-block
+    # restarts (gaps[block start] = absolute id) encodes byte-identically to
+    # concatenated per-block encodes, and the skip byte offsets fall out of
+    # the encoder's cumulative byte counts — no per-block Python loop.
+    starts = np.arange(0, n, block_size, dtype=np.int64)
+    gaps = np.empty(n, dtype=np.uint64)
+    gaps[0] = np.uint64(ids[0])
+    if n > 1:
+        gaps[1:] = np.diff(ids).astype(np.uint64)
+    gaps[starts] = ids[starts].astype(np.uint64)  # each block restarts absolute
+    doc_enc, doc_offs = _varint_encode_offsets(gaps, starts)
+    tf_enc, tf_offs = _varint_encode_offsets(tf.astype(np.uint64), starts)
+    dl_enc, dl_offs = _varint_encode_offsets(dl.astype(np.uint64), starts)
+    block_maxes = np.maximum.reduceat(impacts, starts)
+    skips = list(
+        zip(
+            ids[starts].tolist(),
+            doc_offs.tolist(),
+            tf_offs.tolist(),
+            dl_offs.tolist(),
+            block_maxes.tolist(),
         )
-        doc_parts.append(d)
-        tf_parts.append(t)
-        dl_parts.append(l)
-        doc_off += len(d)
-        tf_off += len(t)
-        dl_off += len(l)
+    )
     return {
-        "doc_ids_enc": b"".join(doc_parts),
-        "tfs_enc": b"".join(tf_parts),
-        "dls_enc": b"".join(dl_parts),
+        "doc_ids_enc": doc_enc,
+        "tfs_enc": tf_enc,
+        "dls_enc": dl_enc,
         "skips": skips,
-        "block_max": float(impacts.max()) if n else 0.0,
+        "block_max": float(impacts.max()),
         "df": int(n),
-        "cf": int(tf.sum()) if n else 0,
+        "cf": int(tf.sum()),
     }
 
 
@@ -167,21 +189,34 @@ def decode_postings(
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Decode a full posting list → (doc_ids asc, tfs, dls) int64 arrays.
 
-    Blocks are delta-restarted, so doc_ids decode per block using byte
-    offsets; tf/dl streams are plain varint concatenations."""
-    if not skips:
+    Blocks are delta-restarted; the whole gap stream decodes in one
+    vectorized pass, then a per-block correction (the naive cumsum carries
+    the previous blocks' sum into each restarted block) is subtracted with
+    `np.repeat` — no per-block Python loop. Skip entries may be tuples,
+    Spark Rows, or Arrow-struct dicts; only the doc byte offset is read."""
+    if skips is None or len(skips) == 0:  # len(): skips may be a numpy array
         z = np.empty(0, dtype=np.int64)
         return z, z.copy(), z.copy()
-    ids_out: list[np.ndarray] = []
+    gaps, vstarts = _varint_decode_starts(doc_ids_enc)
+    ids = np.cumsum(gaps.astype(np.int64))
     n_blocks = len(skips)
-    for i in range(n_blocks):
-        d0 = skips[i][1]
-        d1 = skips[i + 1][1] if i + 1 < n_blocks else len(doc_ids_enc)
-        gaps = varint_decode(doc_ids_enc[d0:d1])
-        ids_out.append(np.cumsum(gaps.astype(np.int64)))
+    if n_blocks > 1:
+        if isinstance(skips[0], dict):
+            doc_offs = np.fromiter(
+                (s["doc_off"] for s in skips), dtype=np.int64, count=n_blocks
+            )
+        else:
+            doc_offs = np.fromiter(
+                (s[1] for s in skips), dtype=np.int64, count=n_blocks
+            )
+        bstarts = np.searchsorted(vstarts, doc_offs)
+        reps = np.diff(np.append(bstarts, len(gaps)))
+        corr = np.zeros(n_blocks, dtype=np.int64)
+        corr[1:] = ids[bstarts[1:] - 1]
+        ids = ids - np.repeat(corr, reps)
     tfs = varint_decode(tfs_enc).astype(np.int64)
     dls = varint_decode(dls_enc).astype(np.int64)
-    return np.concatenate(ids_out), tfs, dls
+    return ids, tfs, dls
 
 
 def decode_block(

@@ -83,16 +83,22 @@ def term_id(term_col):
     return F.xxhash64(term_col)
 
 
-def sorted_run_starts(pdf: pd.DataFrame, key_cols: list[str]) -> np.ndarray:
-    """Indices where a new key run begins in a key-sorted frame (vectorized)."""
-    n = len(pdf)
+def run_starts(key_arrays: list[np.ndarray]) -> np.ndarray:
+    """Indices where a new key run begins in key-sorted column arrays."""
+    n = len(key_arrays[0]) if key_arrays else 0
     change = np.zeros(n, dtype=bool)
     if n:
         change[0] = True
-        for c in key_cols:
-            v = pdf[c].to_numpy()
+        for v in key_arrays:
             change[1:] |= v[1:] != v[:-1]
     return np.flatnonzero(change)
+
+
+def sorted_run_starts(pdf: pd.DataFrame, key_cols: list[str]) -> np.ndarray:
+    """Indices where a new key run begins in a key-sorted frame (vectorized)."""
+    if not len(pdf):
+        return np.empty(0, dtype=np.int64)
+    return run_starts([pdf[c].to_numpy() for c in key_cols])
 
 
 def _encode_stream_fn(avgdl: float, block_size: int):
@@ -107,14 +113,13 @@ def _encode_stream_fn(avgdl: float, block_size: int):
     docs_per_shard × salting). Runs spanning batch boundaries are carried
     over between iterations."""
 
-    def fn(batches):
-        leftover: pd.DataFrame | None = None
+    _cols = _GROUP_COLS + ["doc_id", "tf", "dl"]
 
-        def encode_runs(pdf: pd.DataFrame, starts: np.ndarray, end: int) -> pd.DataFrame:
-            ids = pdf["doc_id"].to_numpy(dtype=np.int64)
-            tfs = pdf["tf"].to_numpy(dtype=np.int64)
-            dls = pdf["dl"].to_numpy(dtype=np.int64)
-            keys = {c: pdf[c].to_numpy() for c in _GROUP_COLS}
+    def fn(batches):
+        leftover: dict[str, np.ndarray] | None = None
+
+        def encode_runs(arrs: dict[str, np.ndarray], starts: np.ndarray, end: int) -> pd.DataFrame:
+            ids, tfs, dls = arrs["doc_id"], arrs["tf"], arrs["dl"]
             bounds = np.append(starts, end)
             rows = []
             for i in range(len(bounds) - 1):
@@ -122,9 +127,9 @@ def _encode_stream_fn(avgdl: float, block_size: int):
                 enc = encode_postings(ids[s:e], tfs[s:e], dls[s:e], avgdl, block_size)
                 rows.append(
                     (
-                        int(keys["tid"][s]), int(keys["bucket"][s]),
-                        int(keys["shard"][s]), int(keys["seg_id"][s]),
-                        int(keys["part"][s]),
+                        int(arrs["tid"][s]), int(arrs["bucket"][s]),
+                        int(arrs["shard"][s]), int(arrs["seg_id"][s]),
+                        int(arrs["part"][s]),
                         enc["df"], enc["cf"], enc["doc_ids_enc"], enc["tfs_enc"],
                         enc["dls_enc"], enc["skips"], enc["block_max"],
                     )
@@ -132,20 +137,21 @@ def _encode_stream_fn(avgdl: float, block_size: int):
             return pd.DataFrame(rows, columns=_POSTINGS_COLS)
 
         for pdf in batches:
-            if leftover is not None:
-                pdf = pd.concat([leftover, pdf], ignore_index=True)
-                leftover = None
             if not len(pdf):
                 continue
-            starts = sorted_run_starts(pdf, _GROUP_COLS)
+            arrs = {c: pdf[c].to_numpy() for c in _cols}
+            if leftover is not None:
+                arrs = {c: np.concatenate([leftover[c], arrs[c]]) for c in _cols}
+                leftover = None
+            starts = run_starts([arrs[c] for c in _GROUP_COLS])
             if len(starts) == 1:  # single (possibly incomplete) run — hold
-                leftover = pdf
+                leftover = arrs
                 continue
             last = int(starts[-1])
-            leftover = pdf.iloc[last:].reset_index(drop=True)
-            yield encode_runs(pdf, starts[:-1], last)
-        if leftover is not None and len(leftover):
-            yield encode_runs(leftover, np.array([0]), len(leftover))
+            leftover = {c: arrs[c][last:].copy() for c in _cols}
+            yield encode_runs(arrs, starts[:-1], last)
+        if leftover is not None and len(leftover["tid"]):
+            yield encode_runs(leftover, np.array([0]), len(leftover["tid"]))
 
     return fn
 

@@ -79,6 +79,7 @@ def _bm25_oracle(
     must_not: list[str] | None = None,
     phrase: str | None = None,
     offset: int = 0,
+    must_not_all: list[str] | None = None,
 ) -> str:
     """DuckDB ANSI SQL twin of exact_search (Lucene-8 BM25, SURVEY.md D8).
 
@@ -110,6 +111,14 @@ def _bm25_oracle(
         not_in = ", ".join(f"'{t}'" for t in must_not)
         not_clause = (
             f"AND doc_id NOT IN (SELECT DISTINCT doc_id FROM toks WHERE term IN ({not_in}))"
+        )
+    if must_not_all:
+        # delete-by-query twin: exclude docs matching ALL of these terms
+        # (AND-match), scored with FULL-corpus stats (ES pre-merge semantics)
+        na_in = ", ".join(f"'{t}'" for t in must_not_all)
+        not_clause += (
+            f" AND doc_id NOT IN (SELECT doc_id FROM toks WHERE term IN ({na_in})"
+            f" GROUP BY doc_id HAVING count(DISTINCT term) = {len(must_not_all)})"
         )
     if phrase:
         not_clause += (
@@ -242,6 +251,135 @@ for _name, _q, _k, _mode, _terms, _neg in _BM25_SET:
         _indexed_query(_q, _k, _mode),
         _bm25_oracle(_terms, _k, _mode, _neg),
     )
+
+
+# --- A5 mutation half: delete-by-query / update-by-query (engine/mutate.py) -
+
+
+def _q_delete_by_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES _delete_by_query then search [public]: docs matching BOTH
+    'customer' and 'order' are marked deleted (the delete set rides the
+    cogrouped per-shard exclude path — no broadcast, no index mutation for
+    this read-only contract query) and a ranked query skips them while
+    scores keep full-corpus stats (ES pre-merge semantics)."""
+    from .mutate import match_doc_ids
+
+    idx = _indexed(spark, sf_dir)
+    tomb = match_doc_ids(idx, "customer order", mode="and")
+    return idx.search("table", k=10, mode="or", exclude=tomb)
+
+
+register(
+    "search_delete_by_query",
+    _q_delete_by_query,
+    _bm25_oracle(["table"], 10, "or", must_not_all=["customer", "order"]),
+)
+
+
+_UPDATE_CACHE: dict[tuple, tuple] = {}
+_UPD_SUBSET = 300  # docs indexed by the update-by-query contract query
+_UPD_PRED_TERM = "data"  # docs containing this term get updated
+_UPD_TOKEN = "zzupdated"  # the token the update appends
+
+
+def _q_update_by_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES _update_by_query [public]: matched docs get ' zzupdated' appended
+    and are reindexed under FRESH internal doc_ids; the old ids are
+    tombstoned and expunged in the same segment-merge pass. Hits join back
+    to the stable external key (the original doc_id), so the result is
+    value-identical to a fresh build over the transformed corpus — which is
+    exactly what the DuckDB twin computes. Ordered by (score, key) on both
+    sides: internal ids differ by construction, so they cannot tie-break."""
+    from .index import build_index
+    from .mutate import update_by_query
+    from .searcher import LoadedIndex
+
+    key = _cache_key(spark, sf_dir)
+    if key not in _UPDATE_CACHE:
+        tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+        root = os.path.join("/root/repo/data/update_cache", tag)
+        docs = (
+            read_fixture(spark, sf_dir, "documents")
+            .select("doc_id", "text")
+            .filter(F.col("doc_id") < _UPD_SUBSET)
+        )
+        build_index(spark, docs, root, n_buckets=4, docs_per_shard=128, n_segments=1)
+        pred = F.concat(F.lit(" "), F.col("text"), F.lit(" ")).like(
+            f"% {_UPD_PRED_TERM} %"
+        )
+
+        def transform(m: DataFrame) -> DataFrame:
+            return m.withColumn(
+                "text", F.concat(F.col("text"), F.lit(" " + _UPD_TOKEN))
+            )
+
+        update_by_query(spark, root, docs, pred, transform, key_col="doc_id")
+        # re-run tolerant: the mapping is reconstructible from the predicate
+        _UPDATE_CACHE[key] = LoadedIndex(spark, root)
+    idx = _UPDATE_CACHE[key]
+    hits = idx.search(f"{_UPD_TOKEN} table", k=_UPD_SUBSET + 1, mode="or")
+    return (
+        hits.join(_upd_mapping(spark, sf_dir, idx), "doc_id")
+        .select(F.col("key").cast("long").alias("key"), "score")
+        .orderBy(F.col("score").desc(), F.col("key").asc())
+        .limit(10)
+    )
+
+
+def _upd_mapping(spark: SparkSession, sf_dir: str, idx) -> DataFrame:
+    """(internal doc_id → stable key) for the update-by-query contract
+    query, rebuilt deterministically: unmatched docs keep their id; updated
+    docs' new ids were assigned by key rank + shard-boundary offset."""
+    from .refine import assign_doc_ids
+
+    docs = (
+        read_fixture(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < _UPD_SUBSET)
+    )
+    pred = F.concat(F.lit(" "), F.col("text"), F.lit(" ")).like(f"% {_UPD_PRED_TERM} %")
+    matched = docs.filter(pred)
+    offset = idx.manifest.docs_per_shard * (
+        ((_UPD_SUBSET - 1) // idx.manifest.docs_per_shard) + 1
+    )
+    new_ids = assign_doc_ids(
+        matched.select(F.col("doc_id").alias("key"), "text"), order_col="key"
+    ).withColumn("doc_id", F.col("doc_id") + F.lit(offset))
+    keep = docs.join(matched.select("doc_id"), "doc_id", "left_anti").select(
+        "doc_id", F.col("doc_id").alias("key")
+    )
+    return keep.unionByName(new_ids.select("doc_id", "key"))
+
+
+register(
+    "search_update_by_query",
+    _q_update_by_query,
+    f"""
+WITH corpus AS (
+  SELECT doc_id,
+         CASE WHEN ' ' || text || ' ' LIKE '% {_UPD_PRED_TERM} %'
+              THEN text || ' {_UPD_TOKEN}' ELSE text END AS text
+  FROM documents WHERE doc_id < {_UPD_SUBSET}
+),
+toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM corpus),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / stats.avgdl)) ) AS score
+  FROM tf
+  JOIN (SELECT term, count(*) AS df FROM tf GROUP BY 1) df USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats
+  WHERE tf.term IN ('{_UPD_TOKEN}', 'table')
+  GROUP BY tf.doc_id
+)
+SELECT doc_id AS key, round(score, 4) AS score
+FROM scores ORDER BY score DESC, key ASC LIMIT 10
+""",
+)
 
 
 # --- D9 phrase match: positional postings + adjacency + BM25 ----------------
@@ -1452,8 +1590,8 @@ register("mm_frame_sample", _q_mm_frames, None)  # binary in → rows-only
 # WAND-covered features and redundant family members are demoted to 51+, and
 # rows-only queries follow (VERDICT r01 "Next round" #2).
 _PRIORITY = [
-    # exact BM25 core (wand twins cover or/must_not/stopword below)
-    "bm25_hot_term", "bm25_rare_term", "bm25_and", "bm25_and_k100",
+    # exact BM25 core (wand twins cover the rest of the family below)
+    "bm25_hot_term", "bm25_and",
     # corpus statistics
     "corpus_term_stats", "corpus_doc_length",
     # block-max WAND family (the indexed path is the flagship)
@@ -1464,6 +1602,8 @@ _PRIORITY = [
     "bm25_phrase", "bm25_wand_prefix", "bm25_wand_wildcard",
     "bm25_wand_fuzzy", "bm25_wand_page2", "bm25_multifield",
     "bm25_filtered_range",
+    # index mutation (ES delete-by-query / update-by-query)
+    "search_delete_by_query", "search_update_by_query",
     # LLM-pipeline dedup/ANN (oracle-bearing)
     "dedup_exact_groups", "dedup_ngram_jaccard", "ann_cosine_topk",
     # aggregations
@@ -1480,6 +1620,7 @@ _PRIORITY = [
     # text-analysis pipeline
     "text_quality", "text_token_counts", "text_fingerprint",
     # --- 51+: demoted oracle duplicates (still checked if the driver runs all)
+    "bm25_rare_term", "bm25_and_k100",
     "bm25_or", "bm25_must_not", "bm25_stopword", "bm25_prefix",
     "bm25_wildcard", "bm25_fuzzy", "rel_running_sum", "agg_distinct",
     # --- rows-only (no ANSI-SQL twin by nature; pytest-verified)

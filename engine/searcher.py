@@ -62,9 +62,12 @@ def _shard_topk_fn(
     after: tuple[float, int] | None = None,
 ):
     """Grouped-map UDF body: one shard's posting rows → local top-k.
-    `terms`/`must_not` are numeric tids (term_dict resolves strings)."""
+    `terms`/`must_not` are numeric tids (term_dict resolves strings).
+    The returned fn is single-parameter (a 2-arg grouped-map fn would be
+    treated as fn(key, pdf) by PySpark); the tombstone-aware core rides on
+    `fn.core` for the cogrouped delete-by-query path."""
 
-    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+    def core(pdf: pd.DataFrame, not_ids=None) -> pd.DataFrame:
         cursors = []
         for t in terms:
             rows = pdf[pdf["tid"] == t]
@@ -113,14 +116,44 @@ def _shard_topk_fn(
                         )
                         parts.append(i)
                 mn_ids = np.concatenate(parts) if parts else None
+            if not_ids is not None and len(not_ids):
+                import numpy as np
+
+                mn_ids = (
+                    np.concatenate([mn_ids, not_ids]) if mn_ids is not None else not_ids
+                )
             hits = exhaustive_topk(lists, k, avgdl, mode=mode, must_not_ids=mn_ids, after=after)
         elif mode == "and":
-            hits = intersect_topk(cursors, k, must_not=neg, after=after)
+            hits = intersect_topk(cursors, k, must_not=neg, after=after, not_ids=not_ids)
         else:
-            hits = wand_topk(cursors, k, must_not=neg, after=after)
+            hits = wand_topk(cursors, k, must_not=neg, after=after, not_ids=not_ids)
         return pd.DataFrame(
             {"doc_id": [h[0] for h in hits], "score": [h[1] for h in hits]}
         )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        return core(pdf)
+
+    fn.core = core
+    return fn
+
+
+def _shard_topk_cogroup_fn(core):
+    """Cogrouped-map wrapper: (shard's posting rows, shard's tombstone rows)
+    → local top-k. Tombstones ride the same shard key as the postings —
+    per-shard live-docs arrive WITH the shard's work, no broadcast of the
+    global delete set (the distributed analog of Lucene's per-segment
+    live-docs [public])."""
+    import numpy as np
+
+    def fn(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if not len(left):
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "score": pd.Series(dtype="float64")})
+        not_ids = (
+            np.sort(right["doc_id"].to_numpy(dtype="int64")) if len(right) else None
+        )
+        return core(left, not_ids)
 
     return fn
 
@@ -130,11 +163,16 @@ class LoadedIndex:
 
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
+        self.root = root
         self.manifest = IndexManifest.load(root)
         self.postings = spark.read.parquet(os.path.join(root, "postings"))
         self.term_dict = spark.read.parquet(os.path.join(root, "term_dict"))
         self.doc_stats = spark.read.parquet(os.path.join(root, "doc_stats"))
         self._td_cache: dict[str, tuple[int, int]] = {}
+        # delete-by-query marks (engine.mutate): applied to every search
+        # until expunge_deletes folds them into the postings (ES semantics)
+        tomb = os.path.join(root, "tombstones")
+        self.tombstones = spark.read.parquet(tomb) if os.path.isdir(tomb) else None
 
     def _lookup(self, terms: list[str]) -> dict[str, tuple[int, int, int]]:
         """D2 term-dict seek → {term: (df, bucket, tid)} (tiny collect)."""
@@ -156,6 +194,7 @@ class LoadedIndex:
         algo: str = "wand",
         round_to: int | None = 4,
         after: tuple[float, int] | None = None,
+        exclude: DataFrame | None = None,
     ) -> DataFrame:
         """Top-k → DataFrame(doc_id, score) ordered (score desc, doc_id asc).
 
@@ -163,7 +202,10 @@ class LoadedIndex:
         after: resumable ranked cursor [public: ES search_after] — the
         (score, doc_id) of the last hit of the previous page; only hits
         sorting strictly after it are returned (pushed into the per-shard
-        top-k heap, so deep pagination never widens k per shard)."""
+        top-k heap, so deep pagination never widens k per shard).
+        exclude: DataFrame(doc_id) of docs to treat as deleted, ON TOP of any
+        persisted tombstones — routed per shard via a cogroup so the delete
+        set is never broadcast whole (engine.mutate.delete_by_query)."""
         q = parse_query(query)
         found = self._lookup(q.terms + q.must_not)
         terms = [t for t in q.terms if t in found]
@@ -180,10 +222,27 @@ class LoadedIndex:
         rows = self.postings.filter(
             F.col("bucket").isin(buckets) & F.col("tid").isin(tids + neg_tids)
         )
-        local = rows.groupBy("shard").applyInPandas(
-            _shard_topk_fn(tids, idfs, neg_tids, self.manifest.avgdl, k, mode, algo, after),
-            TOPK_SCHEMA,
+        core = _shard_topk_fn(
+            tids, idfs, neg_tids, self.manifest.avgdl, k, mode, algo, after
         )
+        dead = self.tombstones.select("doc_id") if self.tombstones is not None else None
+        if exclude is not None:
+            ex = exclude.select("doc_id")
+            dead = ex if dead is None else dead.unionByName(ex).distinct()
+        if dead is not None:
+            tomb = dead.select(
+                F.col("doc_id").cast("long").alias("doc_id"),
+                (F.col("doc_id") / F.lit(self.manifest.docs_per_shard))
+                .cast("int")
+                .alias("shard"),
+            )
+            local = (
+                rows.groupBy("shard")
+                .cogroup(tomb.groupBy("shard"))
+                .applyInPandas(_shard_topk_cogroup_fn(core.core), TOPK_SCHEMA)
+            )
+        else:
+            local = rows.groupBy("shard").applyInPandas(core, TOPK_SCHEMA)
         score_col = (
             F.round(F.col("score"), round_to) if round_to is not None else F.col("score")
         )

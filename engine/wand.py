@@ -168,6 +168,17 @@ def _excluded(doc: int, must_not: list[TermCursor]) -> bool:
     return any(c.next_geq(doc) == doc for c in must_not)
 
 
+def _tombstoned(doc: int, not_ids: np.ndarray | None) -> bool:
+    """Live-docs check: `not_ids` is the shard's SORTED tombstoned doc_ids
+    (delete-by-query marks; the analog of Lucene's per-segment live-docs
+    bitset [public]). Binary search per candidate — O(log m) like a bitmap
+    probe, and only candidates that reach scoring pay it."""
+    if not_ids is None or not len(not_ids):
+        return False
+    j = int(np.searchsorted(not_ids, doc))
+    return j < len(not_ids) and int(not_ids[j]) == doc
+
+
 def _round_half_up(s: float, nd: int = 4) -> float:
     """Match Spark's F.round (HALF_UP) for non-negative scores — Python's
     built-in round is banker's and can disagree on .xxxx5 boundaries."""
@@ -193,13 +204,15 @@ def wand_topk(
     k: int,
     must_not: list[TermCursor] | None = None,
     after: tuple[float, int] | None = None,
+    not_ids: np.ndarray | None = None,
 ) -> list[tuple[int, float]]:
     """Block-max WAND disjunctive top-k → [(doc_id, score)] rank-ordered.
 
     after: resumable-cursor pagination — only hits sorting strictly after
     (score, doc_id) enter the heap; θ pruning still rises from the heap as
     usual (hits BELOW the cursor score must stay reachable, so the cursor
-    itself cannot seed θ)."""
+    itself cannot seed θ).
+    not_ids: sorted tombstoned doc_ids (delete-by-query live-docs filter)."""
     must_not = must_not or []
     active = [c for c in cursors if c.n_blocks > 0]
     for c in active:
@@ -244,7 +257,7 @@ def wand_topk(
                 continue
         if active[0].doc == pivot_doc:
             # fully evaluate pivot_doc (all aligned cursors contribute)
-            if not _excluded(pivot_doc, must_not):
+            if not _tombstoned(pivot_doc, not_ids) and not _excluded(pivot_doc, must_not):
                 s = 0.0
                 for c in active:
                     if c.doc != pivot_doc:
@@ -269,10 +282,11 @@ def intersect_topk(
     k: int,
     must_not: list[TermCursor] | None = None,
     after: tuple[float, int] | None = None,
+    not_ids: np.ndarray | None = None,
 ) -> list[tuple[int, float]]:
     """Conjunctive (bool.must) top-k: document-at-a-time posting-list
     intersection led by the rarest list, galloping via next_geq
-    (BASELINE.json:6)."""
+    (BASELINE.json:6). not_ids: sorted tombstoned doc_ids."""
     must_not = must_not or []
     if not cursors or any(c.n_blocks == 0 for c in cursors):
         return []
@@ -289,7 +303,7 @@ def intersect_topk(
                 aligned = False
                 break
         if aligned:
-            if not _excluded(d, must_not):
+            if not _tombstoned(d, not_ids) and not _excluded(d, must_not):
                 s = sum(c.score() for c in order)
                 if _after_ok(s, d, after):
                     _push(heap, k, s, d)
