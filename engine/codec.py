@@ -106,6 +106,26 @@ def delta_decode(gaps: np.ndarray) -> np.ndarray:
     return np.cumsum(gaps.astype(np.int64))
 
 
+def quantize_norm(dls: np.ndarray) -> np.ndarray:
+    """Lossy doc-length (norm) quantization to 4 significant bits — the
+    spirit of Lucene's 1-byte SmallFloat norms [public: Lucene
+    BM25Similarity norm encoding], which trade norm precision for a tiny
+    per-doc footprint and cacheable impact tables. Monotone (order of doc
+    lengths is preserved), idempotent, relative error < 1/8. NOT claimed
+    byte-identical to Lucene's intToByte4 (offline build — the exact table
+    cannot be pinned); default OFF so scores match the exact NumPy/DuckDB
+    oracles unless a caller opts into ES-style emulation."""
+    dl = np.asarray(dls, dtype=np.int64)
+    out = dl.copy()
+    mask = dl >= 16
+    if mask.any():
+        v = dl[mask]
+        # number of bits − 4 = shift that keeps the top 4 significant bits
+        shift = (np.floor(np.log2(v.astype(np.float64))).astype(np.int64) + 1) - 4
+        out[mask] = (v >> shift) << shift
+    return out
+
+
 def bm25_impact(
     tfs: np.ndarray, dls: np.ndarray, avgdl: float, k1: float = BM25_K1, b: float = BM25_B
 ) -> np.ndarray:

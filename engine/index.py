@@ -242,6 +242,7 @@ class IndexManifest:
     docs_per_shard: int
     n_segments: int
     block_size: int
+    quantize_norms: bool = False
 
     def to_json(self) -> str:
         return json.dumps(self.__dict__, indent=2)
@@ -263,9 +264,15 @@ def build_index(
     n_salts: int = 4,
     block_size: int = BLOCK_SIZE,
     checkpoint=None,
+    quantize_norms: bool = False,
 ) -> IndexManifest:
     """Full index build: docs(doc_id, text, …) → postings shards + term_dict
     + doc_stats + manifest under out_root (SURVEY.md §3.1 lifecycle).
+
+    quantize_norms: ES-style lossy doc-length norms (codec.quantize_norm) —
+    postings and doc_stats carry the quantized dl, avgdl stays exact (as in
+    Lucene, where avgdl derives from exact totals but per-doc norms are
+    1-byte [public]). Default off: scores then match the exact oracles.
 
     n_segments > 1 splits the corpus into doc-range segments encoded
     independently and then merged — exercising the segment-merge job the way
@@ -308,8 +315,22 @@ def build_index(
             _t0 = now
 
     ds = base.select("doc_id", "dl")
-    n_docs, avgdl = corpus_stats(ds)
+    n_docs, avgdl = corpus_stats(ds)  # avgdl from EXACT dls (Lucene-style)
     _lap("base+stats")
+    if quantize_norms:
+        # lossy per-doc norms (codec.quantize_norm, JVM-side twin): keep the
+        # top 4 significant bits of dl; postings + doc_stats see the same
+        # quantized value, so every scorer path stays self-consistent
+        nbits = (F.floor(F.log2(F.col("dl"))) + F.lit(1)).cast("int")
+        pow2 = F.pow(F.lit(2.0), (nbits - F.lit(4)).cast("double"))  # exact ≤ 2^52
+        base = base.withColumn(
+            "dl",
+            F.when(
+                F.col("dl") >= 16,
+                (F.floor(F.col("dl") / pow2) * pow2).cast("long"),
+            ).otherwise(F.col("dl")),
+        )
+        ds = base.select("doc_id", "dl")
     tf_dl = exploded_tf(base)  # (term, doc_id, tf, dl) — JVM explode, no join
     # ts (V rows, V = vocab size) feeds BOTH hot-term detection and the term
     # dictionary — cache it so the 26M-row explode+groupBy runs once
@@ -379,6 +400,7 @@ def build_index(
         docs_per_shard=docs_per_shard,
         n_segments=n_segments,
         block_size=block_size,
+        quantize_norms=quantize_norms,
     )
     with open(os.path.join(out_root, "manifest.json"), "w") as f:
         f.write(manifest.to_json())
