@@ -82,6 +82,42 @@ def histogram_agg(df: DataFrame, col: str, interval: float) -> DataFrame:
     )
 
 
+def filters_agg(df: DataFrame, filters: dict[str, "F.Column"]) -> DataFrame:
+    """ES `filters` aggregation [public]: one named bucket per predicate,
+    counted in a SINGLE pass — each filter becomes a conditional sum, so N
+    buckets cost one scan and one 1-row aggregate (no per-bucket jobs)."""
+    aggs = [
+        F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(name)
+        for name, cond in filters.items()
+    ]
+    return df.agg(*aggs)
+
+
+def range_agg(df: DataFrame, col: str, bounds: list[float]) -> DataFrame:
+    """ES `range` aggregation [public]: half-open [from, to) buckets keyed
+    "from-to" like ES. One CASE expression → one hash aggregate."""
+    edges = [float("-inf")] + [float(b) for b in bounds] + [float("inf")]
+    label = None
+    for lo, hi in zip(edges[:-1], edges[1:]):
+        name = (
+            f"*-{hi:g}" if lo == float("-inf")
+            else f"{lo:g}-*" if hi == float("inf")
+            else f"{lo:g}-{hi:g}"
+        )
+        cond = (F.col(col) >= F.lit(lo)) & (F.col(col) < F.lit(hi))
+        if lo == float("-inf"):
+            cond = F.col(col) < F.lit(hi)
+        elif hi == float("inf"):
+            cond = F.col(col) >= F.lit(lo)
+        label = F.when(cond, name) if label is None else label.when(cond, name)
+    return (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(label.alias("bucket"))
+        .agg(F.count("*").alias("doc_count"))
+        .orderBy("bucket")
+    )
+
+
 def date_histogram_agg(df: DataFrame, ts_col: str, unit: str = "hour") -> DataFrame:
     """E6 `date_histogram`: calendar-interval buckets."""
     return (

@@ -80,6 +80,7 @@ def _bm25_oracle(
     phrase: str | None = None,
     offset: int = 0,
     must_not_all: list[str] | None = None,
+    min_should_match: int = 1,
 ) -> str:
     """DuckDB ANSI SQL twin of exact_search (Lucene-8 BM25, SURVEY.md D8).
 
@@ -103,9 +104,13 @@ def _bm25_oracle(
     else:
         terms_in = ", ".join(f"'{t}'" for t in terms)
         term_pred = f"tf.term IN ({terms_in})"
-    and_clause = (
-        f"AND n_matched = {len(terms)}" if mode == "and" else ""
-    )
+    if mode == "and":
+        and_clause = f"AND n_matched = {len(terms)}"
+    elif min_should_match > 1:
+        # ES minimum_should_match / terms_set [public]
+        and_clause = f"AND n_matched >= {min_should_match}"
+    else:
+        and_clause = ""
     not_clause = ""
     if must_not:
         not_in = ", ".join(f"'{t}'" for t in must_not)
@@ -378,6 +383,113 @@ scores AS (
 )
 SELECT doc_id AS key, round(score, 4) AS score
 FROM scores ORDER BY score DESC, key ASC LIMIT 10
+""",
+)
+
+
+# --- minimum_should_match (ES terms_set): ≥ m of n terms --------------------
+
+
+def _q_min_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES minimum_should_match=2 over 4 terms, on the WAND path."""
+    return _indexed(spark, sf_dir).search(
+        "sort merge join stream", k=10, mode="or", min_should_match=2
+    )
+
+
+register(
+    "bm25_wand_min_match",
+    _q_min_match,
+    _bm25_oracle(
+        ["sort", "merge", "join", "stream"], 10, "or", min_should_match=2
+    ),
+)
+
+
+# --- more_like_this: MLT term selection + OR query, source excluded ---------
+
+
+def _q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES more_like_this for doc 42 (searcher.LoadedIndex.more_like_this):
+    top-5 tf·idf terms of the source doc → OR BM25 → source excluded."""
+    idx = _indexed(spark, sf_dir)
+    docs = read_fixture(spark, sf_dir, "documents")
+    return idx.more_like_this(docs, doc_id=42, max_query_terms=5, k=10)
+
+
+register(
+    "bm25_more_like_this",
+    _q_more_like_this,
+    f"""
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+sel AS (
+  SELECT tf.term
+  FROM tf JOIN df USING (term) CROSS JOIN stats
+  WHERE tf.doc_id = 42 AND tf.tf >= 1
+  ORDER BY round(tf.tf * ln(1 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5)), 6) DESC,
+           tf.term ASC
+  LIMIT 5
+),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / stats.avgdl)) ) AS score
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  WHERE tf.term IN (SELECT term FROM sel)
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score, 4) AS score FROM scores
+WHERE doc_id <> 42
+ORDER BY score DESC, doc_id ASC LIMIT 10
+""",
+)
+
+
+# --- rescore: two-phase ranking (WAND window → phrase-proximity boost) ------
+
+
+def _q_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES rescore: BM25 top-50 window for 'merge join' (OR), second phase
+    boosts docs containing the exact phrase by +2.0."""
+    idx = _indexed(spark, sf_dir)
+    docs = read_fixture(spark, sf_dir, "documents")
+    return idx.rescore(docs, "merge join", "merge join", window_size=50, weight=2.0, k=10)
+
+
+register(
+    "bm25_rescore_phrase",
+    _q_rescore,
+    f"""
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / stats.avgdl)) ) AS score
+  FROM tf
+  JOIN (SELECT term, count(*) AS df FROM tf GROUP BY 1) df USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats
+  WHERE tf.term IN ('merge', 'join')
+  GROUP BY tf.doc_id
+),
+win AS (
+  SELECT doc_id, round(score, 4) AS score FROM scores
+  ORDER BY round(score, 4) DESC, doc_id ASC LIMIT 50
+),
+resc AS (
+  SELECT w.doc_id,
+         round(w.score + 2.0 * (CASE WHEN ' ' || d.text || ' ' LIKE '% merge join %'
+                                     THEN 1 ELSE 0 END), 4) AS score
+  FROM win w JOIN documents d USING (doc_id)
+)
+SELECT doc_id, score FROM resc ORDER BY score DESC, doc_id ASC LIMIT 10
 """,
 )
 
@@ -752,6 +864,49 @@ register(
     """SELECT floor(value/10.0)*10.0 AS bucket, count(*) AS doc_count
        FROM events GROUP BY 1 ORDER BY 1""",
 )
+
+def _q_agg_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .aggs import filters_agg
+
+    ev = _ev(spark, sf_dir)
+    return filters_agg(
+        ev,
+        {
+            "clicks": F.col("event_type") == "click",
+            "big": F.col("value") > 100.0,
+            "click_or_big": (F.col("event_type") == "click") | (F.col("value") > 100.0),
+        },
+    )
+
+
+register(
+    "agg_filters",
+    _q_agg_filters,
+    """SELECT CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks,
+              CAST(sum(CASE WHEN value > 100.0 THEN 1 ELSE 0 END) AS BIGINT) AS big,
+              CAST(sum(CASE WHEN event_type = 'click' OR value > 100.0 THEN 1 ELSE 0 END) AS BIGINT) AS click_or_big
+       FROM events""",
+)
+
+
+def _q_agg_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .aggs import range_agg
+
+    return range_agg(_ev(spark, sf_dir), "value", [10.0, 100.0, 250.0])
+
+
+register(
+    "agg_range",
+    _q_agg_range,
+    """SELECT CASE WHEN value < 10.0 THEN '*-10'
+                   WHEN value < 100.0 THEN '10-100'
+                   WHEN value < 250.0 THEN '100-250'
+                   ELSE '250-*' END AS bucket,
+              count(*) AS doc_count
+       FROM events WHERE value IS NOT NULL
+       GROUP BY 1 ORDER BY 1""",
+)
+
 
 register(
     "agg_date_histogram",
@@ -1591,7 +1746,7 @@ register("mm_frame_sample", _q_mm_frames, None)  # binary in → rows-only
 # rows-only queries follow (VERDICT r01 "Next round" #2).
 _PRIORITY = [
     # exact BM25 core (wand twins cover the rest of the family below)
-    "bm25_hot_term", "bm25_and",
+    "bm25_and",
     # corpus statistics
     "corpus_term_stats", "corpus_doc_length",
     # block-max WAND family (the indexed path is the flagship)
@@ -1601,26 +1756,29 @@ _PRIORITY = [
     # query features
     "bm25_phrase", "bm25_wand_prefix", "bm25_wand_wildcard",
     "bm25_wand_fuzzy", "bm25_wand_page2", "bm25_multifield",
-    "bm25_filtered_range",
+    "bm25_filtered_range", "bm25_more_like_this", "bm25_rescore_phrase",
+    "bm25_wand_min_match",
     # index mutation (ES delete-by-query / update-by-query)
     "search_delete_by_query", "search_update_by_query",
     # LLM-pipeline dedup/ANN (oracle-bearing)
     "dedup_exact_groups", "dedup_ngram_jaccard", "ann_cosine_topk",
     # aggregations
-    "agg_terms", "agg_cardinality", "agg_cardinality_grouped", "agg_stats",
+    "agg_terms", "agg_cardinality_grouped", "agg_stats",
     "agg_percentiles", "agg_histogram", "agg_date_histogram", "agg_nested",
+    "agg_filters", "agg_range",
     "agg_top_hits", "agg_composite_page", "search_highlight",
     "agg_significant_terms", "agg_geo_mean_udaf",
     # relational operators
-    "rel_join_agg_topn", "rel_three_way_join", "rel_anti_join",
-    "rel_semi_join", "rel_range_join", "rel_set_except", "rel_window_topn",
+    "rel_join_agg_topn", "rel_three_way_join",
+    "rel_semi_join", "rel_range_join", "rel_window_topn",
     "rel_pricing_summary",
     # scalar function families
     "fn_json_extract", "fn_datetime", "fn_string",
     # text-analysis pipeline
     "text_quality", "text_token_counts", "text_fingerprint",
     # --- 51+: demoted oracle duplicates (still checked if the driver runs all)
-    "bm25_rare_term", "bm25_and_k100",
+    "bm25_hot_term", "bm25_rare_term", "bm25_and_k100", "agg_cardinality",
+    "rel_set_except", "rel_anti_join",
     "bm25_or", "bm25_must_not", "bm25_stopword", "bm25_prefix",
     "bm25_wildcard", "bm25_fuzzy", "rel_running_sum", "agg_distinct",
     # --- rows-only (no ANSI-SQL twin by nature; pytest-verified)

@@ -88,12 +88,15 @@ def exact_search(
     k: int = 10,
     mode: str = "or",
     round_to: int | None = 4,
+    min_should_match: int = 1,
 ) -> DataFrame:
     """D8 exact BM25 top-k → DataFrame(doc_id, score), deterministic order.
 
     round_to: decimal rounding applied to the final score so the driver's
     order-insensitive value-hash is robust to last-ulp float differences
-    between engines (Spark vs DuckDB oracle); None = raw double."""
+    between engines (Spark vs DuckDB oracle); None = raw double.
+    min_should_match: ES minimum_should_match — require ≥ m distinct query
+    terms per doc (mode='and' is the m = len(terms) special case)."""
     q = parse_query(query)
     if not q.terms:
         return tf.sparkSession.createDataFrame([], "doc_id long, score double")
@@ -104,6 +107,8 @@ def exact_search(
     )
     if mode == "and":
         scored = scored.filter(F.col("n_matched") == len(q.terms))
+    elif min_should_match > 1:
+        scored = scored.filter(F.col("n_matched") >= min_should_match)
     if q.must_not:
         excl = tf.filter(F.col("term").isin(q.must_not)).select("doc_id").distinct()
         scored = scored.join(excl, "doc_id", "left_anti")  # D6 bool.must_not

@@ -60,6 +60,7 @@ def _shard_topk_fn(
     mode: str,
     algo: str,
     after: tuple[float, int] | None = None,
+    min_match: int = 1,
 ):
     """Grouped-map UDF body: one shard's posting rows → local top-k.
     `terms`/`must_not` are numeric tids (term_dict resolves strings).
@@ -122,11 +123,17 @@ def _shard_topk_fn(
                 mn_ids = (
                     np.concatenate([mn_ids, not_ids]) if mn_ids is not None else not_ids
                 )
-            hits = exhaustive_topk(lists, k, avgdl, mode=mode, must_not_ids=mn_ids, after=after)
+            hits = exhaustive_topk(
+                lists, k, avgdl, mode=mode, must_not_ids=mn_ids, after=after,
+                min_match=min_match,
+            )
         elif mode == "and":
             hits = intersect_topk(cursors, k, must_not=neg, after=after, not_ids=not_ids)
         else:
-            hits = wand_topk(cursors, k, must_not=neg, after=after, not_ids=not_ids)
+            hits = wand_topk(
+                cursors, k, must_not=neg, after=after, not_ids=not_ids,
+                min_match=min_match,
+            )
         return pd.DataFrame(
             {"doc_id": [h[0] for h in hits], "score": [h[1] for h in hits]}
         )
@@ -147,13 +154,10 @@ def _shard_topk_cogroup_fn(core):
     import numpy as np
 
     def fn(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        if not len(left):
-            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
-                                 "score": pd.Series(dtype="float64")})
         not_ids = (
             np.sort(right["doc_id"].to_numpy(dtype="int64")) if len(right) else None
         )
-        return core(left, not_ids)
+        return core(left, not_ids)  # core returns its own empty-schema frame
 
     return fn
 
@@ -195,6 +199,7 @@ class LoadedIndex:
         round_to: int | None = 4,
         after: tuple[float, int] | None = None,
         exclude: DataFrame | None = None,
+        min_should_match: int = 1,
     ) -> DataFrame:
         """Top-k → DataFrame(doc_id, score) ordered (score desc, doc_id asc).
 
@@ -210,7 +215,11 @@ class LoadedIndex:
         found = self._lookup(q.terms + q.must_not)
         terms = [t for t in q.terms if t in found]
         empty = self.spark.createDataFrame([], TOPK_SCHEMA)
-        if not terms or (mode == "and" and len(terms) < len(q.terms)):
+        if (
+            not terms
+            or (mode == "and" and len(terms) < len(q.terms))
+            or len(terms) < min_should_match
+        ):
             return empty
         neg = [t for t in q.must_not if t in found]
         tids = [found[t][2] for t in terms]
@@ -223,7 +232,8 @@ class LoadedIndex:
             F.col("bucket").isin(buckets) & F.col("tid").isin(tids + neg_tids)
         )
         core = _shard_topk_fn(
-            tids, idfs, neg_tids, self.manifest.avgdl, k, mode, algo, after
+            tids, idfs, neg_tids, self.manifest.avgdl, k, mode, algo, after,
+            min_should_match,
         )
         dead = self.tombstones.select("doc_id") if self.tombstones is not None else None
         if exclude is not None:
@@ -300,10 +310,22 @@ class LoadedIndex:
         rows = self.postings.filter(
             F.col("bucket").isin(buckets) & F.col("tid").isin(tids)
         )
-        local = rows.groupBy("shard").applyInPandas(
-            _shard_multi_topk_fn(specs, self.manifest.avgdl, "wand"),
-            BATCH_TOPK_SCHEMA,
-        )
+        fn = _shard_multi_topk_fn(specs, self.manifest.avgdl, "wand")
+        if self.tombstones is not None:
+            # same per-shard live-docs routing as single-query search
+            tomb = self.tombstones.select(
+                F.col("doc_id").cast("long").alias("doc_id"),
+                (F.col("doc_id") / F.lit(self.manifest.docs_per_shard))
+                .cast("int")
+                .alias("shard"),
+            )
+            local = (
+                rows.groupBy("shard")
+                .cogroup(tomb.groupBy("shard"))
+                .applyInPandas(_shard_topk_cogroup_fn(fn.core), BATCH_TOPK_SCHEMA)
+            )
+        else:
+            local = rows.groupBy("shard").applyInPandas(fn, BATCH_TOPK_SCHEMA)
         score_col = (
             F.round(F.col("score"), round_to) if round_to is not None else F.col("score")
         )
@@ -314,6 +336,74 @@ class LoadedIndex:
             .filter(F.col("_r") <= k)
             .drop("_r")
             .orderBy("qid", F.col("score").desc(), F.col("doc_id").asc())
+        )
+
+    def more_like_this(
+        self,
+        docs: DataFrame,
+        doc_id: int,
+        max_query_terms: int = 5,
+        min_term_freq: int = 1,
+        k: int = 10,
+    ) -> DataFrame:
+        """ES more_like_this [public]: analyze the source doc, keep its most
+        "interesting" terms — ranked by tf·idf, ES's MLT term-selection
+        heuristic — run them as an OR query and exclude the source doc
+        (ES `include: false` default). Selection tie-break: (rounded tf·idf
+        DESC, term ASC), rounded half-up at 6 decimals so the DuckDB oracle
+        twin selects identically."""
+        import math
+
+        from .tokenizer import tokenize
+
+        row = docs.filter(F.col("doc_id") == int(doc_id)).select("text").collect()
+        if not row:
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        tf: dict[str, int] = {}
+        for t in tokenize(row[0]["text"]):
+            tf[t] = tf.get(t, 0) + 1
+        cand = [t for t, c in tf.items() if c >= min_term_freq]
+        found = self._lookup(cand)
+
+        def sel_score(t: str) -> float:
+            return math.floor(tf[t] * self.idf(found[t][0]) * 1e6 + 0.5) / 1e6
+
+        cand = sorted((t for t in cand if t in found), key=lambda t: (-sel_score(t), t))
+        terms = cand[:max_query_terms]
+        if not terms:
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        ex = self.spark.createDataFrame([(int(doc_id),)], "doc_id long")
+        return self.search(" ".join(terms), k=k, mode="or", exclude=ex)
+
+    def rescore(
+        self,
+        docs: DataFrame,
+        query: str,
+        phrase: str,
+        window_size: int = 50,
+        weight: float = 2.0,
+        k: int = 10,
+        mode: str = "or",
+    ) -> DataFrame:
+        """ES rescore [public]: cheap first phase (block-max WAND top
+        `window_size`), then an expensive second phase ONLY over that window
+        — here a phrase-adjacency boost (`score + weight·[phrase in doc]`).
+        The window (≤ window_size rows) is broadcast against the doc table,
+        so phase two never rescans the corpus."""
+        base = self.search(query, k=window_size, mode=mode)
+        has_phrase = F.when(
+            F.concat(F.lit(" "), F.col("text"), F.lit(" ")).like(f"% {phrase} %"),
+            F.lit(1.0),
+        ).otherwise(F.lit(0.0))
+        return (
+            docs.select("doc_id", "text")
+            .join(F.broadcast(base), "doc_id")
+            .select(
+                "doc_id",
+                F.round(F.col("score") + F.lit(weight) * has_phrase, 4).alias("score"),
+            )
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(k)
         )
 
     def fetch(self, topk: DataFrame, docs: DataFrame, cols=None) -> DataFrame:
@@ -328,9 +418,11 @@ BATCH_TOPK_SCHEMA = "qid string, doc_id long, score double"
 def _shard_multi_topk_fn(specs: list[dict], avgdl: float, algo: str):
     """Grouped-map body for search_many: one shard's postings → local top-k
     for EVERY query in `specs` (each {qid, tids, idfs, neg, k, mode}).
-    One scan + one Arrow crossing amortized over the whole query batch."""
+    One scan + one Arrow crossing amortized over the whole query batch.
+    `fn.core` (pdf, not_ids) is the tombstone-aware form used by the
+    cogrouped delete-by-query path."""
 
-    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+    def core(pdf: pd.DataFrame, not_ids=None) -> pd.DataFrame:
         out_q, out_d, out_s = [], [], []
         by_tid = {int(t): g for t, g in pdf.groupby("tid", sort=False)}
         for spec in specs:
@@ -347,13 +439,17 @@ def _shard_multi_topk_fn(specs: list[dict], avgdl: float, algo: str):
             if not cursors or (spec["mode"] == "and" and len(cursors) < len(spec["tids"])):
                 continue
             if spec["mode"] == "and":
-                hits = intersect_topk(cursors, spec["k"], must_not=neg)
+                hits = intersect_topk(cursors, spec["k"], must_not=neg, not_ids=not_ids)
             else:
-                hits = wand_topk(cursors, spec["k"], must_not=neg)
+                hits = wand_topk(cursors, spec["k"], must_not=neg, not_ids=not_ids)
             for d, s in hits:
                 out_q.append(spec["qid"])
                 out_d.append(d)
                 out_s.append(s)
         return pd.DataFrame({"qid": out_q, "doc_id": out_d, "score": out_s})
 
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        return core(pdf)
+
+    fn.core = core
     return fn

@@ -205,6 +205,7 @@ def wand_topk(
     must_not: list[TermCursor] | None = None,
     after: tuple[float, int] | None = None,
     not_ids: np.ndarray | None = None,
+    min_match: int = 1,
 ) -> list[tuple[int, float]]:
     """Block-max WAND disjunctive top-k → [(doc_id, score)] rank-ordered.
 
@@ -212,7 +213,11 @@ def wand_topk(
     (score, doc_id) enter the heap; θ pruning still rises from the heap as
     usual (hits BELOW the cursor score must stay reachable, so the cursor
     itself cannot seed θ).
-    not_ids: sorted tombstoned doc_ids (delete-by-query live-docs filter)."""
+    not_ids: sorted tombstoned doc_ids (delete-by-query live-docs filter).
+    min_match: ES minimum_should_match / terms_set [public] — a doc needs at
+    least this many distinct query terms to qualify. WAND's prefix-sum upper
+    bound stays a valid bound (it never understates), so pruning is sound;
+    under-matched docs are rejected at evaluation."""
     must_not = must_not or []
     active = [c for c in cursors if c.n_blocks > 0]
     for c in active:
@@ -259,11 +264,13 @@ def wand_topk(
             # fully evaluate pivot_doc (all aligned cursors contribute)
             if not _tombstoned(pivot_doc, not_ids) and not _excluded(pivot_doc, must_not):
                 s = 0.0
+                nm = 0
                 for c in active:
                     if c.doc != pivot_doc:
                         break
                     s += c.score()
-                if _after_ok(s, pivot_doc, after):
+                    nm += 1
+                if nm >= min_match and _after_ok(s, pivot_doc, after):
                     theta = _push(heap, k, s, pivot_doc)
             for c in active:
                 if c.doc == pivot_doc:
@@ -320,6 +327,7 @@ def exhaustive_topk(
     k1: float = BM25_K1,
     b: float = BM25_B,
     after: tuple[float, int] | None = None,
+    min_match: int = 1,
 ) -> list[tuple[int, float]]:
     """Non-skipping vectorized scorer — the oracle twin of wand/intersect.
 
@@ -344,6 +352,8 @@ def exhaustive_topk(
     mask = np.ones(len(uniq), dtype=bool)
     if mode == "and":
         mask &= counts == len(lists)
+    if min_match > 1:
+        mask &= counts >= min_match
     if must_not_ids is not None and len(must_not_ids):
         mask &= ~np.isin(uniq, must_not_ids)
     if after is not None:

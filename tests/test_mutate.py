@@ -175,3 +175,12 @@ def test_merge_drop_ids_unit(spark):
     assert np.array_equal(got_ids, ids[keep])
     assert np.array_equal(got_tfs, tfs[keep])
     assert r["df"] == keep.sum()
+
+
+def test_search_many_respects_tombstones(spark, index):
+    n = mutate.delete_by_query(index, DELETE_Q, mode="and")
+    assert n > 0
+    dead = {r["doc_id"] for r in index.tombstones.collect()}
+    res = index.search_many({"q1": "table", "q2": "sort merge join"}, k=10)
+    hits = {int(r["doc_id"]) for r in res.collect()}
+    assert not (hits & dead)

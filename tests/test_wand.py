@@ -184,3 +184,28 @@ class TestSearchAfter:
         assert [(r["doc_id"], r["score"]) for r in wand] == [
             (r["doc_id"], r["score"]) for r in ex
         ]
+
+
+@pytest.mark.parametrize("seed", range(15))
+@pytest.mark.parametrize("min_match", [2, 3])
+def test_wand_min_match_equals_exhaustive(seed, min_match):
+    """minimum_should_match (ES terms_set): WAND with the under-match reject
+    == vectorized count filter, rank-identical."""
+    rng = np.random.default_rng(seed + 1000)
+    lists, encs_idfs, avgdl = make_corpus(rng)
+    nq = int(rng.integers(min_match, 6))
+    q = rng.choice(len(lists), size=nq, replace=False)
+    want = exhaustive_topk(
+        [lists[i] for i in q], 10, avgdl, mode="or", min_match=min_match
+    )
+    got = wand_topk(
+        cursors_from([encs_idfs[i] for i in q], avgdl), 10, min_match=min_match
+    )
+    assert [d for d, _ in got] == [d for d, _ in want]
+    np.testing.assert_allclose(
+        [s for _, s in got], [s for _, s in want], rtol=1e-12
+    )
+    # every hit genuinely matches >= min_match terms
+    for d, _ in got:
+        n = sum(1 for i in q if d in set(lists[i][0].tolist()))
+        assert n >= min_match
