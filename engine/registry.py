@@ -81,6 +81,7 @@ def _bm25_oracle(
     offset: int = 0,
     must_not_all: list[str] | None = None,
     min_should_match: int = 1,
+    phrase_slop: tuple[str, str, int] | None = None,
 ) -> str:
     """DuckDB ANSI SQL twin of exact_search (Lucene-8 BM25, SURVEY.md D8).
 
@@ -130,6 +131,23 @@ def _bm25_oracle(
             f" AND doc_id IN (SELECT doc_id FROM documents"
             f" WHERE ' ' || text || ' ' LIKE '% {phrase} %')"
         )
+    if phrase_slop:
+        # sloppy-phrase twin (2-term): ordered pair within 1+slop positions;
+        # positions from generate_subscripts over the whitespace split (the
+        # pinned analyzer == whitespace split on this corpus)
+        t0, t1, slop = phrase_slop
+        not_clause += f"""
+ AND doc_id IN (
+   SELECT a.doc_id FROM
+     (SELECT doc_id, unnest(string_split(text,' ')) AS term,
+             generate_subscripts(string_split(text,' '), 1) AS pos
+      FROM documents) a
+   JOIN
+     (SELECT doc_id, unnest(string_split(text,' ')) AS term,
+             generate_subscripts(string_split(text,' '), 1) AS pos
+      FROM documents) b
+   ON a.doc_id = b.doc_id AND a.term = '{t0}' AND b.term = '{t1}'
+      AND b.pos - a.pos BETWEEN 1 AND {1 + slop})"""
     return f"""
 WITH toks AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
@@ -497,7 +515,7 @@ SELECT doc_id, score FROM resc ORDER BY score DESC, doc_id ASC LIMIT 10
 # --- D9 phrase match: positional postings + adjacency + BM25 ----------------
 
 
-def _q_phrase(phrase: str, k: int) -> Callable:
+def _q_phrase(phrase: str, k: int, slop: int = 0) -> Callable:
     terms = phrase.split()
 
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -507,7 +525,9 @@ def _q_phrase(phrase: str, k: int) -> Callable:
         dwt = with_tokens(docs)
         tok = tokens(dwt)
         tfp = tf_table(tok, with_positions=True)
-        matched = phrase_filter(tfp.select("doc_id", "term", "positions"), terms)
+        matched = phrase_filter(
+            tfp.select("doc_id", "term", "positions"), terms, slop=slop
+        )
         tf = tfp.select("term", "doc_id", "tf")
         ds = dwt.select("doc_id", "dl")
         n, avgdl = corpus_stats(ds)
@@ -1733,6 +1753,243 @@ def _q_mm_frames(spark, sf_dir):
 register("mm_frame_sample", _q_mm_frames, None)  # binary in → rows-only
 
 
+# --- D9+ sloppy phrase (ES match_phrase slop) --------------------------------
+
+register(
+    "bm25_phrase_slop",
+    _q_phrase("merge join", 10, slop=1),
+    _bm25_oracle(
+        ["merge", "join"], 10, "and", phrase_slop=("merge", "join", 1)
+    ),
+)
+
+
+# --- term suggester (ES _search suggest / term suggester) --------------------
+
+
+def _q_suggest(text: str, max_dist: int, k: int) -> Callable:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .suggest import term_suggest
+
+        _tf, _ds, ts, _n, _avgdl = _built_corpus(spark, sf_dir)
+        return term_suggest(ts, text, max_dist=max_dist, k=k)
+
+    return run
+
+
+def _suggest_oracle(text: str, max_dist: int, k: int) -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term FROM toks GROUP BY 1, 2),
+vocab AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1)
+SELECT term AS suggestion,
+       CAST(levenshtein('{text}', term) AS INTEGER) AS distance,
+       df AS freq
+FROM vocab
+WHERE levenshtein('{text}', term) <= {max_dist}
+ORDER BY distance ASC, freq DESC, suggestion ASC
+LIMIT {k}
+"""
+
+
+register(
+    "suggest_term",
+    _q_suggest("grup", 2, 5),
+    _suggest_oracle("grup", 2, 5),
+)
+
+
+# --- field collapse (ES `collapse`: one best hit per field value) ------------
+
+
+def _q_collapse(query: str, field: str, k: int) -> Callable:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .search import collapse_topk, scored_docs
+
+        tf, ds, ts, n, avgdl = _built_corpus(spark, sf_dir)
+        scored = scored_docs(tf, ds, ts, n, avgdl, query, mode="or")
+        docs = read_fixture(spark, sf_dir, "documents")
+        return collapse_topk(scored, docs, field, k)
+
+    return run
+
+
+def _collapse_oracle(terms: list[str], field: str, k: int) -> str:
+    terms_in = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / stats.avgdl)) ) AS score
+  FROM tf
+  JOIN (SELECT term, count(*) AS df FROM tf GROUP BY 1) df USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats
+  WHERE tf.term IN ({terms_in})
+  GROUP BY tf.doc_id
+),
+hits AS (
+  SELECT d.{field}, s.doc_id, round(s.score, 4) AS score,
+         row_number() OVER (
+           PARTITION BY d.{field}
+           ORDER BY round(s.score, 4) DESC, s.doc_id ASC
+         ) AS rn
+  FROM scores s JOIN documents d USING (doc_id)
+)
+SELECT {field}, doc_id, score FROM hits WHERE rn = 1
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+register(
+    "search_collapse",
+    _q_collapse("scan fast", "source", 10),
+    _collapse_oracle(["scan", "fast"], "source", 10),
+)
+
+
+# --- function_score (ES field_value_factor boost) -----------------------------
+
+
+def _q_function_score(query: str, k: int) -> Callable:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .search import scored_docs
+
+        tf, ds, ts, n, avgdl = _built_corpus(spark, sf_dir)
+        scored = scored_docs(tf, ds, ts, n, avgdl, query, mode="or")
+        docs = read_fixture(spark, sf_dir, "documents").select("doc_id", "n_chars")
+        # ES function_score field_value_factor(modifier=ln1p) [public]:
+        # final = bm25 * ln(1 + n_chars); boost must apply BEFORE the top-k
+        # cut because it reorders. JVM-side arithmetic, shuffle join on the
+        # (match-set-sized) scored side only.
+        return (
+            scored.join(docs, "doc_id")
+            .select(
+                "doc_id",
+                F.round(
+                    F.col("score") * F.log1p(F.col("n_chars").cast("double")), 4
+                ).alias("score"),
+            )
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(k)
+        )
+
+    return run
+
+
+def _function_score_oracle(terms: list[str], k: int) -> str:
+    terms_in = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / stats.avgdl)) ) AS score
+  FROM tf
+  JOIN (SELECT term, count(*) AS df FROM tf GROUP BY 1) df USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats
+  WHERE tf.term IN ({terms_in})
+  GROUP BY tf.doc_id
+)
+SELECT s.doc_id, round(s.score * ln(1 + d.n_chars), 4) AS score
+FROM scores s JOIN documents d USING (doc_id)
+ORDER BY score DESC, s.doc_id ASC
+LIMIT {k}
+"""
+
+
+register(
+    "bm25_function_score",
+    _q_function_score("filter fast", 10),
+    _function_score_oracle(["filter", "fast"], 10),
+)
+
+
+# --- query-time synonyms (ES synonym_graph at search analysis) ----------------
+
+_SYNONYMS = {"quick": ["fast"], "merge": ["join"]}
+
+
+def _q_synonym(query: str, k: int) -> Callable:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .search import expand_synonyms
+
+        tf, ds, ts, n, avgdl = _built_corpus(spark, sf_dir)
+        return exact_search(
+            tf, ds, ts, n, avgdl, expand_synonyms(query, _SYNONYMS), k=k, mode="or"
+        )
+
+    return run
+
+
+register(
+    "bm25_synonym",
+    _q_synonym("quick merge", 10),
+    # expansion of "quick merge" under _SYNONYMS; 'quick' has df=0 in the
+    # fixture (contributes nothing) — the synonym 'fast' carries the match
+    _bm25_oracle(["quick", "fast", "merge", "join"], 10, "or"),
+)
+
+
+# --- sort by field (ES `sort` on a doc value, scoring skipped) ----------------
+
+
+def _q_sort_by_field(query_terms: list[str], field: str, k: int) -> Callable:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .search import multiterm_and_docids
+
+        tf, _ds, _ts, _n, _avgdl = _built_corpus(spark, sf_dir)
+        matched = multiterm_and_docids(tf, query_terms)
+        docs = read_fixture(spark, sf_dir, "documents").select("doc_id", field)
+        # ES sort-by-field: scoring is skipped entirely (track_scores=false) —
+        # the match set semi-joins the doc values, TakeOrdered does the rest
+        return (
+            docs.join(matched, "doc_id", "left_semi")
+            .orderBy(F.col(field).desc(), F.col("doc_id").asc())
+            .limit(k)
+        )
+
+    return run
+
+
+def _sort_by_field_oracle(terms: list[str], field: str, k: int) -> str:
+    terms_in = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+)
+SELECT doc_id, {field} FROM documents
+WHERE doc_id IN (
+  SELECT doc_id FROM toks WHERE term IN ({terms_in})
+  GROUP BY doc_id HAVING count(DISTINCT term) = {len(terms)}
+)
+ORDER BY {field} DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+register(
+    "search_sort_by_field",
+    _q_sort_by_field(["filter", "fast"], "n_chars", 15),
+    _sort_by_field_oracle(["filter", "fast"], "n_chars", 15),
+)
+
+
 # ---------------------------------------------------------------------------
 # public contract
 
@@ -1748,16 +2005,17 @@ _PRIORITY = [
     # exact BM25 core (wand twins cover the rest of the family below)
     "bm25_and",
     # corpus statistics
-    "corpus_term_stats", "corpus_doc_length",
+    "corpus_term_stats",
     # block-max WAND family (the indexed path is the flagship)
-    "bm25_wand_hot_term", "bm25_wand_rare_term", "bm25_wand_and",
+    "bm25_wand_hot_term", "bm25_wand_and",
     "bm25_wand_or", "bm25_wand_must_not", "bm25_wand_and_k100",
-    "bm25_wand_stopword",
     # query features
-    "bm25_phrase", "bm25_wand_prefix", "bm25_wand_wildcard",
+    "bm25_phrase", "bm25_phrase_slop", "bm25_wand_prefix",
+    "bm25_wand_wildcard",
     "bm25_wand_fuzzy", "bm25_wand_page2", "bm25_multifield",
     "bm25_filtered_range", "bm25_more_like_this", "bm25_rescore_phrase",
-    "bm25_wand_min_match",
+    "bm25_wand_min_match", "suggest_term", "search_collapse",
+    "bm25_function_score",
     # index mutation (ES delete-by-query / update-by-query)
     "search_delete_by_query", "search_update_by_query",
     # LLM-pipeline dedup/ANN (oracle-bearing)
@@ -1765,7 +2023,7 @@ _PRIORITY = [
     # aggregations
     "agg_terms", "agg_cardinality_grouped", "agg_stats",
     "agg_percentiles", "agg_histogram", "agg_date_histogram", "agg_nested",
-    "agg_filters", "agg_range",
+    "agg_filters",
     "agg_top_hits", "agg_composite_page", "search_highlight",
     "agg_significant_terms", "agg_geo_mean_udaf",
     # relational operators
@@ -1776,7 +2034,11 @@ _PRIORITY = [
     "fn_json_extract", "fn_datetime", "fn_string",
     # text-analysis pipeline
     "text_quality", "text_token_counts", "text_fingerprint",
-    # --- 51+: demoted oracle duplicates (still checked if the driver runs all)
+    # --- 51+: demoted oracle near-duplicates (still checked if the driver
+    # runs all; each 1-50 slot keeps one green representative per operator)
+    "bm25_synonym", "search_sort_by_field",
+    "corpus_doc_length", "bm25_wand_rare_term", "bm25_wand_stopword",
+    "agg_range",
     "bm25_hot_term", "bm25_rare_term", "bm25_and_k100", "agg_cardinality",
     "rel_set_except", "rel_anti_join",
     "bm25_or", "bm25_must_not", "bm25_stopword", "bm25_prefix",

@@ -78,6 +78,40 @@ def score_terms(
     )
 
 
+def scored_docs(
+    tf: DataFrame,
+    doc_stats: DataFrame,
+    term_stats: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    query: str,
+    mode: str = "or",
+    min_should_match: int = 1,
+) -> DataFrame:
+    """Full BM25-scored match set → DataFrame(doc_id, score double,
+    n_matched) with boolean semantics applied but NO ordering/limit — the
+    shared core of exact_search and of features that re-rank before the
+    top-k cut (function_score boosts, field collapse, sort-by-field)."""
+    q = parse_query(query)
+    if not q.terms:
+        return tf.sparkSession.createDataFrame(
+            [], "doc_id long, score double, n_matched long"
+        )
+    scored = (
+        score_terms(tf, doc_stats, term_stats, n_docs, avgdl, q.terms)
+        .groupBy("doc_id")
+        .agg(F.sum("partial").alias("score"), F.count("*").alias("n_matched"))
+    )
+    if mode == "and":
+        scored = scored.filter(F.col("n_matched") == len(q.terms))
+    elif min_should_match > 1:
+        scored = scored.filter(F.col("n_matched") >= min_should_match)
+    if q.must_not:
+        excl = tf.filter(F.col("term").isin(q.must_not)).select("doc_id").distinct()
+        scored = scored.join(excl, "doc_id", "left_anti")  # D6 bool.must_not
+    return scored
+
+
 def exact_search(
     tf: DataFrame,
     doc_stats: DataFrame,
@@ -97,21 +131,10 @@ def exact_search(
     between engines (Spark vs DuckDB oracle); None = raw double.
     min_should_match: ES minimum_should_match — require ≥ m distinct query
     terms per doc (mode='and' is the m = len(terms) special case)."""
-    q = parse_query(query)
-    if not q.terms:
-        return tf.sparkSession.createDataFrame([], "doc_id long, score double")
-    scored = (
-        score_terms(tf, doc_stats, term_stats, n_docs, avgdl, q.terms)
-        .groupBy("doc_id")
-        .agg(F.sum("partial").alias("score"), F.count("*").alias("n_matched"))
+    scored = scored_docs(
+        tf, doc_stats, term_stats, n_docs, avgdl, query,
+        mode=mode, min_should_match=min_should_match,
     )
-    if mode == "and":
-        scored = scored.filter(F.col("n_matched") == len(q.terms))
-    elif min_should_match > 1:
-        scored = scored.filter(F.col("n_matched") >= min_should_match)
-    if q.must_not:
-        excl = tf.filter(F.col("term").isin(q.must_not)).select("doc_id").distinct()
-        scored = scored.join(excl, "doc_id", "left_anti")  # D6 bool.must_not
     score_col = F.round(F.col("score"), round_to) if round_to is not None else F.col("score")
     return (
         scored.select("doc_id", score_col.alias("score"))
@@ -130,35 +153,92 @@ def fetch(topk: DataFrame, docs: DataFrame, cols: list[str] | None = None) -> Da
 
 
 def phrase_filter(
-    tf_with_pos: DataFrame, terms: list[str]
+    tf_with_pos: DataFrame, terms: list[str], slop: int = 0
 ) -> DataFrame:
-    """D9 phrase match: docs where terms appear at consecutive positions.
+    """D9 phrase match: docs where the terms appear in order, each gap
+    between consecutive terms ≤ 1 + slop positions (slop=0 → strict
+    adjacency, the ES match_phrase default).
 
-    Pure SQL-expression adjacency check over the C2 position lists:
-    for a phrase [t0..tn], doc matches if ∃p ∈ pos(t0) with p+i ∈ pos(ti) ∀i.
-    Uses array ops (arrays here are per-doc position lists, bounded by dl).
-    [public: ES match_phrase]."""
+    Pure SQL-expression check over the C2 position lists: a running set of
+    reachable match-end positions is narrowed term by term —
+    ends₀ = pos(t0); endsᵢ = {q ∈ pos(tᵢ) | ∃e ∈ endsᵢ₋₁: 1 ≤ q−e ≤ 1+slop}.
+    Arrays are per-doc position lists, bounded by dl, so the lambda work is
+    O(dl²) worst-case per doc and embarrassingly parallel. slop>0 is the
+    ordered per-gap simplification of Lucene's sloppy-phrase edit-distance
+    semantics, documented as such [public: ES match_phrase slop]."""
     if not terms:
         raise ValueError("empty phrase")
+    gap = 1 + slop
     base = (
         tf_with_pos.filter(F.col("term") == terms[0])
-        .select("doc_id", F.col("positions").alias("p0"))
+        .select("doc_id", F.col("positions").alias("ends"))
     )
     for i, t in enumerate(terms[1:], start=1):
         nxt = (
             tf_with_pos.filter(F.col("term") == t)
-            .select("doc_id", F.col("positions").alias(f"p{i}"))
+            .select("doc_id", F.col("positions").alias(f"np{i}"))
         )
         base = base.join(nxt, "doc_id")
-        # keep only start positions whose (i)-shifted successor exists
         base = base.withColumn(
-            "p0",
+            "ends",
             F.filter(
-                F.col("p0"),
-                lambda p: F.exists(F.col(f"p{i}"), lambda x: x == p + F.lit(i)),
+                F.col(f"np{i}"),
+                lambda q: F.exists(
+                    F.col("ends"),
+                    lambda e: (q - e >= 1) & (q - e <= F.lit(gap)),
+                ),
             ),
-        ).drop(f"p{i}")
-    return base.filter(F.size("p0") > 0).select("doc_id")
+        ).drop(f"np{i}")
+    return base.filter(F.size("ends") > 0).select("doc_id")
+
+
+def expand_synonyms(query: str, synonyms: dict[str, list[str]]) -> str:
+    """Query-time synonym expansion (ES synonym_graph token filter at search
+    analysis, simplification: the group scores as a bool.should disjunction
+    rather than blended-statistics SynonymQuery; documented divergence).
+    must_not tokens (`-term`) are never expanded."""
+    out: list[str] = []
+    for raw in query.split():
+        if raw.startswith("-"):
+            out.append(raw)
+            continue
+        out.append(raw)
+        for syn in synonyms.get(raw, []):
+            if syn not in out:
+                out.append(syn)
+    return " ".join(out)
+
+
+def collapse_topk(
+    scored: DataFrame, docs: DataFrame, field: str, k: int, round_to: int = 4
+) -> DataFrame:
+    """ES field collapsing [public: `collapse` on search]: one best hit per
+    distinct value of `field`, then the global top-k of those group champions.
+
+    Plan shape: the champion-per-group is a hash AGGREGATION (max of a
+    (score, −doc_id) struct), not a window — partial aggregation combines
+    map-side, so the shuffle carries ≤ one row per (partition, group) instead
+    of every scored hit, which is the difference at web scale where a hot
+    query matches millions of docs across thousands of collapse groups.
+    Tie-break inside a group: score DESC, doc_id ASC (−doc_id in the struct
+    max). Output: (field, doc_id, score), global order score DESC, doc_id ASC."""
+    joined = scored.join(docs.select("doc_id", field), "doc_id").select(
+        field,
+        F.struct(
+            F.round(F.col("score"), round_to).alias("score"),
+            (-F.col("doc_id")).alias("neg_id"),
+        ).alias("cand"),
+    )
+    best = joined.groupBy(field).agg(F.max("cand").alias("best"))
+    return (
+        best.select(
+            field,
+            (-F.col("best.neg_id")).alias("doc_id"),
+            F.col("best.score").alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
 
 
 def range_filter(docs: DataFrame, col: str, lo, hi) -> DataFrame:

@@ -1,0 +1,41 @@
+"""Term suggester (SURVEY.md §2 D-family extension): ES `_search` suggest /
+`term` suggester [public] — given a (possibly misspelled) input token, return
+the closest vocabulary terms by edit distance, ranked the way ES does:
+distance ASC, document frequency DESC, term ASC.
+
+Spark-first shape: the vocabulary (term dictionary / term_stats) is V rows —
+orders of magnitude smaller than the corpus — so this is a single scan of the
+dictionary with a JVM-side `levenshtein` expression (whole-stage codegen, no
+UDF), then TakeOrderedAndProject for the top-k. At 100 TB the dictionary is
+still only ~10⁷ rows; the scan stays trivially cheap and fully distributed.
+
+suggest_mode='always' semantics (the input term itself is eligible if it is
+in the vocabulary); ES's default 'missing' mode is the caller-side special
+case "skip if distance-0 hit exists".
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def term_suggest(
+    term_stats: DataFrame, text: str, max_dist: int = 2, k: int = 5
+) -> DataFrame:
+    """Top-k spelling suggestions for `text` from the vocabulary.
+
+    term_stats: DataFrame with (term, df) — engine.corpus.term_stats or a
+    LoadedIndex term_dict. Returns (suggestion, distance, freq)."""
+    return (
+        term_stats.select(
+            F.col("term").alias("suggestion"),
+            F.levenshtein(F.lit(text), F.col("term")).alias("distance"),
+            F.col("df").cast("long").alias("freq"),
+        )
+        .filter(F.col("distance") <= max_dist)
+        .orderBy(
+            F.col("distance").asc(), F.col("freq").desc(), F.col("suggestion").asc()
+        )
+        .limit(k)
+    )

@@ -1,0 +1,119 @@
+"""Unit tests for the round-2 ES-surface features: sloppy phrase, term
+suggester, field collapse, synonyms, function_score. The driver-contract
+test (test_driver_contract.py) checks each against its DuckDB oracle; these
+pin the semantics the 2-term oracles can't reach (n-term slop chains,
+collapse tie-breaks, suggester ranking)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from engine.search import collapse_topk, expand_synonyms, phrase_filter
+from engine.suggest import term_suggest
+
+
+def _tfp(spark, rows):
+    """rows: (doc_id, term, positions)"""
+    return spark.createDataFrame(
+        rows, "doc_id long, term string, positions array<int>"
+    )
+
+
+class TestSloppyPhrase:
+    def test_slop0_is_strict_adjacency(self, spark):
+        tfp = _tfp(
+            spark,
+            [
+                (1, "a", [0]), (1, "b", [1]),        # adjacent → match
+                (2, "a", [0]), (2, "b", [2]),        # gap 2 → no match at slop 0
+            ],
+        )
+        got = {r.doc_id for r in phrase_filter(tfp, ["a", "b"], slop=0).collect()}
+        assert got == {1}
+
+    def test_slop1_allows_one_gap(self, spark):
+        tfp = _tfp(
+            spark,
+            [
+                (1, "a", [0]), (1, "b", [1]),
+                (2, "a", [0]), (2, "b", [2]),        # gap 2 → match at slop 1
+                (3, "a", [0]), (3, "b", [3]),        # gap 3 → no match
+                (4, "b", [0]), (4, "a", [1]),        # reversed order → never
+            ],
+        )
+        got = {r.doc_id for r in phrase_filter(tfp, ["a", "b"], slop=1).collect()}
+        assert got == {1, 2}
+
+    def test_three_term_chain_tracks_running_ends(self, spark):
+        # "a b c" slop 1: each consecutive gap ≤ 2. doc 1: 0,2,4 (ok).
+        # doc 2: 0,2,5 (second gap 3 → fail). doc 3 only matches via the
+        # SECOND occurrence of b (0, 1→dead-end? no: both b's valid: 1 and 2;
+        # c at 4 reachable from b=2 but not from b=1... gap from 2 is 2 → ok).
+        tfp = _tfp(
+            spark,
+            [
+                (1, "a", [0]), (1, "b", [2]), (1, "c", [4]),
+                (2, "a", [0]), (2, "b", [2]), (2, "c", [5]),
+                (3, "a", [0]), (3, "b", [1, 2]), (3, "c", [4]),
+            ],
+        )
+        got = {r.doc_id for r in phrase_filter(tfp, ["a", "b", "c"], slop=1).collect()}
+        assert got == {1, 3}
+
+
+class TestSuggest:
+    def test_ranking_distance_then_freq(self, spark):
+        ts = spark.createDataFrame(
+            [("group", 100, 200), ("dup", 10, 20), ("grep", 50, 60), ("zzz", 999, 999)],
+            "term string, df long, cf long",
+        )
+        rows = term_suggest(ts, "grup", max_dist=2, k=5).collect()
+        # distances: group=1, grep=1, dup=2; freq breaks the tie group>grep
+        assert [(r.suggestion, r.distance) for r in rows] == [
+            ("group", 1), ("grep", 1), ("dup", 2),
+        ]
+
+    def test_k_cuts(self, spark):
+        ts = spark.createDataFrame(
+            [("aa", 5, 5), ("ab", 9, 9), ("ac", 1, 1)], "term string, df long, cf long"
+        )
+        rows = term_suggest(ts, "aa", max_dist=1, k=2).collect()
+        assert [r.suggestion for r in rows] == ["aa", "ab"]
+
+
+class TestCollapse:
+    def test_one_hit_per_group_with_tiebreak(self, spark):
+        scored = spark.createDataFrame(
+            [(1, 5.0), (2, 5.0), (3, 7.0), (4, 1.0)], "doc_id long, score double"
+        )
+        docs = spark.createDataFrame(
+            [(1, "g1"), (2, "g1"), (3, "g2"), (4, "g3")], "doc_id long, source string"
+        )
+        rows = collapse_topk(scored, docs, "source", k=10).collect()
+        # g1 ties at 5.0 → lower doc_id (1) wins; order score desc
+        assert [(r.source, r.doc_id, r.score) for r in rows] == [
+            ("g2", 3, 7.0), ("g1", 1, 5.0), ("g3", 4, 1.0),
+        ]
+
+    def test_global_topk_cut(self, spark):
+        scored = spark.createDataFrame(
+            [(i, float(i)) for i in range(1, 7)], "doc_id long, score double"
+        )
+        docs = spark.createDataFrame(
+            [(i, f"g{i}") for i in range(1, 7)], "doc_id long, source string"
+        )
+        rows = collapse_topk(scored, docs, "source", k=2).collect()
+        assert [r.doc_id for r in rows] == [6, 5]
+
+
+class TestSynonyms:
+    def test_expansion_and_order(self):
+        assert (
+            expand_synonyms("quick merge", {"quick": ["fast"], "merge": ["join"]})
+            == "quick fast merge join"
+        )
+
+    def test_must_not_never_expanded(self):
+        assert expand_synonyms("-quick x", {"quick": ["fast"]}) == "-quick x"
+
+    def test_no_duplicate_tokens(self):
+        assert expand_synonyms("fast quick", {"quick": ["fast"]}) == "fast quick"
