@@ -166,17 +166,26 @@ def encode_segment(
     n_salts: int = 4,
     hot_terms: list[str] | None = None,
     block_size: int = BLOCK_SIZE,
+    doc_bounds: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Encode one segment's postings from tf rows (term, doc_id, tf, dl).
 
     The repartition below IS the salted repartition-by-term shuffle: one
     Exchange on (bucket,shard,seg_id,part). Non-hot terms route by term hash
-    (whole list on one reducer); hot terms route by doc hash so no single
-    reducer gets the full "the" list (C5 salting). Each reducer then
-    sort-streams its runs through one mapInPandas encoder — Spark's external
-    shuffle sort does the grouping, so memory stays bounded and there is no
-    per-term Arrow dispatch.
-    """
+    (whole list on one reducer); hot terms are salted so no single reducer
+    gets the full "the" list (C5 salting). Each reducer then sort-streams
+    its runs through one mapInPandas encoder — Spark's external shuffle sort
+    does the grouping, so memory stays bounded and there is no per-term
+    Arrow dispatch.
+
+    doc_bounds=(lo, hi): when the segment's doc_id range is known, hot-term
+    salts are CONTIGUOUS DOC RANGES (salt = (doc_id−lo)·S/(hi−lo+1)) instead
+    of doc-id hashes. Load balance is identical for dense doc ids (B6
+    guarantees density), but every salt part then covers a disjoint doc
+    range — which makes the segment merge a pure concatenation (the Lucene
+    bulk-merge analog, see build_index) instead of a decode/re-encode of
+    every posting. Without bounds the hash salt is used (streaming deltas,
+    arbitrary caller ids)."""
     df = (
         tf_dl.withColumn("tid", term_id(F.col("term")))
         .withColumn("bucket", F.pmod(F.col("tid"), F.lit(n_buckets)).cast("int"))
@@ -186,7 +195,18 @@ def encode_segment(
     term_part = F.pmod(F.xxhash64("tid", F.lit(1)), F.lit(n_salts)).cast("int")
     if hot_terms:
         hot = F.col("term").isin(list(hot_terms))
-        salt = F.pmod(F.xxhash64("doc_id"), F.lit(n_salts)).cast("int")
+        if doc_bounds is not None and doc_bounds[1] >= doc_bounds[0]:
+            lo, hi = doc_bounds
+            span = hi - lo + 1
+            salt = F.greatest(
+                F.lit(0),
+                F.least(
+                    F.lit(n_salts - 1),
+                    F.floor((F.col("doc_id") - F.lit(lo)) * F.lit(n_salts) / F.lit(span)),
+                ),
+            ).cast("int")
+        else:
+            salt = F.pmod(F.xxhash64("doc_id"), F.lit(n_salts)).cast("int")
         df = df.withColumn("part", F.when(hot, salt).otherwise(term_part))
     else:
         df = df.withColumn("part", term_part)
@@ -265,6 +285,7 @@ def build_index(
     block_size: int = BLOCK_SIZE,
     checkpoint=None,
     quantize_norms: bool = False,
+    bulk_merge: bool = True,
 ) -> IndexManifest:
     """Full index build: docs(doc_id, text, …) → postings shards + term_dict
     + doc_stats + manifest under out_root (SURVEY.md §3.1 lifecycle).
@@ -281,6 +302,21 @@ def build_index(
     checkpoint: optional engine.checkpoint.CheckpointManager — each stage is
     materialized + manifest-tracked so an interrupted build resumes without
     recomputation (BASELINE.json:6).
+
+    bulk_merge (default on): build-time segments partition doc-space by
+    RANGE (seg = doc_id // seg_size) and hot-term salts are doc-range
+    buckets (encode_segment doc_bounds), so every posting row of a
+    (bucket, shard, tid) covers a disjoint doc range. Doc-ordered
+    concatenation therefore IS the merge — relabel part := seg_id·S + part
+    (ascending part == ascending doc range) and seg_id := 0, with zero
+    decode or re-encode; the read path already streams part-chained rows in
+    part order. This is the Lucene bulk-merge analog [public: Lucene merge
+    of segments with no deletions copies postings wholesale]. The general
+    decode/merge/encode job (engine/merge.py) remains the engine for inputs
+    that CAN overlap: streaming compaction, reindex upserts, tombstone
+    expunges (engine/streaming.py, engine/mutate.py) — set bulk_merge=False
+    to route this build through it (equivalence is pinned by
+    tests/test_index.py::test_segment_invariance on both paths).
     """
     from .merge import merge_postings  # local import to avoid cycle
 
@@ -315,7 +351,17 @@ def build_index(
             _t0 = now
 
     ds = base.select("doc_id", "dl")
-    n_docs, avgdl = corpus_stats(ds)  # avgdl from EXACT dls (Lucene-style)
+    # ONE agg pass: n_docs + exact avgdl (Lucene-style) + actual doc_id
+    # bounds (dense 0..n−1 for refine output, but not assumed — bounds feed
+    # range salting + bulk merge)
+    _st = ds.agg(
+        F.count("*").alias("n"), F.avg("dl").alias("avgdl"),
+        F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"),
+    ).collect()[0]
+    n_docs = int(_st["n"])
+    avgdl = float(_st["avgdl"]) if n_docs else 0.0
+    doc_mn = int(_st["mn"]) if n_docs else 0
+    doc_mx = int(_st["mx"]) if n_docs else -1
     _lap("base+stats")
     if quantize_norms:
         # lossy per-doc norms (codec.quantize_norm, JVM-side twin): keep the
@@ -342,7 +388,8 @@ def build_index(
     def stage_segments():
         if n_segments <= 1:
             return encode_segment(
-                tf_dl, avgdl, n_buckets, docs_per_shard, 0, hot_df, n_salts, hot_terms, block_size
+                tf_dl, avgdl, n_buckets, docs_per_shard, 0, hot_df, n_salts,
+                hot_terms, block_size, doc_bounds=(doc_mn, doc_mx),
             )
         seg_size = (n_docs + n_segments - 1) // n_segments
         seg_col = (F.col("doc_id") / F.lit(seg_size)).cast("int")
@@ -352,7 +399,12 @@ def build_index(
             seg_tf = exploded_tf(base.filter(seg_col == s))
             parts.append(
                 encode_segment(
-                    seg_tf, avgdl, n_buckets, docs_per_shard, s, hot_df, n_salts, hot_terms, block_size
+                    seg_tf, avgdl, n_buckets, docs_per_shard, s, hot_df, n_salts,
+                    hot_terms, block_size,
+                    doc_bounds=(
+                        max(doc_mn, s * seg_size),
+                        min(doc_mx, (s + 1) * seg_size - 1),
+                    ),
                 )
             )
         out = parts[0]
@@ -366,6 +418,13 @@ def build_index(
             if checkpoint is not None
             else stage_segments()
         )
+        if bulk_merge:
+            # bulk merge (see build_index docstring): disjoint doc ranges by
+            # construction → concatenation-by-relabel, no transcode
+            return raw.withColumn(
+                "part",
+                (F.col("seg_id") * F.lit(n_salts) + F.col("part")).cast("int"),
+            ).withColumn("seg_id", F.lit(0).cast("int"))
         return merge_postings(raw, avgdl, block_size=block_size)
 
     merged = (

@@ -70,7 +70,9 @@ def job_build(args: argparse.Namespace) -> dict:
         CheckpointManager(
             spark,
             os.path.join(args.out, "_checkpoints"),
-            fingerprint=f"pages={args.pages};segments={args.segments};salts={args.salts}",
+            # layout=rs1: range-salted hot terms + bulk merge (a resumed
+            # checkpoint from the hash-salt era must not be bulk-merged)
+            fingerprint=f"pages={args.pages};segments={args.segments};salts={args.salts};layout=rs1",
         )
         if args.checkpoint
         else None

@@ -91,20 +91,26 @@ def test_index_search_matches_exact(index, exact, query, k, mode, algo):
     )
 
 
-def test_segment_invariance(spark, docs, exact, index, tmp_path_factory):
-    """Index built in 3 segments + merged == single-segment index."""
-    root = str(tmp_path_factory.mktemp("index_seg") / "idx")
+@pytest.mark.parametrize("bulk", [True, False])
+def test_segment_invariance(spark, docs, exact, index, tmp_path_factory, bulk):
+    """Index built in 3 segments + merged == single-segment index, on BOTH
+    merge paths: bulk (concatenation-by-relabel over disjoint doc ranges)
+    and the general decode/merge/encode job."""
+    root = str(tmp_path_factory.mktemp(f"index_seg_{bulk}") / "idx")
     build_index(
         spark, docs, root, n_buckets=4, docs_per_shard=128, n_segments=3,
-        hot_df=None, block_size=32,
+        hot_df=None, block_size=32, bulk_merge=bulk,
     )
     seg_idx = LoadedIndex(spark, root)
     for query, k, mode in QUERIES[:5]:
         a = index.search(query, k=k, mode=mode, round_to=None).collect()
         b = seg_idx.search(query, k=k, mode=mode, round_to=None).collect()
-        assert [(r["doc_id"], r["score"]) for r in a] == [
-            (r["doc_id"], r["score"]) for r in b
-        ], query
+        # rank-identical; scores to float-sum associativity (chunk boundaries
+        # differ between layouts, so per-doc partial sums may differ by ULPs)
+        assert [r["doc_id"] for r in a] == [r["doc_id"] for r in b], query
+        np.testing.assert_allclose(
+            [r["score"] for r in a], [r["score"] for r in b], rtol=1e-12
+        )
 
 
 def test_salting_invariance(spark, docs, index, tmp_path_factory):
@@ -118,9 +124,10 @@ def test_salting_invariance(spark, docs, index, tmp_path_factory):
     for query, k, mode in QUERIES[:5]:
         a = index.search(query, k=k, mode=mode, round_to=None).collect()
         b = salted.search(query, k=k, mode=mode, round_to=None).collect()
-        assert [(r["doc_id"], r["score"]) for r in a] == [
-            (r["doc_id"], r["score"]) for r in b
-        ], query
+        assert [r["doc_id"] for r in a] == [r["doc_id"] for r in b], query
+        np.testing.assert_allclose(
+            [r["score"] for r in a], [r["score"] for r in b], rtol=1e-12
+        )
 
 
 def test_merge_dedup_latest_segment_wins(spark):
