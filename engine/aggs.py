@@ -175,3 +175,50 @@ def grouped_geo_mean(df: DataFrame, value_col: str, group_by: str) -> DataFrame:
         .agg(F.round(gm(F.col(value_col)), 4).alias("geo_mean"))
         .orderBy(group_by)
     )
+
+
+def pipeline_histogram_agg(
+    df: DataFrame, ts_col: str, value_col: str, unit: str = "hour"
+) -> DataFrame:
+    """ES pipeline aggregations over a parent date_histogram [public:
+    ES derivative / cumulative_sum pipeline aggs]: per time bucket the
+    doc_count, the cumulative doc count, and the bucket-over-bucket
+    derivative (NULL for the first bucket, as in ES).
+
+    Scale note: the parent histogram REDUCES the corpus to one row per time
+    bucket before any window runs — ES likewise computes pipeline aggs on
+    the reduced bucket list at the coordinating node. The unpartitioned
+    window therefore orders thousands of buckets, not billions of rows."""
+    from pyspark.sql import Window
+
+    buckets = df.groupBy(F.date_trunc(unit, F.col(ts_col)).alias("bucket")).agg(
+        F.count("*").alias("doc_count"),
+        F.round(F.sum(value_col), 4).alias("sum_v"),
+    )
+    w_cum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    w_lag = Window.orderBy("bucket")
+    return (
+        buckets.withColumn("cum_count", F.sum("doc_count").over(w_cum))
+        .withColumn(
+            "deriv", F.col("doc_count") - F.lag("doc_count").over(w_lag)
+        )
+        .orderBy("bucket")
+    )
+
+
+def bucket_selector_agg(
+    df: DataFrame, group_col: str, value_col: str, min_sum: float
+) -> DataFrame:
+    """ES bucket_selector pipeline agg [public]: keep only parent buckets
+    whose metric passes a predicate — the HAVING clause of the aggregation
+    framework. Map-side partial agg, then the filter prunes buckets before
+    they ever leave the final agg."""
+    return (
+        df.groupBy(group_col)
+        .agg(
+            F.count("*").alias("doc_count"),
+            F.round(F.sum(value_col), 4).alias("sum_v"),
+        )
+        .filter(F.col("sum_v") > min_sum)
+        .orderBy(group_col)
+    )

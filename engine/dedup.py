@@ -443,3 +443,56 @@ def embedding_near_dups_lsh(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+# --- near-dup clusters → canonical doc (connected components) ---------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Canonicalize near-duplicate PAIRS into clusters: (doc_id,
+    canonical_id) where canonical_id = min doc_id reachable through the pair
+    graph — the "keep one representative per duplicate cluster" step every
+    training-data dedup pipeline ends with.
+
+    Min-label propagation [public: Kiveris et al. 2014, "Connected
+    Components in MapReduce and Beyond"; the hash-min variant]: labels start
+    as own ids; each round every node takes the min of its own and its
+    neighbors' labels. Rounds needed = graph diameter — near-dup clusters
+    are dense and tiny (diameter ~2-3), so this converges in a handful of
+    shuffle joins even at web scale; convergence is detected by the (sum of
+    labels) fixpoint, one cheap agg per round. The edge table is cached once
+    and reused every round."""
+    e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    edges = (
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .cache()
+    )
+    labels = edges.select("a").distinct().withColumn("lbl", F.col("a")).cache()
+    prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+    for _ in range(max_iter):
+        nbr = edges.join(
+            labels.select(F.col("a").alias("b"), "lbl"), "b"
+        ).select("a", "lbl")
+        new = (
+            labels.select("a", "lbl")
+            .unionByName(nbr)
+            .groupBy("a")
+            .agg(F.min("lbl").alias("lbl"))
+            .cache()
+        )
+        cur_sum = new.agg(F.sum("lbl")).collect()[0][0]
+        labels.unpersist()
+        labels = new
+        if cur_sum == prev_sum:  # labels monotone non-increasing → fixpoint
+            break
+        prev_sum = cur_sum
+    edges.unpersist()
+    return labels.select(
+        F.col("a").alias("doc_id"), F.col("lbl").alias("canonical_id")
+    ).orderBy("doc_id")

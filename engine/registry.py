@@ -1990,6 +1990,178 @@ register(
 )
 
 
+# --- pipeline aggregations (ES derivative / cumulative_sum / selector) ------
+
+
+def _q_agg_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .aggs import pipeline_histogram_agg
+
+    return pipeline_histogram_agg(_ev(spark, sf_dir), "ts", "value", "hour")
+
+
+register(
+    "agg_pipeline",
+    _q_agg_pipeline,
+    """
+WITH b AS (
+  SELECT date_trunc('hour', ts) AS bucket, count(*) AS doc_count,
+         round(sum(value), 4) AS sum_v
+  FROM events GROUP BY 1
+)
+SELECT bucket, doc_count, sum_v,
+       CAST(sum(doc_count) OVER (ORDER BY bucket
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_count,
+       doc_count - lag(doc_count) OVER (ORDER BY bucket) AS deriv
+FROM b ORDER BY bucket
+""",
+)
+
+
+def _q_bucket_selector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .aggs import bucket_selector_agg
+
+    return bucket_selector_agg(_ev(spark, sf_dir), "event_type", "value", 100000.0)
+
+
+register(
+    "agg_bucket_selector",
+    _q_bucket_selector,
+    """
+SELECT event_type, count(*) AS doc_count, round(sum(value), 4) AS sum_v
+FROM events GROUP BY 1
+HAVING round(sum(value), 4) > 100000.0
+ORDER BY 1
+""",
+)
+
+
+# --- completion suggester (prefix → top terms by frequency) ------------------
+
+
+def _q_completion(prefix: str, k: int) -> Callable:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .suggest import completion_suggest
+
+        _tf, _ds, ts, _n, _avgdl = _built_corpus(spark, sf_dir)
+        return completion_suggest(ts, prefix, k=k)
+
+    return run
+
+
+register(
+    "suggest_completion",
+    _q_completion("s", 5),
+    """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term FROM toks GROUP BY 1, 2),
+vocab AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1)
+SELECT term AS suggestion, df AS freq
+FROM vocab WHERE term LIKE 's%'
+ORDER BY freq DESC, suggestion ASC
+LIMIT 5
+""",
+)
+
+
+# --- percolator (registered queries → matching docs) -------------------------
+
+_PERCOLATE_QUERIES = [
+    ("q_merge_join", "merge join"),
+    ("q_window_stream", "window stream batch"),
+    ("q_vector", "vector big dup"),
+]
+
+
+def _q_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .percolate import percolate
+
+    tf, _ds, _ts, _n, _avgdl = _built_corpus(spark, sf_dir)
+    return percolate(tf.select("doc_id", "term"), _PERCOLATE_QUERIES)
+
+
+def _percolate_oracle(queries: list[tuple[str, str]]) -> str:
+    vals = []
+    for qid, q in queries:
+        terms = [t for t in q.split()]
+        for t in terms:
+            vals.append(f"('{qid}', '{t}', {len(terms)})")
+    values_sql = ", ".join(vals)
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+q(query_id, term, n_terms) AS (VALUES {values_sql})
+SELECT q.query_id, t.doc_id
+FROM toks t JOIN q USING (term)
+GROUP BY q.query_id, t.doc_id
+HAVING count(DISTINCT t.term) = min(q.n_terms)
+ORDER BY query_id, doc_id
+"""
+
+
+register(
+    "search_percolate",
+    _q_percolate,
+    _percolate_oracle(_PERCOLATE_QUERIES),
+)
+
+
+# --- dedup clusters → canonical id (connected components) --------------------
+
+
+def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import connected_components, ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.8, max_df=256)
+    return connected_components(pairs)
+
+
+register(
+    "dedup_cluster_canonical",
+    _q_dedup_clusters,
+    # the jaccard-pairs CTEs (same as dedup_ngram_jaccard), then a recursive
+    # transitive closure: canonical = min id reachable in the pair graph
+    """
+WITH RECURSIVE sh0 AS (
+  SELECT DISTINCT doc_id AS id, s AS shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+               range(1, greatest(len(string_split(text,' ')) - 2, 1) + 1),
+               i -> array_to_string(string_split(text,' ')[i:i+2], ' '))) AS s
+    FROM documents)
+),
+sh AS (
+  SELECT * FROM sh0
+  WHERE shingle NOT IN (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) > 256)
+),
+sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS ia, b.id AS ib, count(*) AS ni
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id GROUP BY 1, 2
+),
+pairs AS (
+  SELECT ia AS id_a, ib AS id_b
+  FROM inter JOIN sizes sa ON ia = sa.id JOIN sizes sb ON ib = sb.id
+  WHERE round(ni * 1.0 / (sa.n_sh + sb.n_sh - ni), 4) >= 0.8
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach(a, lbl) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+  UNION
+  SELECT e.a, r.lbl FROM edges e JOIN reach r ON r.a = e.b
+)
+SELECT a AS doc_id, min(lbl) AS canonical_id FROM reach GROUP BY 1 ORDER BY 1
+""",
+)
+
+
 # ---------------------------------------------------------------------------
 # public contract
 
@@ -2015,15 +2187,16 @@ _PRIORITY = [
     "bm25_wand_fuzzy", "bm25_wand_page2", "bm25_multifield",
     "bm25_filtered_range", "bm25_more_like_this", "bm25_rescore_phrase",
     "bm25_wand_min_match", "suggest_term", "search_collapse",
-    "bm25_function_score",
+    "bm25_function_score", "search_percolate",
     # index mutation (ES delete-by-query / update-by-query)
     "search_delete_by_query", "search_update_by_query",
     # LLM-pipeline dedup/ANN (oracle-bearing)
-    "dedup_exact_groups", "dedup_ngram_jaccard", "ann_cosine_topk",
+    "dedup_exact_groups", "dedup_ngram_jaccard", "dedup_cluster_canonical",
+    "ann_cosine_topk",
     # aggregations
-    "agg_terms", "agg_cardinality_grouped", "agg_stats",
+    "agg_terms", "agg_cardinality_grouped",
     "agg_percentiles", "agg_histogram", "agg_date_histogram", "agg_nested",
-    "agg_filters",
+    "agg_pipeline",
     "agg_top_hits", "agg_composite_page", "search_highlight",
     "agg_significant_terms", "agg_geo_mean_udaf",
     # relational operators
@@ -2031,12 +2204,13 @@ _PRIORITY = [
     "rel_semi_join", "rel_range_join", "rel_window_topn",
     "rel_pricing_summary",
     # scalar function families
-    "fn_json_extract", "fn_datetime", "fn_string",
+    "fn_json_extract", "fn_string",
     # text-analysis pipeline
     "text_quality", "text_token_counts", "text_fingerprint",
     # --- 51+: demoted oracle near-duplicates (still checked if the driver
     # runs all; each 1-50 slot keeps one green representative per operator)
-    "bm25_synonym", "search_sort_by_field",
+    "bm25_synonym", "search_sort_by_field", "suggest_completion",
+    "agg_bucket_selector", "agg_stats", "agg_filters", "fn_datetime",
     "corpus_doc_length", "bm25_wand_rare_term", "bm25_wand_stopword",
     "agg_range",
     "bm25_hot_term", "bm25_rare_term", "bm25_and_k100", "agg_cardinality",

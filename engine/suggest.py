@@ -39,3 +39,20 @@ def term_suggest(
         )
         .limit(k)
     )
+
+
+def completion_suggest(term_stats: DataFrame, prefix: str, k: int = 5) -> DataFrame:
+    """ES completion suggester [public] (simplified: ES uses an in-memory
+    FST over indexed suggest fields; the semantics — prefix match ranked by
+    weight/frequency — are the same): vocabulary terms starting with
+    `prefix`, most frequent first. `startswith` compiles to a range-prunable
+    predicate (term >= prefix AND term < prefix+1) on a sorted dictionary."""
+    return (
+        term_stats.filter(F.col("term").startswith(prefix))
+        .select(
+            F.col("term").alias("suggestion"),
+            F.col("df").cast("long").alias("freq"),
+        )
+        .orderBy(F.col("freq").desc(), F.col("suggestion").asc())
+        .limit(k)
+    )

@@ -117,3 +117,49 @@ class TestSynonyms:
 
     def test_no_duplicate_tokens(self):
         assert expand_synonyms("fast quick", {"quick": ["fast"]}) == "fast quick"
+
+
+class TestPercolate:
+    def test_and_semantics(self, spark):
+        from engine.percolate import percolate
+
+        dt = spark.createDataFrame(
+            [(1, "a"), (1, "b"), (2, "a"), (3, "b"), (3, "c")],
+            "doc_id long, term string",
+        )
+        got = percolate(dt, [("q1", "a b"), ("q2", "c")]).collect()
+        assert [(r.query_id, r.doc_id) for r in got] == [("q1", 1), ("q2", 3)]
+
+    def test_duplicate_terms_in_doc_ok(self, spark):
+        from engine.percolate import percolate
+
+        # tf-style input (duplicates) must not double-count a term
+        dt = spark.createDataFrame(
+            [(1, "a"), (1, "a")], "doc_id long, term string"
+        )
+        got = percolate(dt, [("q", "a b")]).collect()
+        assert got == []
+
+
+class TestConnectedComponents:
+    def test_chain_collapses_to_min(self, spark):
+        from engine.dedup import connected_components
+
+        # chain 1-2-3-4 plus isolated pair 10-11
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+        )
+        rows = connected_components(pairs).collect()
+        assert {(r.doc_id, r.canonical_id) for r in rows} == {
+            (1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10),
+        }
+
+    def test_diameter_longer_than_one_round(self, spark):
+        from engine.dedup import connected_components
+
+        # path of length 6: needs several propagation rounds
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(6, 0, -1)], "id_a long, id_b long"
+        )
+        rows = connected_components(pairs).collect()
+        assert all(r.canonical_id == 1 for r in rows) and len(rows) == 7
