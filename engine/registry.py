@@ -1673,7 +1673,76 @@ def _q_emb_near_dups(spark, sf_dir):
     )
 
 
-register("dedup_embedding_cosine", _q_emb_near_dups, None)
+def _planes_values_sql(seed: int, n_rows: int, dim: int, n_planes: int | None = None) -> str:
+    """Inline the seeded random hyperplanes as a DuckDB VALUES literal so the
+    oracle reproduces the engine's LSH bucketing EXACTLY. The planes are
+    data-independent (fixed seed, fixed shape — engine/ann.py:_hyperplanes /
+    engine/dedup.py:_band_signature_udf), so this is a legitimate constant of
+    the query, not a leak of engine state: repr() round-trips each float64
+    and DuckDB parses decimal literals to the nearest double, giving
+    bit-identical plane vectors on both sides.
+
+    Without ``n_planes``: rows ``(bit, p)``. With ``n_planes``: rows
+    ``(band, bit, p)`` where row r belongs to band r//n_planes, bit
+    r%n_planes — matching the (n_bands*n_planes, dim) reshape in
+    _band_signature_udf."""
+    import numpy as np
+
+    planes = np.random.default_rng(seed).standard_normal((n_rows, dim))
+    rows = []
+    for r in range(n_rows):
+        arr = "[" + ",".join(repr(float(x)) for x in planes[r]) + "]::DOUBLE[]"
+        if n_planes is None:
+            rows.append(f"({r},{arr})")
+        else:
+            rows.append(f"({r // n_planes},{r % n_planes},{arr})")
+    return ",\n".join(rows)
+
+
+_COS_DUCK = (
+    "list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+
+def _emb_near_dups_oracle() -> str:
+    """DuckDB twin of _q_emb_near_dups: same planted twins (vec_id+1e6,
+    v'[k]=v[k]+0.15·v[(k+1)%64] — DuckDB lists are 1-indexed, hence
+    v[(i%64)+1]), same 16-band × 12-plane seeded signature (seed 29), same
+    (band, bucket)-equality candidate join with id_a < id_b, same exact
+    cosine ≥ 0.9 verification. Deferred to a function because the 192
+    plane literals make the string ~large; built once at import."""
+    cos = _COS_DUCK.format(a="a.v", b="b.v")
+    return f"""
+WITH planes(band, bit, p) AS (VALUES {_planes_values_sql(29, 16 * 12, 64, n_planes=12)}),
+base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+all_e AS (
+  SELECT vec_id, v FROM base
+  UNION ALL
+  SELECT vec_id + 1000000,
+         list_transform(range(1, 65), i -> v[i] + 0.15 * v[(i % 64) + 1])
+  FROM base WHERE vec_id < 200
+),
+sig AS (
+  SELECT a.vec_id, pl.band,
+         CAST(sum(CASE WHEN list_dot_product(a.v, pl.p) > 0 THEN 1<<pl.bit ELSE 0 END) AS INT) AS bucket
+  FROM all_e a CROSS JOIN planes pl
+  GROUP BY a.vec_id, pl.band
+),
+cands AS (
+  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+  FROM sig x JOIN sig y ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id < y.vec_id
+)
+SELECT id_a, id_b, cosine FROM (
+  SELECT c.id_a, c.id_b, round({cos}, 4) AS cosine
+  FROM cands c
+  JOIN all_e a ON a.vec_id = c.id_a
+  JOIN all_e b ON b.vec_id = c.id_b
+) WHERE cosine >= 0.9
+"""
+
+
+register("dedup_embedding_cosine", _q_emb_near_dups, _emb_near_dups_oracle())
 
 
 # --- IVF ANN (scale path) + LSH ANN — approximate, property-tested ----------
@@ -1702,7 +1771,59 @@ def _q_ann_ivf(spark, sf_dir):
     return ivf_topk(assigned, cents, [float(x) for x in q], k=10, nprobe=4)
 
 
-register("ann_ivf_topk", _q_ann_ivf, None)  # approximate → rows-only + pytest recall
+def _ann_ivf_oracle(n_clusters=16, iters=5, nprobe=4, k=10, sample=2048) -> str:
+    """DuckDB twin of _q_ann_ivf — an INDEPENDENT SQL reimplementation of the
+    whole IVF pipeline, k-means included: the engine's coarse quantizer is
+    deterministic (train on the first `sample` ids, seeds = first k rows,
+    5 spherical-k-means iterations — engine/ann.py:train_centroids), so the
+    oracle unrolls the same fixed iteration count as CTE blocks (assign via
+    arg_max over dot products, update via per-position avg + renormalize,
+    empty clusters keep their previous centroid via LEFT JOIN/CASE), then
+    replays nprobe cluster pruning and the exact-cosine rerank. No engine
+    state is inlined — both sides derive everything from the parquet."""
+    parts = [f"""
+e AS (SELECT vec_id, embedding::DOUBLE[] AS raw FROM embeddings),
+x AS (SELECT vec_id,
+             list_transform(raw, t -> t / greatest(sqrt(list_dot_product(raw, raw)), 1e-12)) AS v
+      FROM e),
+tr AS (SELECT vec_id, v FROM x ORDER BY vec_id LIMIT {sample}),
+c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v
+       FROM (SELECT vec_id, v FROM tr ORDER BY vec_id LIMIT {n_clusters}))"""]
+    prev = "c0"
+    for it in range(1, iters + 1):
+        parts.append(f"""
+a{it} AS (SELECT tr.vec_id, arg_max(c.cluster, list_dot_product(tr.v, c.v)) AS cluster
+          FROM tr CROSS JOIN {prev} c GROUP BY tr.vec_id),
+m{it} AS (SELECT a.cluster, u.pos, avg(u.val) AS mv
+          FROM a{it} a JOIN (SELECT vec_id, unnest(v) AS val, generate_subscripts(v, 1) AS pos FROM tr) u
+               USING (vec_id)
+          GROUP BY a.cluster, u.pos),
+n{it} AS (SELECT cluster, list(mv ORDER BY pos) AS mvec FROM m{it} GROUP BY cluster),
+c{it} AS (SELECT p.cluster,
+                 CASE WHEN n.cluster IS NULL THEN p.v
+                      ELSE list_transform(n.mvec, t -> t / greatest(sqrt(list_dot_product(n.mvec, n.mvec)), 1e-12))
+                 END AS v
+          FROM {prev} p LEFT JOIN n{it} n USING (cluster))""")
+        prev = f"c{it}"
+    parts.append(f"""
+q AS (SELECT v AS qv FROM x WHERE vec_id = 0),
+probes AS (SELECT c.cluster FROM {prev} c CROSS JOIN q
+           ORDER BY list_dot_product(c.v, q.qv) DESC LIMIT {nprobe}),
+assigned AS (SELECT x.vec_id, arg_max(c.cluster, list_dot_product(x.v, c.v)) AS cluster
+             FROM x CROSS JOIN {prev} c GROUP BY x.vec_id)
+SELECT e.vec_id AS vec_id,
+       round(list_dot_product(e.raw, q.raw) /
+             (sqrt(list_dot_product(e.raw, e.raw)) * sqrt(list_dot_product(q.raw, q.raw))), 4) AS cosine
+FROM assigned a
+JOIN e ON e.vec_id = a.vec_id
+CROSS JOIN (SELECT raw FROM e WHERE vec_id = 0) q
+WHERE a.cluster IN (SELECT cluster FROM probes)
+ORDER BY cosine DESC, e.vec_id ASC
+LIMIT {k}""")
+    return "WITH " + ",".join(parts)
+
+
+register("ann_ivf_topk", _q_ann_ivf, _ann_ivf_oracle())
 
 
 def _q_ann_lsh(spark, sf_dir):
@@ -1718,7 +1839,31 @@ def _q_ann_lsh(spark, sf_dir):
     return lsh_topk(bucketed, [float(x) for x in q], k=10, n_planes=6, n_flip=2)
 
 
-register("ann_lsh_topk", _q_ann_lsh, None)  # approximate → rows-only + pytest recall
+# Oracle twin of _q_ann_lsh: same 6 seeded hyperplanes (seed 13), same sign-bit
+# signature, same ≤2-bit-flip multiprobe (bit_count(xor(...)) <= 2 ≡ the
+# engine's explicit probe-bucket list), same exact-cosine rerank of survivors.
+_ANN_LSH_ORACLE = f"""
+WITH planes(bit, p) AS (VALUES {_planes_values_sql(13, 6, 64)}),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+sig AS (
+  SELECT e.vec_id,
+         CAST(sum(CASE WHEN list_dot_product(e.v, pl.p) > 0 THEN 1<<pl.bit ELSE 0 END) AS BIGINT) AS bucket
+  FROM e CROSS JOIN planes pl GROUP BY e.vec_id
+),
+qs AS (
+  SELECT CAST(sum(CASE WHEN list_dot_product(q.qv, pl.p) > 0 THEN 1<<pl.bit ELSE 0 END) AS BIGINT) AS qbucket
+  FROM q CROSS JOIN planes pl
+)
+SELECT e.vec_id AS vec_id,
+       round({_COS_DUCK.format(a="e.v", b="q.qv")}, 4) AS cosine
+FROM sig s JOIN e ON e.vec_id = s.vec_id CROSS JOIN q CROSS JOIN qs
+WHERE bit_count(xor(s.bucket, qs.qbucket)) <= 2
+ORDER BY cosine DESC, e.vec_id ASC
+LIMIT 10
+"""
+
+register("ann_lsh_topk", _q_ann_lsh, _ANN_LSH_ORACLE)
 
 
 # --- multimodal plumbing (binary media columns; stub decode documented) -----
@@ -2180,19 +2325,22 @@ _PRIORITY = [
     "corpus_term_stats",
     # block-max WAND family (the indexed path is the flagship)
     "bm25_wand_hot_term", "bm25_wand_and",
-    "bm25_wand_or", "bm25_wand_must_not", "bm25_wand_and_k100",
+    "bm25_wand_or", "bm25_wand_must_not",
     # query features
-    "bm25_phrase", "bm25_phrase_slop", "bm25_wand_prefix",
+    "bm25_phrase", "bm25_wand_prefix",
     "bm25_wand_wildcard",
     "bm25_wand_fuzzy", "bm25_wand_page2", "bm25_multifield",
     "bm25_filtered_range", "bm25_more_like_this", "bm25_rescore_phrase",
     "bm25_wand_min_match", "suggest_term", "search_collapse",
     "bm25_function_score", "search_percolate",
     # index mutation (ES delete-by-query / update-by-query)
-    "search_delete_by_query", "search_update_by_query",
-    # LLM-pipeline dedup/ANN (oracle-bearing)
+    "search_delete_by_query",
+    # LLM-pipeline dedup/ANN (oracle-bearing; the LSH/IVF scale paths gained
+    # full DuckDB twins in round 2 — seeded hyperplanes inlined as literals,
+    # k-means unrolled as CTEs — so they are promoted into the checked 50)
     "dedup_exact_groups", "dedup_ngram_jaccard", "dedup_cluster_canonical",
-    "ann_cosine_topk",
+    "dedup_embedding_cosine",
+    "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
     # aggregations
     "agg_terms", "agg_cardinality_grouped",
     "agg_percentiles", "agg_histogram", "agg_date_histogram", "agg_nested",
@@ -2209,6 +2357,7 @@ _PRIORITY = [
     "text_quality", "text_token_counts", "text_fingerprint",
     # --- 51+: demoted oracle near-duplicates (still checked if the driver
     # runs all; each 1-50 slot keeps one green representative per operator)
+    "bm25_phrase_slop", "bm25_wand_and_k100", "search_update_by_query",
     "bm25_synonym", "search_sort_by_field", "suggest_completion",
     "agg_bucket_selector", "agg_stats", "agg_filters", "fn_datetime",
     "corpus_doc_length", "bm25_wand_rare_term", "bm25_wand_stopword",
@@ -2217,9 +2366,9 @@ _PRIORITY = [
     "rel_set_except", "rel_anti_join",
     "bm25_or", "bm25_must_not", "bm25_stopword", "bm25_prefix",
     "bm25_wildcard", "bm25_fuzzy", "rel_running_sum", "agg_distinct",
-    # --- rows-only (no ANSI-SQL twin by nature; pytest-verified)
-    "dedup_embedding_cosine", "dedup_minhash_lsh", "dedup_simhash",
-    "ann_ivf_topk", "ann_lsh_topk", "text_language_id",
+    # --- rows-only (no ANSI-SQL twin by nature — xxhash64-based sketches and
+    # the stubbed media decode have no DuckDB equivalent; pytest-verified)
+    "dedup_minhash_lsh", "dedup_simhash", "text_language_id",
     "mm_feature_extract", "mm_frame_sample",
 ]
 
