@@ -222,3 +222,73 @@ def bucket_selector_agg(
         .filter(F.col("sum_v") > min_sum)
         .orderBy(group_col)
     )
+
+
+def extended_stats_agg(df: DataFrame, col: str, group_by: str) -> DataFrame:
+    """ES `extended_stats` [public: ES extended_stats agg docs]: the `stats`
+    fields plus sum_of_squares, population variance and std bounds. One
+    hash-aggregate with map-side partials — every moment is an algebraic agg,
+    so the shuffle carries one partial row per (partition, group)."""
+    c = F.col(col)
+    return (
+        df.groupBy(group_by)
+        .agg(
+            F.count(c).alias("cnt"),
+            F.round(F.min(c), 4).alias("min_v"),
+            F.round(F.max(c), 4).alias("max_v"),
+            F.round(F.avg(c), 4).alias("avg_v"),
+            F.round(F.sum(c), 4).alias("sum_v"),
+            F.round(F.sum(c * c), 4).alias("sum_sq"),
+            F.round(F.var_pop(c), 4).alias("variance"),
+            F.round(F.stddev_pop(c), 4).alias("std_dev"),
+            F.round(F.avg(c) + 2 * F.stddev_pop(c), 4).alias("std_upper"),
+            F.round(F.avg(c) - 2 * F.stddev_pop(c), 4).alias("std_lower"),
+        )
+        .orderBy(group_by)
+    )
+
+
+def matrix_stats_agg(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """ES `matrix_stats` [public: ES matrix_stats agg docs] for a field pair:
+    per-field mean/variance plus covariance and Pearson correlation. All
+    algebraic (Spark's corr/covar are single-pass co-moment aggregates), so
+    this is one scan + one 1-row reduce regardless of input size."""
+    a, b = F.col(col_a), F.col(col_b)
+    return df.agg(
+        F.count(a).alias("cnt"),
+        F.round(F.avg(a), 4).alias("mean_a"),
+        F.round(F.avg(b), 4).alias("mean_b"),
+        F.round(F.var_pop(a), 4).alias("var_a"),
+        F.round(F.var_pop(b), 4).alias("var_b"),
+        F.round(F.covar_pop(a, b), 4).alias("covariance"),
+        F.round(F.corr(a, b), 4).alias("correlation"),
+    )
+
+
+def adjacency_matrix_agg(df: DataFrame, filters: dict[str, "F.Column"]) -> DataFrame:
+    """ES `adjacency_matrix` [public: ES adjacency_matrix agg docs]: one
+    bucket per named filter and one per pairwise intersection (key "a&b",
+    ES's default separator), counting docs matching both. Computed as sums
+    of boolean products in a SINGLE aggregate pass (no self-join, no
+    explode): n filters -> n + n(n-1)/2 counter columns, then unpivoted
+    driver-side via stack() into (key, doc_count) rows. Empty buckets are
+    dropped, matching ES."""
+    names = sorted(filters)
+    flags = [F.when(filters[n], 1).otherwise(0).alias(n) for n in names]
+    flagged = df.select(*flags)
+    sums = [F.sum(F.col(n)).cast("bigint").alias(n) for n in names]
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            sums.append(
+                F.sum(F.col(a) * F.col(b)).cast("bigint").alias(f"{a}&{b}")
+            )
+    wide = flagged.agg(*sums)
+    keys = [c for c in wide.columns]
+    stack_expr = "stack({n}, {args}) as (key, doc_count)".format(
+        n=len(keys), args=", ".join(f"'{k}', `{k}`" for k in keys)
+    )
+    return (
+        wide.selectExpr(stack_expr)
+        .filter(F.col("doc_count") > 0)
+        .orderBy("key")
+    )

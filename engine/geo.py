@@ -1,0 +1,97 @@
+"""Geo search operators (ES geo_distance query / geo sort / geotile_grid agg
+[public: ES geo queries & aggregations docs]).
+
+The driver fixtures carry no geographic columns, so the contract queries
+derive deterministic synthetic coordinates from integer event columns with
+pure arithmetic (same closed-form formula on the Spark and DuckDB sides) —
+the operators under test are the distance predicate, the distance sort, and
+the web-mercator tile bucketing, not the data source.
+
+Everything is built-in expression arithmetic (JVM-side, whole-stage codegen):
+haversine is sin/cos/asin over doubles; geotile is floor/ln/tan. No UDFs, no
+shuffles beyond the final agg — at 100 TB a geo_distance filter is a scan
+predicate and geotile_grid is a two-column hash aggregate.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+EARTH_RADIUS_KM = 6371.0
+
+
+def haversine_km(lat1, lon1, lat2, lon2):
+    """Great-circle distance in km between two (degree) coordinate pairs —
+    the standard haversine [public formula]; all Column arithmetic."""
+    rlat1, rlat2 = F.radians(lat1), F.radians(lat2)
+    dlat = F.radians(lat2 - lat1)
+    dlon = F.radians(lon2 - lon1)
+    a = (
+        F.sin(dlat / 2) * F.sin(dlat / 2)
+        + F.cos(rlat1) * F.cos(rlat2) * F.sin(dlon / 2) * F.sin(dlon / 2)
+    )
+    return F.lit(2.0 * EARTH_RADIUS_KM) * F.asin(F.sqrt(a))
+
+
+def with_synthetic_coords(ev: DataFrame) -> DataFrame:
+    """Deterministic lat/lon derived from (user_id, event_id) — documented
+    fixture surrogate (no geo columns in the driver tables)."""
+    return ev.withColumn(
+        "lat", (F.col("user_id") % 179 - 89).cast("double") + F.lit(0.5)
+    ).withColumn(
+        "lon", (F.col("event_id") % 359 - 179).cast("double") + F.lit(0.5)
+    )
+
+
+# the same derivation as a DuckDB fragment (kept adjacent so they can't drift)
+COORDS_SQL = (
+    "CAST(user_id % 179 - 89 AS DOUBLE) + 0.5 AS lat, "
+    "CAST(event_id % 359 - 179 AS DOUBLE) + 0.5 AS lon"
+)
+
+
+def geo_distance_search(
+    ev: DataFrame, center_lat: float, center_lon: float, radius_km: float, k: int = 20
+) -> DataFrame:
+    """ES geo_distance query + geo-distance sort: events within radius_km of
+    the center, nearest first. The distance expression is a scan predicate —
+    with the table written bucketed/partitioned by a coarse geotile this
+    prunes partitions; here it codegens into the scan filter."""
+    with_d = with_synthetic_coords(ev).withColumn(
+        "distance_km",
+        F.round(haversine_km(F.col("lat"), F.col("lon"), F.lit(center_lat), F.lit(center_lon)), 4),
+    )
+    return (
+        with_d.filter(F.col("distance_km") <= radius_km)
+        .select("event_id", "lat", "lon", "distance_km")
+        .orderBy(F.col("distance_km").asc(), F.col("event_id").asc())
+        .limit(k)
+    )
+
+
+def geotile_grid_agg(ev: DataFrame, zoom: int = 4) -> DataFrame:
+    """ES geotile_grid aggregation: bucket points into web-mercator tiles
+    `z/x/y` at a fixed zoom and count per tile. x/y are closed-form floor
+    arithmetic over lon/lat — one hash aggregate, no UDF."""
+    n = float(1 << zoom)
+    lat, lon = F.col("lat"), F.col("lon")
+    x = F.floor((lon + 180.0) / 360.0 * n).cast("bigint")
+    lat_rad = F.radians(lat)
+    y = F.floor(
+        (1.0 - F.log(F.tan(lat_rad) + 1.0 / F.cos(lat_rad)) / math.pi) / 2.0 * n
+    ).cast("bigint")
+    return (
+        with_synthetic_coords(ev)
+        .select(
+            F.concat_ws(
+                "/", F.lit(zoom).cast("string"), x.cast("string"), y.cast("string")
+            ).alias("tile")
+        )
+        .groupBy("tile")
+        .agg(F.count("*").alias("doc_count"))
+        .orderBy(F.col("doc_count").desc(), F.col("tile").asc())
+        .limit(20)
+    )

@@ -256,3 +256,42 @@ def multiterm_and_docids(tf: DataFrame, terms: list[str]) -> DataFrame:
         .filter(F.col("nt") == len(terms))
         .select("doc_id")
     )
+
+
+def span_first_filter(tf_with_pos: DataFrame, term: str, end: int) -> DataFrame:
+    """ES/Lucene `span_first` [public: ES span_first query docs]: match docs
+    where `term` occurs with span end position ≤ `end`, i.e. some 0-based
+    token position < end. Pure expression over the C2 per-doc position list
+    (no shuffle: the position array rides the tf row); returns the earliest
+    qualifying position for scoring/explain parity."""
+    hits = tf_with_pos.filter(F.col("term") == term).select(
+        "doc_id",
+        F.array_min(F.filter(F.col("positions"), lambda p: p < F.lit(end))).alias(
+            "first_pos"
+        ),
+    )
+    return hits.filter(F.col("first_pos").isNotNull())
+
+
+def terms_set_filter(
+    tf: DataFrame,
+    terms: list[str],
+    docs_required: DataFrame,
+    required_col: str = "required_matches",
+) -> DataFrame:
+    """ES `terms_set` [public: ES terms_set query docs]: match docs containing
+    at least `required_matches` of the given terms, where the threshold is a
+    PER-DOCUMENT field (ES's minimum_should_match_field). One tf scan filtered
+    to the term list (pushed to the posting scan on the indexed path), a
+    per-doc count, then a broadcast-joined threshold compare — no per-row
+    Python, no full-corpus pass beyond the pruned term rows."""
+    matched = (
+        tf.filter(F.col("term").isin(terms))
+        .groupBy("doc_id")
+        .agg(F.countDistinct("term").alias("n_matched"))
+    )
+    return (
+        matched.join(docs_required.select("doc_id", required_col), "doc_id")
+        .filter(F.col("n_matched") >= F.col(required_col))
+        .select("doc_id", "n_matched", F.col(required_col).cast("bigint").alias("required"))
+    )

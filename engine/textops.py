@@ -143,3 +143,51 @@ def rolling_hash_udf(s: pd.Series) -> pd.Series:
         return int(h & np.uint64(0x7FFFFFFFFFFFFFFF))
 
     return s.map(rh)
+
+
+def pii_redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Training-data PII scrub [public practice: C4/Dolma-style pipeline
+    cleaning]: redact email addresses and phone-like digit groups, reporting
+    per-doc redaction counts. Built-in regexp_replace/regexp_extract_all only
+    (JVM regex, codegen) — a pure scan transform with no shuffle; at 100 TB
+    this is the cheapest kind of full-corpus pass.
+
+    Patterns are deliberately RE2-compatible (no backrefs/lookaround) so the
+    DuckDB oracle runs the identical expressions."""
+    c = F.col(text_col)
+    email = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+    phone = r"\d{3}-\d{4}"
+    n_email = F.size(F.regexp_extract_all(c, F.lit(email), F.lit(0)))
+    n_phone = F.size(F.regexp_extract_all(c, F.lit(phone), F.lit(0)))
+    clean = F.regexp_replace(F.regexp_replace(c, email, "<EMAIL>"), phone, "<PHONE>")
+    return docs.select(
+        "doc_id",
+        (n_email + n_phone).cast("bigint").alias("n_redacted"),
+        clean.alias("clean_text"),
+    ).filter(F.col("n_redacted") > 0)
+
+
+def repetition_score(docs: DataFrame, text_col: str = "text", min_tokens: int = 10) -> DataFrame:
+    """Gopher-style repetition signal [public: Rae et al. 2021, "Scaling
+    Language Models" quality heuristics]: fraction of word trigrams that are
+    duplicates of an earlier trigram in the same document. High values flag
+    boilerplate/spam for training-data filtering.
+
+    Pure array expressions (split → transform over an index sequence →
+    array_distinct), evaluated per row inside codegen — no explode, no
+    shuffle, no UDF; the token arrays never leave the row."""
+    t = F.split(F.col(text_col), " ")
+    n = F.size(t)
+    tri = F.expr(
+        f"transform(sequence(0, size(split({text_col}, ' ')) - 3), "
+        f"i -> concat(split({text_col}, ' ')[i], ' ', split({text_col}, ' ')[i+1], "
+        f"' ', split({text_col}, ' ')[i+2]))"
+    )
+    n_tri = (n - 2).cast("bigint")
+    dup_frac = F.round(
+        F.lit(1.0) - F.size(F.array_distinct(tri)).cast("double") / n_tri, 4
+    )
+    return (
+        docs.filter(n >= min_tokens)
+        .select("doc_id", n_tri.alias("n_trigrams"), dup_frac.alias("dup_trigram_frac"))
+    )
