@@ -81,3 +81,42 @@ def test_exact_bm25_no_doc_stats_join(spark, qs, sf_dir):
     p = _plan(spark, qs, "bm25_hot_term", sf_dir)
     assert p.count("SortMergeJoin") == 0
     assert p.count("ShuffledHashJoin") == 0
+
+
+def test_adjacency_matrix_single_pass(spark, qs, sf_dir):
+    """E13: adjacency_matrix must be ONE aggregate pass over the scan — no
+    self-join (the naive formulation joins the event set to itself per filter
+    pair, quadratic at scale), and no more than the single final-agg
+    exchange."""
+    p = _plan(spark, qs, "agg_adjacency_matrix", sf_dir)
+    assert "Join" not in p, p
+    assert p.count("Exchange") <= 1, p
+
+
+def test_repetition_no_shuffle(spark, qs, sf_dir):
+    """text_repetition is a pure per-row expression (split → transform →
+    array_distinct inside codegen): any Exchange would mean the token arrays
+    leave the row — a full-corpus shuffle at 100 TB."""
+    p = _plan(spark, qs, "text_repetition", sf_dir)
+    assert "Exchange" not in p, p
+
+
+def test_pii_redact_no_shuffle(spark, qs, sf_dir):
+    p = _plan(spark, qs, "text_pii_redact", sf_dir)
+    assert "Exchange" not in p, p
+
+
+def test_geo_distance_codegen_no_udf(spark, qs, sf_dir):
+    """D23: the haversine predicate must stay JVM-side (no Python eval node)
+    so it codegens into the scan stage."""
+    p = _plan(spark, qs, "search_geo_distance", sf_dir)
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, p
+    assert "TakeOrderedAndProject" in p, p
+
+
+def test_terms_set_prunes_term_scan(spark, qs, sf_dir):
+    """D22: the term-list filter must prune the exploded tf frame before the
+    per-doc aggregate (no full-vocabulary aggregation)."""
+    p = _plan(spark, qs, "search_terms_set", sf_dir)
+    assert "IN (sort,merge,join,hash)" in p, p  # filter precedes the aggs
+    assert "BroadcastHashJoin" in p, p  # per-doc threshold side broadcasts
