@@ -292,3 +292,39 @@ def adjacency_matrix_agg(df: DataFrame, filters: dict[str, "F.Column"]) -> DataF
         .filter(F.col("doc_count") > 0)
         .orderBy("key")
     )
+
+
+def rms_udaf():
+    """ES `scripted_metric` agg stand-in [public: ES scripted_metric docs]:
+    a custom per-bucket metric the built-in aggs don't provide (root mean
+    square), as an Arrow-batched GROUPED_AGG pandas UDAF — the supported
+    Spark shape for user-defined aggregation (map/combine/reduce scripts in
+    ES map onto partial aggregation automatically here)."""
+    import numpy as np
+
+    @F.pandas_udf("double")
+    def rms(v: pd.Series) -> float:
+        return float(np.sqrt(np.mean(np.square(v.to_numpy(dtype="float64")))))
+
+    return rms
+
+
+def scripted_metric_rms(df: DataFrame, value_col: str, group_by: str) -> DataFrame:
+    rms = rms_udaf()
+    return (
+        df.groupBy(group_by)
+        .agg(F.round(rms(F.col(value_col)), 4).alias("rms"))
+        .orderBy(group_by)
+    )
+
+
+def missing_value_count_agg(df: DataFrame, col: str) -> DataFrame:
+    """ES `missing` + `value_count` metric pair over a nullable field: docs
+    missing the field, values present, and the mean of present values — one
+    aggregate pass."""
+    c = F.col(col)
+    return df.agg(
+        F.sum(F.when(c.isNull(), 1).otherwise(0)).cast("bigint").alias("missing_count"),
+        F.count(c).alias("value_count"),
+        F.round(F.avg(c), 4).alias("avg_v"),
+    )

@@ -2621,6 +2621,79 @@ ORDER BY score DESC, doc_id ASC, "_index" ASC LIMIT 10
 register("search_multi_index", _q_multi_index, _multi_index_oracle())
 
 
+def _q_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .search import explain_score
+
+    tf, ds, ts, n, avgdl = _built_corpus(spark, sf_dir)
+    return explain_score(tf, ds, ts, n, avgdl, "sort merge join", mode="and")
+
+
+register(
+    "search_explain",
+    _q_explain,
+    f"""
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scores AS (
+  SELECT tf.doc_id, sum( ln(1 + (stats.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+         * tf.tf / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / stats.avgdl)) ) AS score,
+         count(*) AS nm
+  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  WHERE tf.term IN ('sort','merge','join') GROUP BY tf.doc_id
+),
+top1 AS (SELECT doc_id FROM scores WHERE nm = 3 ORDER BY score DESC, doc_id ASC LIMIT 1)
+SELECT tf.doc_id, tf.term, tf.tf AS term_freq, dl.dl AS doc_len, dfq.df AS doc_freq,
+       round(ln(1 + (stats.n_docs - dfq.df + 0.5) / (dfq.df + 0.5)), 4) AS idf,
+       round(tf.tf / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / stats.avgdl)), 4) AS tf_norm,
+       round(ln(1 + (stats.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+             * tf.tf / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / stats.avgdl)), 4) AS partial
+FROM tf JOIN top1 USING (doc_id) JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+WHERE tf.term IN ('sort','merge','join')
+""",
+)
+
+
+def _q_scripted_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .aggs import scripted_metric_rms
+
+    return scripted_metric_rms(_ev(spark, sf_dir), "value", "event_type")
+
+
+register(
+    "agg_scripted_metric",
+    _q_scripted_metric,
+    """SELECT event_type, round(sqrt(avg(value * value)), 4) AS rms
+       FROM events GROUP BY event_type ORDER BY event_type""",
+)
+
+
+def _q_agg_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .aggs import missing_value_count_agg
+
+    ev = _ev(spark, sf_dir)
+    # no naturally-absent field in the fixture: null out a deterministic
+    # slice so missing/value_count are non-vacuous (same CASE in the oracle)
+    nulled = ev.withColumn(
+        "v", F.when(F.col("event_id") % 7 == 0, F.lit(None)).otherwise(F.col("value"))
+    )
+    return missing_value_count_agg(nulled, "v")
+
+
+register(
+    "agg_missing",
+    _q_agg_missing,
+    """
+WITH n AS (SELECT CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v FROM events)
+SELECT CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS missing_count,
+       count(v) AS value_count, round(avg(v), 4) AS avg_v
+FROM n
+""",
+)
+
+
 # Deliberate contract ordering: CORRECTNESS_r01 recorded exactly the first 50
 # registered queries, so the driver appears to cap its check at 50. The first
 # 50 names below are all oracle-bearing and cover every operator family once
@@ -2672,6 +2745,7 @@ _PRIORITY = [
     "agg_matrix_stats", "agg_adjacency_matrix",
     "search_geo_distance", "agg_geotile_grid", "search_multi_index",
     "text_pii_redact", "text_repetition",
+    "search_explain", "agg_scripted_metric", "agg_missing",
     "bm25_synonym", "search_sort_by_field", "suggest_completion",
     "agg_bucket_selector", "agg_stats", "agg_filters", "fn_datetime",
     "corpus_doc_length", "bm25_wand_rare_term", "bm25_wand_stopword",

@@ -295,3 +295,42 @@ def terms_set_filter(
         .filter(F.col("n_matched") >= F.col(required_col))
         .select("doc_id", "n_matched", F.col(required_col).cast("bigint").alias("required"))
     )
+
+
+def explain_score(
+    tf: DataFrame,
+    doc_stats: DataFrame,
+    term_stats: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    query: str,
+    mode: str = "and",
+) -> DataFrame:
+    """ES `_explain` API [public: ES explain docs]: the per-term score
+    breakdown (tf, dl, df, idf, tf_norm, partial) for the TOP hit of the
+    query — how Lucene justifies a BM25 score. The top-1 doc_id side is a
+    1-row broadcast; the breakdown reuses the same pruned tf scan and
+    broadcast stats join as score_terms, so explain costs one extra
+    broadcast over the normal query plan."""
+    q = parse_query(query)
+    top1 = exact_search(tf, doc_stats, term_stats, n_docs, avgdl, query, k=1, mode=mode).select(
+        "doc_id"
+    )
+    tf_q = tf.filter(F.col("term").isin(q.terms)).join(F.broadcast(top1), "doc_id")
+    joined = tf_q.join(
+        F.broadcast(term_stats.filter(F.col("term").isin(q.terms)).select("term", "df")), "term"
+    )
+    if "dl" not in tf.columns:
+        joined = joined.join(doc_stats, "doc_id")
+    idf = idf_expr(F.col("df"), F.lit(n_docs))
+    tfn = tf_norm_expr(F.col("tf"), F.col("dl"), F.lit(float(avgdl)))
+    return joined.select(
+        "doc_id",
+        "term",
+        F.col("tf").cast("bigint").alias("term_freq"),
+        F.col("dl").cast("bigint").alias("doc_len"),
+        F.col("df").cast("bigint").alias("doc_freq"),
+        F.round(idf, 4).alias("idf"),
+        F.round(tfn, 4).alias("tf_norm"),
+        F.round(idf * tfn, 4).alias("partial"),
+    )
