@@ -2694,6 +2694,108 @@ FROM n
 )
 
 
+def _q_has_child(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `has_child` [public: ES join-field has_child query]: parent docs
+    (orders) with ≥ min_children children (lineitems) matching the child
+    query. The child side pre-aggregates to (parent_id, n_matched) BEFORE
+    the join — at scale this is a pruned scan + partial agg, never a
+    parent×child fan-out; the parent join is then a semi-shaped inner join."""
+    li = read_fixture(spark, sf_dir, "lineitem")
+    orders = read_fixture(spark, sf_dir, "orders")
+    kids = (
+        li.filter((F.col("l_quantity") >= 45) & (F.col("l_discount") >= 0.05))
+        .groupBy("l_orderkey")
+        .agg(F.count("*").alias("n_children"))
+        .filter(F.col("n_children") >= 2)
+    )
+    return (
+        orders.join(kids, orders.o_orderkey == kids.l_orderkey)
+        .select("o_orderkey", "o_orderstatus", "n_children")
+    )
+
+
+register(
+    "search_has_child",
+    _q_has_child,
+    """
+WITH kids AS (
+  SELECT l_orderkey, count(*) AS n_children FROM lineitem
+  WHERE l_quantity >= 45 AND l_discount >= 0.05
+  GROUP BY l_orderkey HAVING count(*) >= 2)
+SELECT o.o_orderkey, o.o_orderstatus, k.n_children
+FROM orders o JOIN kids k ON o.o_orderkey = k.l_orderkey
+""",
+)
+
+
+def _q_has_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `has_parent` [public]: child docs (lineitems) whose parent order
+    matches the parent query. The matching-parent key set broadcasts (it is
+    the filtered small side), making this a broadcast semi join on the child
+    scan — no shuffle of the big child table."""
+    li = read_fixture(spark, sf_dir, "lineitem")
+    orders = read_fixture(spark, sf_dir, "orders")
+    parents = orders.filter(
+        (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 400000.0)
+    ).select("o_orderkey")
+    return (
+        li.join(F.broadcast(parents), li.l_orderkey == parents.o_orderkey, "left_semi")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+    )
+
+
+register(
+    "search_has_parent",
+    _q_has_parent,
+    """
+SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+WHERE l_orderkey IN (
+  SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F' AND o_totalprice > 400000.0)
+""",
+)
+
+
+def _q_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `nested` query [public: ES nested field type + query]: documents
+    whose array-of-objects field has ONE element satisfying ALL conditions.
+    A flattened mapping would cross-match (some element has qty>=48 AND some
+    OTHER element has discount>=0.08); nested semantics require the SAME
+    element — exactly Spark's F.exists over an array<struct> column, a
+    per-row expression.
+
+    The fixture has no nested column, so the nested docs are materialized
+    first (orders with their lineitems as array<struct>) — that build is one
+    groupBy collect_list, the shape a real mapping would already store."""
+    li = read_fixture(spark, sf_dir, "lineitem")
+    nested = li.groupBy("l_orderkey").agg(
+        F.collect_list(
+            F.struct(
+                F.col("l_linenumber").alias("ln"),
+                F.col("l_quantity").alias("qty"),
+                F.col("l_discount").alias("disc"),
+            )
+        ).alias("items")
+    )
+    hit = F.exists(
+        F.col("items"), lambda x: (x["qty"] >= 48) & (x["disc"] >= 0.08)
+    )
+    return (
+        nested.filter(hit)
+        .select(F.col("l_orderkey").alias("o_orderkey"), F.size("items").alias("n_items"))
+    )
+
+
+register(
+    "search_nested",
+    _q_nested,
+    """
+SELECT l_orderkey AS o_orderkey, CAST(count(*) AS INT) AS n_items
+FROM lineitem GROUP BY l_orderkey
+HAVING bool_or(l_quantity >= 48 AND l_discount >= 0.08)
+""",
+)
+
+
 # Deliberate contract ordering: CORRECTNESS_r01 recorded exactly the first 50
 # registered queries, so the driver appears to cap its check at 50. The first
 # 50 names below are all oracle-bearing and cover every operator family once
@@ -2746,6 +2848,7 @@ _PRIORITY = [
     "search_geo_distance", "agg_geotile_grid", "search_multi_index",
     "text_pii_redact", "text_repetition",
     "search_explain", "agg_scripted_metric", "agg_missing",
+    "search_has_child", "search_has_parent", "search_nested",
     "bm25_synonym", "search_sort_by_field", "suggest_completion",
     "agg_bucket_selector", "agg_stats", "agg_filters", "fn_datetime",
     "corpus_doc_length", "bm25_wand_rare_term", "bm25_wand_stopword",
