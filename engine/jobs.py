@@ -63,9 +63,22 @@ def job_build(args: argparse.Namespace) -> dict:
 
     spark, owned = _spark("engine-build-index", args.shuffle_partitions)
     spark.sparkContext.setLogLevel("WARN")
+    _prof = os.environ.get("ENGINE_PROFILE") == "1"
+    _laps: dict[str, float] = {}
+    _t = time.perf_counter()
+
+    def _lap(name: str) -> None:
+        nonlocal _t
+        if _prof:
+            now = time.perf_counter()
+            _laps[name] = round(now - _t, 2)
+            _t = now
+
     t0 = time.perf_counter()
     pages = spark.read.parquet(args.pages)
+    _lap("read_plan")
     docs = refine_pages(pages, lang=args.lang)
+    _lap("refine_plan")
     ckpt = (
         CheckpointManager(
             spark,
@@ -88,7 +101,10 @@ def job_build(args: argparse.Namespace) -> dict:
         n_salts=args.salts,
         checkpoint=ckpt,
     )
+    _lap("build_index")
     wall = time.perf_counter() - t0
+    if _prof:
+        print("JOB_PROFILE " + json.dumps(_laps), file=sys.stderr)
     out = {
         "job": "build",
         "n_docs": manifest.n_docs,

@@ -172,7 +172,12 @@ def refine_pages(
         "_b", F.pmod(F.xxhash64("url"), F.lit(ID_BUCKETS)).cast("int")
     )
     part = df.repartition(partitions, F.col("_b")).sortWithinPartitions(
-        F.col("_b").asc(), F.col("url").asc(), F.col("warc_ts").desc(), F.col("_h").desc()
+        F.col("_b").asc(),
+        F.col("url").asc(),
+        F.col("warc_ts").desc(),
+        F.col("_h").desc(),
+        F.col("lang").desc(),  # pins winner among exact (ts, hash) ties so
+        # the JVM counting aggregate below always agrees with this sort
     )
 
     def _first_per_url(pdf: pd.DataFrame, last_url) -> pd.DataFrame:
@@ -185,27 +190,29 @@ def refine_pages(
             kept = kept[kept["lang"].to_numpy() == lang]
         return kept
 
-    def count_kept(batches):
-        counts: dict[int, int] = {}
-        last_url = None
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            kept = _first_per_url(pdf, last_url)
-            for b, n in kept.groupby("_b").size().items():
-                counts[int(b)] = counts.get(int(b), 0) + int(n)
-            last_url = pdf["url"].iloc[-1]
-        yield pd.DataFrame(
-            {
-                "_b": pd.Series(list(counts.keys()), dtype="int32"),
-                "n": pd.Series(list(counts.values()), dtype="int64"),
-            }
+    # Per-bucket survivor counts for the offset map, PURE JVM (no Arrow/
+    # pandas pass): survivors = distinct urls per bucket; with a lang filter,
+    # the winner row's lang is max_by over the SAME (warc_ts, _h, lang) key
+    # the sorted dedup pass uses, so counts always agree with dedup_rank.
+    # Two-phase hash agg with map-side partials — only (bucket, url) partial
+    # rows shuffle, never html; replaces a former mapInPandas counting pass
+    # that serialized every url through Arrow (~7 s of driver-visible latency
+    # per build at 150k pages).
+    if lang is None:
+        kept_counts = df.groupBy("_b").agg(F.count_distinct("url").alias("n"))
+    else:
+        kept_counts = (
+            df.groupBy("_b", "url")
+            .agg(
+                F.max_by(
+                    "lang", F.struct(F.col("warc_ts"), F.col("_h"), F.col("lang"))
+                ).alias("_wl")
+            )
+            .filter(F.col("_wl") == lang)
+            .groupBy("_b")
+            .agg(F.count("*").alias("n"))
         )
-
-    counts = {
-        r["_b"]: r["n"]
-        for r in part.select("_b", "url", "lang").mapInPandas(count_kept, "_b int, n long").collect()
-    }
+    counts = {r["_b"]: r["n"] for r in kept_counts.collect()}
     offsets, acc = {}, 0
     for b in sorted(counts):
         offsets[b] = acc
