@@ -69,3 +69,31 @@ def test_refine_pages_end_to_end(spark):
     row = m.agg(F.sum("n_docs"), F.sum("n_bytes")).collect()[0]
     assert row[0] == docs.count()
     assert row[1] == docs.agg(F.sum(F.length("text"))).collect()[0][0]
+
+
+def test_refine_lang_filter_counts_match_kept_rows(spark):
+    """The doc_id offset map comes from a JVM aggregate (count of per-url
+    winners passing the lang filter) while the rows themselves are kept by
+    the sorted mapInPandas pass — the two must agree exactly or doc_ids
+    collide. Exercised with a lang filter (the max_by branch) and with
+    planted re-crawls where the newest crawl is in a DIFFERENT language
+    (winner must be dropped, older crawl must not resurrect)."""
+    pages = pages_df(spark, 300, seed=11)
+    # plant: for 20 urls add a NEWER crawl with a different lang
+    dup = (
+        pages.limit(20)
+        .withColumn("warc_ts", F.col("warc_ts") + F.expr("INTERVAL 3650 DAYS"))
+        .withColumn("lang", F.lit("xx"))
+    )
+    both = pages.unionByName(dup)
+    docs = refine_pages(both, lang="en").cache()
+    n = docs.count()
+    # dense ids 0..n-1, no collisions
+    assert docs.select("doc_id").distinct().count() == n
+    assert docs.agg(F.min("doc_id"), F.max("doc_id")).collect()[0] == (0, n - 1)
+    # every kept doc is lang=en and is its url's latest crawl overall:
+    # none of the 20 planted urls (newest crawl lang=xx) may appear
+    planted_urls = {r["url"] for r in dup.select("url").collect()}
+    kept_urls = {r["url"] for r in docs.select("url").collect()}
+    assert not (planted_urls & kept_urls)
+    docs.unpersist()
