@@ -75,7 +75,13 @@ def job_build(args: argparse.Namespace) -> dict:
             _t = now
 
     t0 = time.perf_counter()
-    pages = spark.read.parquet(args.pages)
+    # the input shape is fixed by the contract (BASELINE.json:15) — pass it
+    # explicitly so the scan skips footer-sampling schema inference (a
+    # driver-side serial cost paid before any task runs)
+    pages_schema = (
+        "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    pages = spark.read.schema(pages_schema).parquet(args.pages)
     _lap("read_plan")
     docs = refine_pages(pages, lang=args.lang)
     _lap("refine_plan")

@@ -229,11 +229,20 @@ def refine_pages(
             if not len(kept):
                 continue
             bvals = kept["_b"].to_numpy()
-            base = np.fromiter(
-                (offsets[int(b)] + emitted.get(int(b), 0) for b in bvals),
-                dtype=np.int64,
-                count=len(bvals),
-            )
+            try:
+                base = np.fromiter(
+                    (offsets[int(b)] + emitted.get(int(b), 0) for b in bvals),
+                    dtype=np.int64,
+                    count=len(bvals),
+                )
+            except KeyError as e:  # pragma: no cover - defensive
+                raise RuntimeError(
+                    "refine_pages: a kept row landed in an id-bucket the "
+                    "counting pass never saw. The input DataFrame produced "
+                    "different rows in the two passes — it must be "
+                    "deterministic across actions (no bare limit()/sample(); "
+                    "cache() such inputs first)."
+                ) from e
             kept["doc_id"] = base + kept.groupby("_b").cumcount().to_numpy(dtype=np.int64)
             for b, n in kept.groupby("_b").size().items():
                 emitted[int(b)] = emitted.get(int(b), 0) + int(n)

@@ -79,9 +79,11 @@ def test_refine_lang_filter_counts_match_kept_rows(spark):
     planted re-crawls where the newest crawl is in a DIFFERENT language
     (winner must be dropped, older crawl must not resurrect)."""
     pages = pages_df(spark, 300, seed=11)
-    # plant: for 20 urls add a NEWER crawl with a different lang
+    # plant: for a deterministic url subset add a NEWER crawl with a
+    # different lang (NOT limit(): a lazy limit may pick different rows in
+    # the counting action vs the dedup action)
     dup = (
-        pages.limit(20)
+        pages.filter(F.pmod(F.xxhash64("url"), F.lit(15)) == 0)
         .withColumn("warc_ts", F.col("warc_ts") + F.expr("INTERVAL 3650 DAYS"))
         .withColumn("lang", F.lit("xx"))
     )
