@@ -113,3 +113,30 @@ def test_ivf_scans_fewer_rows(spark, emb, vecs):
     )).count()
     assert n_candidates < len(vecs)
     assert probed.count() == 10
+
+
+def test_ivf_written_index_partition_prunes(spark, emb, vecs, tmp_path_factory):
+    """The written IVF layout must turn nprobe selection into Hive-style
+    PARTITION PRUNING (PartitionFilters on ivf_cluster), and querying the
+    written index must return exactly what the in-memory path returns."""
+    from engine.ann import (
+        assign_clusters,
+        ivf_topk,
+        load_ivf_topk,
+        train_centroids,
+        write_ivf_index,
+    )
+
+    out = str(tmp_path_factory.mktemp("ivfidx"))
+    cast = emb.withColumn("embedding", F.col("embedding").cast("array<double>"))
+    cents = train_centroids(cast, n_clusters=8)
+    assigned = assign_clusters(cast, cents)
+    write_ivf_index(assigned, cents, out)
+
+    q = vecs[0].tolist()
+    from_disk = load_ivf_topk(spark, out, q, k=10, nprobe=2)
+    p = from_disk._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in p and "ivf_cluster" in p, p
+    mem = [tuple(r) for r in ivf_topk(assigned, cents, q, k=10, nprobe=2).collect()]
+    disk = [tuple(r) for r in from_disk.collect()]
+    assert mem == disk
