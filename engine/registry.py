@@ -2888,6 +2888,41 @@ SELECT event_id, v FROM n WHERE v IS NOT NULL ORDER BY event_id ASC LIMIT 100
 )
 
 
+def _q_sql_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The D8 exact-BM25 scorer through the PURE `spark.sql` interface —
+    temp view + SQL text, zero DataFrame calls — demonstrating the engine's
+    semantics are equally expressible via Spark SQL (same Catalyst plan as
+    the DataFrame path; the optimizer, not the API, decides execution)."""
+    read_fixture(spark, sf_dir, "documents").createOrReplaceTempView("documents_v")
+    return spark.sql(f"""
+WITH toks AS (
+  SELECT doc_id, term FROM documents_v LATERAL VIEW explode(split(text, ' ')) x AS term
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scores AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (stats.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+             * tf.tf / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / stats.avgdl))) AS score,
+         count(*) AS nm
+  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  WHERE tf.term IN ('sort', 'merge', 'join')
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score, 4) AS score FROM scores WHERE nm = 3
+ORDER BY score DESC, doc_id ASC LIMIT 10
+""")
+
+
+register(
+    "sql_bm25_and",
+    _q_sql_bm25,
+    _bm25_oracle(["sort", "merge", "join"], 10, "and"),
+)
+
+
 # Deliberate contract ordering: CORRECTNESS_r01 recorded exactly the first 50
 # registered queries, so the driver appears to cap its check at 50. The first
 # 50 names below are all oracle-bearing and cover every operator family once
@@ -2941,7 +2976,7 @@ _PRIORITY = [
     "text_pii_redact", "text_repetition",
     "search_explain", "agg_scripted_metric", "agg_missing",
     "search_has_child", "search_has_parent", "search_nested",
-    "suggest_phrase", "agg_date_range", "search_exists",
+    "suggest_phrase", "agg_date_range", "search_exists", "sql_bm25_and",
     "bm25_synonym", "search_sort_by_field", "suggest_completion",
     "agg_bucket_selector", "agg_stats", "agg_filters", "fn_datetime",
     "corpus_doc_length", "bm25_wand_rare_term", "bm25_wand_stopword",
