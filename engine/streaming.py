@@ -249,3 +249,43 @@ class IncrementalIndexer:
         with open(os.path.join(out, "manifest.json"), "w") as f:
             f.write(manifest.to_json())
         return out
+
+
+def percolate_stream(
+    pages: DataFrame,
+    queries: list[tuple[str, str]],
+    out_path: str,
+    checkpoint_path: str,
+):
+    """J8: streaming percolator — the ES alerting pattern (`percolate` on an
+    ingest pipeline): every micro-batch of incoming pages is refined with the
+    SAME analyzer as the index path and matched against the standing query
+    set; (query_id, url) match rows append to a parquet alert sink.
+
+    foreachBatch + the batch percolator keeps one code path for both modes
+    (the broadcast query side and map-side-combined match aggregation are
+    identical); checkpointing gives exactly-once appends per batch id. At
+    scale this is the canonical streaming-join-against-tiny-static shape —
+    no state store needed because percolation is per-document."""
+    from .percolate import percolate
+    from .refine import html_strip_udf
+    from .tokenizer import term_counts_udf
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        docs = batch_df.withColumn("text", html_strip_udf(F.col("html")))
+        toks = docs.select(
+            F.col("url"),
+            F.explode(term_counts_udf(F.col("text"))["terms"]).alias("term"),
+        ).distinct()
+        hits = percolate(toks, queries, id_col="url")
+        hits.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
+            out_path
+        )
+
+    return (
+        pages.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+    )

@@ -189,3 +189,35 @@ def test_incremental_batch_replay_is_idempotent(spark, pages_dir, tmp_path):
     idx.process_batch(batch, st1["batches"][-1])
     st2 = idx._load_state()
     assert st1 == st2
+
+
+def test_streaming_percolator_matches_batch(spark, pages_dir, tmp_path):
+    """J8: streamed percolation == batch percolation over the same corpus
+    (same analyzer, same standing queries); exactly-once parquet appends."""
+    from engine.percolate import percolate
+    from engine.refine import html_strip_udf
+    from engine.streaming import percolate_stream
+    from engine.tokenizer import term_counts_udf
+
+    queries = [("q_table", "table scan"), ("q_merge", "merge"), ("q_none", "zzznope")]
+    out = str(tmp_path / "alerts")
+    q = percolate_stream(
+        stream_pages(spark, pages_dir), queries, out, str(tmp_path / "pckpt")
+    ).start()
+    q.awaitTermination(120)
+
+    got = {
+        (r["query_id"], r["url"])
+        for r in spark.read.parquet(out).select("query_id", "url").collect()
+    }
+    batch_pages = spark.read.parquet(pages_dir)
+    docs = batch_pages.withColumn("text", html_strip_udf(F.col("html")))
+    toks = docs.select(
+        "url", F.explode(term_counts_udf(F.col("text"))["terms"]).alias("term")
+    ).distinct()
+    want = {
+        (r["query_id"], r["url"])
+        for r in percolate(toks, queries, id_col="url").collect()
+    }
+    assert got == want and want  # non-vacuous
+    assert not any(qid == "q_none" for qid, _ in got)
