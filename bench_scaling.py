@@ -263,7 +263,10 @@ def main() -> None:
     eff = max(speedup / factor, pair_eff)
     ctl_eff = (ctl[n_lo] / ctl[n_hi]) / factor
     sctl_eff = (sctl[n_lo] / sctl[n_hi]) / factor
-    norm_eff = min(1.0, eff / sctl_eff) if sctl_eff > 0 else 0.0
+    # UNCAPPED ratio — >1.0 means the job scaled better than the control in
+    # its window (within host noise); hiding that behind a clamp would
+    # overstate the measurement's precision
+    norm_eff = eff / sctl_eff if sctl_eff > 0 else 0.0
     summary = {
         "metric": "index_build_scaling",
         "n_pages": N_PAGES,
@@ -279,6 +282,10 @@ def main() -> None:
         "shuffle_control_efficiency": round(sctl_eff, 3),
         "platform_normalized_efficiency": round(norm_eff, 3),
         "target": 0.8,
+        # both measures reported separately; "pass" is their disjunction and
+        # the md block states WHICH measure carried it
+        "pass_raw": eff >= 0.8,
+        "pass_normalized": norm_eff >= 0.8,
         "pass": eff >= 0.8 or norm_eff >= 0.8,
     }
     block = (
@@ -308,9 +315,20 @@ def main() -> None:
         "124→168→173 s for the same local[4] build). A real N→4N EXECUTOR\n"
         "scale-out adds a memory system and NVMe per executor and does not\n"
         "share either ceiling. Job efficiency normalized by the shuffle\n"
-        f"control: **{summary['platform_normalized_efficiency']}** "
-        f"(target ≥ 0.8 → {'PASS' if summary['pass'] else 'FAIL'}"
-        f"{'' if summary['efficiency'] >= 0.8 else ' via the platform-normalized measure; the raw pair is below target only because the single-box shuffle ceiling itself is'}).\n"
+        f"control: **{summary['platform_normalized_efficiency']}**.\n\n"
+        f"Target ≥ 0.8: raw measure "
+        f"{'PASS' if summary['pass_raw'] else 'FAIL'} "
+        f"({summary['efficiency']}), platform-normalized measure "
+        f"{'PASS' if summary['pass_normalized'] else 'FAIL'} "
+        f"({summary['platform_normalized_efficiency']})"
+        + (
+            " — the raw pair misses target while the job matches the\n"
+            "shuffle-control ceiling, so the shortfall is attributable to\n"
+            "the shared single-box platform, not the job"
+            if summary["pass_normalized"] and not summary["pass_raw"]
+            else ""
+        )
+        + ".\n"
     )
     update_baseline_md(block)
     print(json.dumps(summary))

@@ -72,12 +72,20 @@ def geo_distance_search(
     )
 
 
+MERCATOR_LAT_MAX = 85.0511287798  # web-mercator domain bound (atan(sinh(pi)))
+
+
 def geotile_grid_agg(ev: DataFrame, zoom: int = 4) -> DataFrame:
     """ES geotile_grid aggregation: bucket points into web-mercator tiles
     `z/x/y` at a fixed zoom and count per tile. x/y are closed-form floor
-    arithmetic over lon/lat — one hash aggregate, no UDF."""
+    arithmetic over lon/lat — one hash aggregate, no UDF. Latitudes are
+    clamped to the mercator domain (±85.0511°) the way every tile scheme
+    does, so y always lands in [0, 2^zoom)."""
     n = float(1 << zoom)
-    lat, lon = F.col("lat"), F.col("lon")
+    lon = F.col("lon")
+    lat = F.greatest(
+        F.lit(-MERCATOR_LAT_MAX), F.least(F.lit(MERCATOR_LAT_MAX), F.col("lat"))
+    )
     x = F.floor((lon + 180.0) / 360.0 * n).cast("bigint")
     lat_rad = F.radians(lat)
     y = F.floor(

@@ -147,9 +147,11 @@ def refine_pages(
          sort within partitions on (_b, url asc, warc_ts desc, content-hash
          desc); a url's rows land in exactly one bucket, a bucket in exactly
          one partition, and buckets are contiguous within a partition;
-      2. a slim counting pass over the SAME shuffle output (map side reused)
-         counts surviving docs per id-bucket → offset map (O(ID_BUCKETS)
-         collect);
+      2. a pure-JVM counting aggregate over the PRE-shuffle frame (distinct
+         urls per bucket, or max_by-winner lang counts under a lang filter)
+         → offset map (O(ID_BUCKETS) collect). This is a separate action
+         from the emit pass, so the input must be deterministic across
+         actions — divergence is detected and raised, see dedup_rank;
       3. one streaming mapInPandas pass keeps the first (= latest, ties
          broken by content hash, byte-identical ties collapsed) row per url,
          applies the lang filter to the winner, and assigns
@@ -243,6 +245,18 @@ def refine_pages(
                     "deterministic across actions (no bare limit()/sample(); "
                     "cache() such inputs first)."
                 ) from e
+            # within-bucket divergence check: emitting MORE rows in a bucket
+            # than the counting pass saw would collide with the next
+            # bucket's id range — fail loudly instead (same nondeterministic
+            # -input class as the KeyError above, subtler symptom)
+            for b, n in kept.groupby("_b").size().items():
+                if emitted.get(int(b), 0) + int(n) > counts[int(b)]:
+                    raise RuntimeError(
+                        f"refine_pages: bucket {int(b)} emitted more rows "
+                        f"than the counting pass saw ({counts[int(b)]}) — "
+                        "nondeterministic input between actions; doc_ids "
+                        "would collide. cache() the input first."
+                    )
             kept["doc_id"] = base + kept.groupby("_b").cumcount().to_numpy(dtype=np.int64)
             for b, n in kept.groupby("_b").size().items():
                 emitted[int(b)] = emitted.get(int(b), 0) + int(n)

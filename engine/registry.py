@@ -2478,7 +2478,8 @@ register(
     "agg_geotile_grid",
     _q_geotile,
     """
-WITH pts AS (SELECT CAST(user_id % 179 - 89 AS DOUBLE) + 0.5 AS lat,
+WITH pts AS (SELECT greatest(-85.0511287798, least(85.0511287798,
+                    CAST(user_id % 179 - 89 AS DOUBLE) + 0.5)) AS lat,
                     CAST(event_id % 359 - 179 AS DOUBLE) + 0.5 AS lon
              FROM events),
 t AS (SELECT '4/' ||
@@ -2644,7 +2645,8 @@ scores AS (
   FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
   WHERE tf.term IN ('sort','merge','join') GROUP BY tf.doc_id
 ),
-top1 AS (SELECT doc_id FROM scores WHERE nm = 3 ORDER BY score DESC, doc_id ASC LIMIT 1)
+top1 AS (SELECT doc_id FROM scores WHERE nm = 3
+         ORDER BY round(score, 4) DESC, doc_id ASC LIMIT 1)
 SELECT tf.doc_id, tf.term, tf.tf AS term_freq, dl.dl AS doc_len, dfq.df AS doc_freq,
        round(ln(1 + (stats.n_docs - dfq.df + 0.5) / (dfq.df + 0.5)), 4) AS idf,
        round(tf.tf / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / stats.avgdl)), 4) AS tf_norm,

@@ -264,24 +264,28 @@ def percolate_stream(
 
     foreachBatch + the batch percolator keeps one code path for both modes
     (the broadcast query side and map-side-combined match aggregation are
-    identical); checkpointing gives exactly-once appends per batch id. At
-    scale this is the canonical streaming-join-against-tiny-static shape —
-    no state store needed because percolation is per-document."""
+    identical). Exactly-once: each batch OVERWRITES its own
+    `batch_id=<n>` partition directory (idempotent replay — a batch
+    re-run after a crash-before-checkpoint rewrites the same path instead
+    of appending duplicates, the same discipline as IncrementalIndexer's
+    idempotent segment names). At scale this is the canonical
+    streaming-join-against-tiny-static shape — no state store needed
+    because percolation is per-document."""
+    import os
+
     from .percolate import percolate
     from .refine import html_strip_udf
     from .tokenizer import term_counts_udf
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
-        if not batch_df.take(1):
-            return
         docs = batch_df.withColumn("text", html_strip_udf(F.col("html")))
         toks = docs.select(
             F.col("url"),
             F.explode(term_counts_udf(F.col("text"))["terms"]).alias("term"),
         ).distinct()
         hits = percolate(toks, queries, id_col="url")
-        hits.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
-            out_path
+        hits.write.mode("overwrite").parquet(
+            os.path.join(out_path, f"batch_id={batch_id}")
         )
 
     return (
