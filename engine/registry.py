@@ -3041,6 +3041,97 @@ FROM s
 )
 
 
+def _q_moving_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES pipeline aggs `moving_fn` (avg) + `serial_diff` (lag 1) +
+    `cumulative_sum` [public] over a date_histogram parent — all Spark
+    window functions over the bucketed frame; one shuffle for the
+    histogram, windows evaluated within the single ordered partition of
+    bucket rows (bucket count ≪ corpus, so the single-partition window is
+    fine at any corpus scale)."""
+    from pyspark.sql import Window
+
+    ev = _ev(spark, sf_dir)
+    buckets = (
+        ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.round(F.sum("value"), 4).alias("sum_v"))
+    )
+    w = Window.orderBy("day")
+    wm = w.rowsBetween(-2, 0)
+    return (
+        buckets.withColumn("moving_avg", F.round(F.avg("sum_v").over(wm), 4))
+        .withColumn("serial_diff", F.round(F.col("sum_v") - F.lag("sum_v", 1).over(w), 4))
+        .withColumn("cumulative", F.round(F.sum("sum_v").over(w.rowsBetween(Window.unboundedPreceding, 0)), 4))
+        .orderBy("day")
+    )
+
+
+register(
+    "agg_moving_window",
+    _q_moving_window,
+    """
+WITH b AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                  round(sum(value), 4) AS sum_v
+           FROM events GROUP BY 1)
+SELECT day, sum_v,
+       round(avg(sum_v) OVER (ORDER BY day ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS moving_avg,
+       round(sum_v - lag(sum_v, 1) OVER (ORDER BY day), 4) AS serial_diff,
+       round(sum(sum_v) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS cumulative
+FROM b ORDER BY day
+""",
+)
+
+
+def _q_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `global` bucket [public]: a sub-aggregation that ignores the
+    query's filter, reported alongside the filtered bucket — one scan with
+    conditional aggregates, no second pass."""
+    ev = _ev(spark, sf_dir)
+    is_click = F.col("event_type") == "click"
+    return ev.agg(
+        F.count(F.when(is_click, 1)).alias("query_doc_count"),
+        F.round(F.avg(F.when(is_click, F.col("value"))), 4).alias("query_avg"),
+        F.count("*").alias("global_doc_count"),
+        F.round(F.avg("value"), 4).alias("global_avg"),
+    )
+
+
+register(
+    "agg_global",
+    _q_agg_global,
+    """
+SELECT count(CASE WHEN event_type = 'click' THEN 1 END) AS query_doc_count,
+       round(avg(CASE WHEN event_type = 'click' THEN value END), 4) AS query_avg,
+       count(*) AS global_doc_count, round(avg(value), 4) AS global_avg
+FROM events
+""",
+)
+
+
+def _q_rank_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `rank_feature` query [public]: score docs by a numeric feature
+    through the saturation function feature/(feature+pivot), optionally
+    combined with a match — here the pure form over n_chars, top-20. Scan +
+    arithmetic + TakeOrdered; no corpus stats needed."""
+    docs = _docs(spark, sf_dir)
+    pivot = 300.0
+    score = F.round(F.col("n_chars") / (F.col("n_chars") + F.lit(pivot)), 4)
+    return (
+        docs.select("doc_id", score.alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+
+
+register(
+    "search_rank_feature",
+    _q_rank_feature,
+    """
+SELECT doc_id, round(n_chars / (n_chars + 300.0), 4) AS score
+FROM documents ORDER BY score DESC, doc_id ASC LIMIT 20
+""",
+)
+
+
 # Deliberate contract ordering: CORRECTNESS_r01 recorded exactly the first 50
 # registered queries, so the driver appears to cap its check at 50. The first
 # 50 names below are all oracle-bearing and cover every operator family once
@@ -3096,6 +3187,7 @@ _PRIORITY = [
     "search_has_child", "search_has_parent", "search_nested",
     "suggest_phrase", "agg_date_range", "search_exists", "sql_bm25_and",
     "search_termvectors", "agg_weighted_avg", "agg_t_test",
+    "agg_moving_window", "agg_global", "search_rank_feature",
     "bm25_synonym", "search_sort_by_field", "suggest_completion",
     "agg_bucket_selector", "agg_stats", "agg_filters", "fn_datetime",
     "corpus_doc_length", "bm25_wand_rare_term", "bm25_wand_stopword",
