@@ -137,6 +137,16 @@ def bm25_impact(
     return tf / (tf + k1 * (1.0 - b + b * dl / float(avgdl)))
 
 
+def _f32_ceil(x: np.ndarray) -> np.ndarray:
+    """Smallest float32 array >= x (elementwise): the safe direction for
+    impact UPPER bounds that will be stored as parquet FloatType."""
+    f = x.astype(np.float32)
+    low = f.astype(np.float64) < x
+    if low.any():
+        f[low] = np.nextafter(f[low], np.float32(np.inf))
+    return f
+
+
 def encode_postings(
     doc_ids: np.ndarray,
     tfs: np.ndarray,
@@ -183,7 +193,12 @@ def encode_postings(
     doc_enc, doc_offs = _varint_encode_offsets(gaps, starts)
     tf_enc, tf_offs = _varint_encode_offsets(tf.astype(np.uint64), starts)
     dl_enc, dl_offs = _varint_encode_offsets(dl.astype(np.uint64), starts)
-    block_maxes = np.maximum.reduceat(impacts, starts)
+    # UPPER bounds must survive the float32 parquet round-trip (SKIP_STRUCT
+    # stores FloatType): cast-to-nearest can round BELOW the true float64
+    # impact, which would make WAND's block skip unsound (a doc whose exact
+    # score beats θ could sit in a skipped block). Round up to the next
+    # float32 wherever the cast decreased the value.
+    block_maxes = _f32_ceil(np.maximum.reduceat(impacts, starts))
     skips = list(
         zip(
             ids[starts].tolist(),
@@ -198,7 +213,7 @@ def encode_postings(
         "tfs_enc": tf_enc,
         "dls_enc": dl_enc,
         "skips": skips,
-        "block_max": float(impacts.max()),
+        "block_max": float(_f32_ceil(np.asarray([impacts.max()]))[0]),
         "df": int(n),
         "cf": int(tf.sum()),
     }
@@ -237,6 +252,33 @@ def decode_postings(
     tfs = varint_decode(tfs_enc).astype(np.int64)
     dls = varint_decode(dls_enc).astype(np.int64)
     return ids, tfs, dls
+
+
+def decode_doc_ids(doc_ids_enc: bytes, skips) -> np.ndarray:
+    """Decode ONLY the doc_id stream (delta-restarted gaps → absolute ids).
+    Match-only consumers (delete/update-by-query) need no tf/dl values, so
+    skipping those two varint decodes roughly cuts the match-scan decode
+    cost to a third."""
+    if skips is None or len(skips) == 0:
+        return np.empty(0, dtype=np.int64)
+    gaps, vstarts = _varint_decode_starts(doc_ids_enc)
+    ids = np.cumsum(gaps.astype(np.int64))
+    n_blocks = len(skips)
+    if n_blocks > 1:
+        if isinstance(skips[0], dict):
+            doc_offs = np.fromiter(
+                (s["doc_off"] for s in skips), dtype=np.int64, count=n_blocks
+            )
+        else:
+            doc_offs = np.fromiter(
+                (s[1] for s in skips), dtype=np.int64, count=n_blocks
+            )
+        bstarts = np.searchsorted(vstarts, doc_offs)
+        reps = np.diff(np.append(bstarts, len(gaps)))
+        corr = np.zeros(n_blocks, dtype=np.int64)
+        corr[1:] = ids[bstarts[1:] - 1]
+        ids = ids - np.repeat(corr, reps)
+    return ids
 
 
 def decode_block(

@@ -33,7 +33,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .codec import decode_postings, encode_postings
+from .codec import decode_doc_ids, decode_postings, encode_postings
 from .index import POSTINGS_SCHEMA, IndexManifest, term_id
 from .search import parse_query
 from .searcher import LoadedIndex
@@ -56,7 +56,7 @@ def _shard_match_fn(tids: list[int], neg_tids: list[int], mode: str):
             if not len(rows):
                 return None
             parts = [
-                decode_postings(r.doc_ids_enc, r.tfs_enc, r.dls_enc, r.skips)[0]
+                decode_doc_ids(r.doc_ids_enc, r.skips)
                 for r in rows.itertuples(index=False)
             ]
             return np.concatenate(parts)
@@ -318,17 +318,41 @@ def update_by_query(
 
     manifest = IndexManifest.load(root)
     matched = docs.filter(predicate)
+    # ES _update_by_query only processes LIVE docs: a doc already tombstoned
+    # by delete_by_query must not be resurrected just because the predicate
+    # matches it — exclude prior tombstones from the reindex set. The prior
+    # ids are MATERIALIZED to the driver (this pass deletes the tombstone
+    # dir at the end; a lazy anti-join would re-read deleted files through
+    # the returned mapping's lineage), which costs the same O(tombstones)
+    # collect the expunge merge below already pays for `drop`.
+    prior = load_tombstones(spark, root)
+    prior_ids = (
+        np.sort(
+            np.fromiter((r["doc_id"] for r in prior.collect()), dtype=np.int64)
+        )
+        if prior is not None
+        else np.empty(0, dtype=np.int64)
+    )
+    if len(prior_ids):
+        matched = matched.filter(~F.col("doc_id").isin([int(x) for x in prior_ids]))
     dead = matched.select("doc_id").cache()
     # fold any pre-existing delete_by_query tombstones into the same merge —
     # this pass clears the tombstone dir, so it must expunge them too
-    prior = load_tombstones(spark, root)
-    all_dead = dead if prior is None else dead.unionByName(prior).distinct()
-    drop = np.sort(
-        np.fromiter((r["doc_id"] for r in all_dead.collect()), dtype=np.int64)
+    live_dead = np.sort(
+        np.fromiter((r["doc_id"] for r in dead.collect()), dtype=np.int64)
+    )
+    drop = np.union1d(live_dead, prior_ids)
+    # rebuilt from the materialized ids: later joins against this frame must
+    # not carry lineage into the tombstone parquet (deleted at the end)
+    all_dead = spark.createDataFrame(
+        [(int(x),) for x in drop], "doc_id long"
     )
     if not len(drop):
         dead.unpersist()
-        return manifest, docs
+        # consistent (doc_id, key) mapping shape on the empty path too
+        return manifest, docs.select(
+            "doc_id", F.col(key_col).alias("key")
+        ).limit(0)
 
     # fresh ids in fresh shards — the "new segment" of the ES model
     max_id = int(

@@ -61,6 +61,7 @@ def _shard_topk_fn(
     algo: str,
     after: tuple[float, int] | None = None,
     min_match: int = 1,
+    round_to: int | None = 4,
 ):
     """Grouped-map UDF body: one shard's posting rows → local top-k.
     `terms`/`must_not` are numeric tids (term_dict resolves strings).
@@ -69,15 +70,18 @@ def _shard_topk_fn(
     `fn.core` for the cogrouped delete-by-query path."""
 
     def core(pdf: pd.DataFrame, not_ids=None) -> pd.DataFrame:
+        # one pass over the shard frame (dict of sub-frames keyed by tid)
+        # instead of a full boolean mask per term — O(R), not O(T*R)
+        by_tid = {t: g for t, g in pdf.groupby("tid")}
         cursors = []
         for t in terms:
-            rows = pdf[pdf["tid"] == t]
-            if len(rows):
+            rows = by_tid.get(t)
+            if rows is not None and len(rows):
                 cursors.append(_rows_to_cursor(rows, idfs[t], avgdl))
         neg = []
         for t in must_not:
-            rows = pdf[pdf["tid"] == t]
-            if len(rows):
+            rows = by_tid.get(t)
+            if rows is not None and len(rows):
                 neg.append(_rows_to_cursor(rows, 0.0, avgdl))
         if not cursors or (mode == "and" and len(cursors) < len(terms)):
             return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
@@ -125,14 +129,17 @@ def _shard_topk_fn(
                 )
             hits = exhaustive_topk(
                 lists, k, avgdl, mode=mode, must_not_ids=mn_ids, after=after,
-                min_match=min_match,
+                min_match=min_match, round_to=round_to,
             )
         elif mode == "and":
-            hits = intersect_topk(cursors, k, must_not=neg, after=after, not_ids=not_ids)
+            hits = intersect_topk(
+                cursors, k, must_not=neg, after=after, not_ids=not_ids,
+                round_to=round_to,
+            )
         else:
             hits = wand_topk(
                 cursors, k, must_not=neg, after=after, not_ids=not_ids,
-                min_match=min_match,
+                min_match=min_match, round_to=round_to,
             )
         return pd.DataFrame(
             {"doc_id": [h[0] for h in hits], "score": [h[1] for h in hits]}
@@ -233,7 +240,7 @@ class LoadedIndex:
         )
         core = _shard_topk_fn(
             tids, idfs, neg_tids, self.manifest.avgdl, k, mode, algo, after,
-            min_should_match,
+            min_should_match, round_to,
         )
         dead = self.tombstones.select("doc_id") if self.tombstones is not None else None
         if exclude is not None:
@@ -310,7 +317,7 @@ class LoadedIndex:
         rows = self.postings.filter(
             F.col("bucket").isin(buckets) & F.col("tid").isin(tids)
         )
-        fn = _shard_multi_topk_fn(specs, self.manifest.avgdl, "wand")
+        fn = _shard_multi_topk_fn(specs, self.manifest.avgdl, round_to=round_to)
         if self.tombstones is not None:
             # same per-shard live-docs routing as single-query search
             tomb = self.tombstones.select(
@@ -391,8 +398,11 @@ class LoadedIndex:
         The window (≤ window_size rows) is broadcast against the doc table,
         so phase two never rescans the corpus."""
         base = self.search(query, k=window_size, mode=mode)
+        # escape LIKE metacharacters so a literal % or _ in the phrase does
+        # not act as a wildcard
+        esc = phrase.replace("\\", "\\\\").replace("%", "\\%").replace("_", "\\_")
         has_phrase = F.when(
-            F.concat(F.lit(" "), F.col("text"), F.lit(" ")).like(f"% {phrase} %"),
+            F.concat(F.lit(" "), F.col("text"), F.lit(" ")).like(f"% {esc} %"),
             F.lit(1.0),
         ).otherwise(F.lit(0.0))
         return (
@@ -415,12 +425,14 @@ class LoadedIndex:
 BATCH_TOPK_SCHEMA = "qid string, doc_id long, score double"
 
 
-def _shard_multi_topk_fn(specs: list[dict], avgdl: float, algo: str):
+def _shard_multi_topk_fn(specs: list[dict], avgdl: float, round_to: int | None = 4):
     """Grouped-map body for search_many: one shard's postings → local top-k
     for EVERY query in `specs` (each {qid, tids, idfs, neg, k, mode}).
     One scan + one Arrow crossing amortized over the whole query batch.
     `fn.core` (pdf, not_ids) is the tombstone-aware form used by the
-    cogrouped delete-by-query path."""
+    cogrouped delete-by-query path. (Batch mode always runs the WAND/
+    intersect kernels — the exhaustive oracle path is single-query only; a
+    former unused `algo` parameter pretended otherwise.)"""
 
     def core(pdf: pd.DataFrame, not_ids=None) -> pd.DataFrame:
         out_q, out_d, out_s = [], [], []
@@ -439,9 +451,15 @@ def _shard_multi_topk_fn(specs: list[dict], avgdl: float, algo: str):
             if not cursors or (spec["mode"] == "and" and len(cursors) < len(spec["tids"])):
                 continue
             if spec["mode"] == "and":
-                hits = intersect_topk(cursors, spec["k"], must_not=neg, not_ids=not_ids)
+                hits = intersect_topk(
+                    cursors, spec["k"], must_not=neg, not_ids=not_ids,
+                    round_to=round_to,
+                )
             else:
-                hits = wand_topk(cursors, spec["k"], must_not=neg, not_ids=not_ids)
+                hits = wand_topk(
+                    cursors, spec["k"], must_not=neg, not_ids=not_ids,
+                    round_to=round_to,
+                )
             for d, s in hits:
                 out_q.append(spec["qid"])
                 out_d.append(d)

@@ -180,22 +180,37 @@ def _tombstoned(doc: int, not_ids: np.ndarray | None) -> bool:
 
 
 def _round_half_up(s: float, nd: int = 4) -> float:
-    """Match Spark's F.round (HALF_UP) for non-negative scores — Python's
-    built-in round is banker's and can disagree on .xxxx5 boundaries."""
-    p = 10.0**nd
-    import math
+    """EXACTLY match Spark's F.round on doubles: Catalyst rounds
+    BigDecimal.valueOf(double) — i.e. the SHORTEST decimal representation —
+    with HALF_UP. Python's repr() produces the same shortest representation,
+    so Decimal(repr(s)) + ROUND_HALF_UP is bit-identical to Spark.
+    (The previous floor(s*1e4+0.5) operated on the scaled binary double and
+    diverged on .xxxx5 boundaries: 0.12345*1e4 == 1234.4999999999998.)"""
+    from decimal import ROUND_HALF_UP, Decimal
 
-    return math.floor(s * p + 0.5) / p
+    q = Decimal(1).scaleb(-nd)
+    return float(Decimal(repr(float(s))).quantize(q, rounding=ROUND_HALF_UP))
 
 
-def _after_ok(score: float, doc: int, after: tuple[float, int] | None) -> bool:
+def _rank_score(s: float, round_to: int | None) -> float:
+    """The ranking key a hit competes with: the Spark-rounded score when the
+    search rounds (the default), else the raw score. Heap ordering, θ, and
+    the search_after boundary must all live on THIS key — selecting by raw
+    score while pages display rounded scores loses rounded-tie hits whose
+    doc_id should win the tie."""
+    return _round_half_up(s, round_to) if round_to is not None else s
+
+
+def _after_ok(
+    score: float, doc: int, after: tuple[float, int] | None, round_to: int | None = 4
+) -> bool:
     """search_after cursor predicate: hit qualifies iff it sorts strictly
-    AFTER (after_score, after_doc) in page order (rounded score DESC, doc
-    ASC). Compared on the ROUNDED score because the page boundary the caller
-    holds comes from the rounded page-1 output [public: ES search_after]."""
+    AFTER (after_score, after_doc) in page order (ranking score DESC, doc
+    ASC). Compared on the same ranking key the caller's page-1 output used
+    [public: ES search_after]."""
     if after is None:
         return True
-    r = _round_half_up(score)
+    r = _rank_score(score, round_to)
     return r < after[0] or (r == after[0] and doc > after[1])
 
 
@@ -206,8 +221,17 @@ def wand_topk(
     after: tuple[float, int] | None = None,
     not_ids: np.ndarray | None = None,
     min_match: int = 1,
+    round_to: int | None = 4,
 ) -> list[tuple[int, float]]:
     """Block-max WAND disjunctive top-k → [(doc_id, score)] rank-ordered.
+
+    round_to: the search's score rounding — heap ordering, θ and the after
+    boundary all use the ROUNDED score (the key pages are sorted by), so a
+    raw-score near-tie can never drop a hit whose rounded tie the doc-asc
+    order should win. Pruning stays sound: θ is a rounded heap value (on the
+    rounding grid, idempotent), and any candidate with raw upper bound
+    ≤ θ has round(s) ≤ θ, which loses the tie to the incumbent under
+    doc-ascending traversal.
 
     after: resumable-cursor pagination — only hits sorting strictly after
     (score, doc_id) enter the heap; θ pruning still rises from the heap as
@@ -270,8 +294,8 @@ def wand_topk(
                         break
                     s += c.score()
                     nm += 1
-                if nm >= min_match and _after_ok(s, pivot_doc, after):
-                    theta = _push(heap, k, s, pivot_doc)
+                if nm >= min_match and _after_ok(s, pivot_doc, after, round_to):
+                    theta = _push(heap, k, _rank_score(s, round_to), pivot_doc)
             for c in active:
                 if c.doc == pivot_doc:
                     c.next_geq(pivot_doc + 1)
@@ -290,10 +314,12 @@ def intersect_topk(
     must_not: list[TermCursor] | None = None,
     after: tuple[float, int] | None = None,
     not_ids: np.ndarray | None = None,
+    round_to: int | None = 4,
 ) -> list[tuple[int, float]]:
     """Conjunctive (bool.must) top-k: document-at-a-time posting-list
     intersection led by the rarest list, galloping via next_geq
-    (BASELINE.json:6). not_ids: sorted tombstoned doc_ids."""
+    (BASELINE.json:6). not_ids: sorted tombstoned doc_ids. round_to: see
+    wand_topk — selection and the after boundary use the rounded key."""
     must_not = must_not or []
     if not cursors or any(c.n_blocks == 0 for c in cursors):
         return []
@@ -312,8 +338,8 @@ def intersect_topk(
         if aligned:
             if not _tombstoned(d, not_ids) and not _excluded(d, must_not):
                 s = sum(c.score() for c in order)
-                if _after_ok(s, d, after):
-                    _push(heap, k, s, d)
+                if _after_ok(s, d, after, round_to):
+                    _push(heap, k, _rank_score(s, round_to), d)
             d = lead.next_geq(d + 1)
     return _heap_result(heap)
 
@@ -328,10 +354,14 @@ def exhaustive_topk(
     b: float = BM25_B,
     after: tuple[float, int] | None = None,
     min_match: int = 1,
+    round_to: int | None = 4,
 ) -> list[tuple[int, float]]:
     """Non-skipping vectorized scorer — the oracle twin of wand/intersect.
 
-    lists: per term (doc_ids, tfs, dls, idf)."""
+    lists: per term (doc_ids, tfs, dls, idf). round_to: selection, the after
+    boundary and returned scores all use the SAME Spark-equivalent rounded
+    key as wand/intersect (see _rank_score) so the oracle can never disagree
+    with the pruned paths on a rounding-boundary tie."""
     if not lists:
         return []
     ids = np.concatenate([l[0] for l in lists])
@@ -356,11 +386,15 @@ def exhaustive_topk(
         mask &= counts >= min_match
     if must_not_ids is not None and len(must_not_ids):
         mask &= ~np.isin(uniq, must_not_ids)
-    if after is not None:
-        rounded = np.floor(scores * 1e4 + 0.5) / 1e4
-        mask &= (rounded < after[0]) | ((rounded == after[0]) & (uniq > after[1]))
     uniq, scores = uniq[mask], scores[mask]
     if len(uniq) == 0:
         return []
+    if round_to is not None:
+        scores = np.asarray([_round_half_up(float(s), round_to) for s in scores])
+    if after is not None:
+        m2 = (scores < after[0]) | ((scores == after[0]) & (uniq > after[1]))
+        uniq, scores = uniq[m2], scores[m2]
+        if len(uniq) == 0:
+            return []
     sel = np.lexsort((uniq, -scores))[:k]
     return [(int(uniq[i]), float(scores[i])) for i in sel]

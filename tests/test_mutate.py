@@ -184,3 +184,47 @@ def test_search_many_respects_tombstones(spark, index):
     res = index.search_many({"q1": "table", "q2": "sort merge join"}, k=10)
     hits = {int(r["doc_id"]) for r in res.collect()}
     assert not (hits & dead)
+
+
+def test_update_by_query_does_not_resurrect_tombstoned(spark, docs, tmp_path):
+    """ES _update_by_query only processes LIVE docs: a doc tombstoned by
+    delete_by_query must not be reindexed (resurrected) just because the
+    update predicate also matches it."""
+    idx = _build(spark, docs, str(tmp_path / "resur"))
+    # tombstone every doc matching DELETE_Q
+    mutate.delete_by_query(idx, DELETE_Q, mode="and")
+    tomb = mutate.load_tombstones(spark, idx.root)
+    dead_ids = {int(r["doc_id"]) for r in tomb.collect()}
+    assert dead_ids  # non-vacuous
+
+    # update predicate that matches those same docs (and others)
+    predicate = F.concat(F.lit(" "), F.col("text"), F.lit(" ")).like("% customer %")
+    matched_all = {int(r["doc_id"]) for r in docs.filter(predicate).select("doc_id").collect()}
+    overlap = matched_all & dead_ids
+    assert overlap  # the trap exists: predicate matches tombstoned docs
+
+    def transform(matched):
+        return matched.withColumn("text", F.concat(F.col("text"), F.lit(" zzpatched")))
+
+    manifest, mapping = mutate.update_by_query(
+        spark, idx.root, docs, predicate, transform, key_col="doc_id"
+    )
+    # no tombstoned key may appear in the reindex mapping
+    remapped_keys = {int(r["key"]) for r in mapping.collect()}
+    assert not (remapped_keys & dead_ids), remapped_keys & dead_ids
+    # and searching for the patched marker must only find live-doc updates
+    updated = LoadedIndex(spark, idx.root)
+    hit_ids = {d for d, _ in _hits(updated.search("zzpatched", k=100))}
+    live_matches = matched_all - dead_ids
+    mapping_by_key = {int(r["key"]): int(r["doc_id"]) for r in mapping.collect()}
+    assert hit_ids == {mapping_by_key[k] for k in live_matches}
+
+
+def test_update_by_query_empty_match_returns_mapping_shape(spark, docs, tmp_path):
+    idx = _build(spark, docs, str(tmp_path / "emptyu"))
+    predicate = F.col("text").contains("zz-no-such-token-zz")
+    manifest, mapping = mutate.update_by_query(
+        spark, idx.root, docs, predicate, lambda m: m, key_col="doc_id"
+    )
+    assert set(mapping.columns) == {"doc_id", "key"}
+    assert mapping.count() == 0

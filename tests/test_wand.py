@@ -209,3 +209,45 @@ def test_wand_min_match_equals_exhaustive(seed, min_match):
     for d, _ in got:
         n = sum(1 for i in q if d in set(lists[i][0].tolist()))
         assert n >= min_match
+
+
+def test_round_half_up_matches_spark(spark):
+    """_round_half_up must be bit-identical to Spark's F.round (the kernel
+    ranks on it and Spark re-rounds the emitted score — any divergence would
+    make the ranking key differ from the displayed score)."""
+    from pyspark.sql import functions as F
+
+    from engine.wand import _round_half_up
+
+    vals = [0.12345, 0.12344999, 0.99995, 1.00005, 0.00005, 2.5e-5,
+            0.12335, 3.14159265, 0.1234499999999999, 17.55555]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = [r[0] for r in df.select(F.round(F.col("v"), 4)).collect()]
+    ours = [_round_half_up(v) for v in vals]
+    assert got == ours, list(zip(vals, got, ours))
+
+
+def test_wand_rounded_tie_prefers_lower_doc():
+    """Two docs whose raw scores differ but round to the same 4-dp value:
+    the kernel must keep the LOWER doc_id (page order is rounded desc, doc
+    asc) even when the higher doc has the larger raw score."""
+    import numpy as np
+
+    from engine.codec import encode_postings
+    from engine.wand import TermCursor, wand_topk
+
+    avgdl = 10.0
+    # craft two docs with slightly different dl -> tiny raw score gap that
+    # vanishes at 4dp: tf=5, dl 10 vs 10 (identical) would tie exactly, so
+    # use tf differences that survive: verify via computed scores below
+    ids = np.array([3, 9])
+    tfs = np.array([1000000, 1000001])  # impacts differ ~1e-10 -> round equal
+    dls = np.array([10, 10])
+    enc = encode_postings(ids, tfs, dls, avgdl)
+    rows = [{
+        "doc_ids_enc": enc["doc_ids_enc"], "tfs_enc": enc["tfs_enc"],
+        "dls_enc": enc["dls_enc"], "skips": enc["skips"],
+    }]
+    c = TermCursor(rows, idf=1.0, avgdl=avgdl)
+    hits = wand_topk([c], k=1)
+    assert hits[0][0] == 3, hits  # doc 9's raw score is higher; rounded ties -> doc 3
