@@ -59,12 +59,21 @@ class CheckpointManager:
             if m.get("status") == "done" and m.get("input_fingerprint") == self.fingerprint:
                 self.resumed.append(name)
                 self._lineage.append(name)
-                return self.spark.read.parquet(data)
+                reader = self.spark.read
+                if schema is not None:
+                    # pin the declared schema on resume: footer inference
+                    # can widen/narrow types (empty-partition writes), and
+                    # the downstream merge UDF needs POSTINGS_SCHEMA exactly
+                    reader = reader.schema(schema)
+                return reader.parquet(data)
 
         df = fn()
         t0 = time.time()
         df.write.mode("overwrite").parquet(data)
-        out = self.spark.read.parquet(data)
+        reader = self.spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        out = reader.parquet(data)
         # per-partition lineage + metrics (B7)
         parts = (
             out.withColumn("_pid", F.spark_partition_id())

@@ -303,16 +303,30 @@ def simhash_udf(s: pd.Series) -> pd.Series:
 def simhash_near_dups(
     df: DataFrame, max_hamming: int = 8, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance. Banding on 4×16-bit chunks
-    (pigeonhole: ≤3-bit difference guarantees a shared chunk) prunes the join;
-    pairs are then verified with exact bit_count."""
+    """Near-dup pairs by SimHash Hamming distance. Pigeonhole banding sized
+    to the threshold: the 64-bit signature splits into max_hamming+1 chunks,
+    so ANY pair within max_hamming differing bits shares at least one intact
+    chunk and becomes a join candidate — banding is guaranteed-recall, never
+    a silent cliff. (A fixed 4×16-bit split only guarantees hamming ≤ 3;
+    pairs at 4-8 with bits spread across all chunks were silently missed.)
+    Candidates are then verified with exact bit_count. More chunks = smaller
+    chunk width = fuller buckets, so the candidate join grows with the
+    threshold — the standard pigeonhole/recall trade [public: multi-index
+    hashing, Norouzi et al. 2012]."""
+    n_chunks = min(64, max_hamming + 1)
+    # chunk bit-boundaries: split 64 bits into n_chunks near-equal widths
+    bounds = [round(i * 64 / n_chunks) for i in range(n_chunks + 1)]
     sh = df.select(F.col(id_col).alias("id"), simhash_udf(F.col(text_col)).alias("sig"))
+    chunk_cols = [
+        F.shiftright("sig", bounds[i]).bitwiseAND(
+            F.lit((1 << (bounds[i + 1] - bounds[i])) - 1)
+        )
+        for i in range(n_chunks)
+    ]
     chunked = sh.select(
         "id",
         "sig",
-        F.posexplode(
-            F.array(*[F.shiftright("sig", 16 * i).bitwiseAND(F.lit(0xFFFF)) for i in range(4)])
-        ).alias("chunk_idx", "chunk"),
+        F.posexplode(F.array(*chunk_cols)).alias("chunk_idx", "chunk"),
     )
     x = chunked.alias("x")
     y = chunked.alias("y")
@@ -474,7 +488,11 @@ def connected_components(
         .cache()
     )
     labels = edges.select("a").distinct().withColumn("lbl", F.col("a")).cache()
-    prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+    # fixpoint detector: sum of xxhash64(lbl), not sum(lbl) — works for ANY
+    # id type (sum over string labels is NULL, and NULL == NULL would break
+    # the loop after one round, splitting clusters)
+    _lblsum = F.sum(F.xxhash64("lbl").cast("decimal(38,0)"))  # no int64 overflow under ANSI
+    prev_sum = labels.agg(_lblsum).collect()[0][0]
     for _ in range(max_iter):
         nbr = edges.join(
             labels.select(F.col("a").alias("b"), "lbl"), "b"
@@ -486,7 +504,7 @@ def connected_components(
             .agg(F.min("lbl").alias("lbl"))
             .cache()
         )
-        cur_sum = new.agg(F.sum("lbl")).collect()[0][0]
+        cur_sum = new.agg(_lblsum).collect()[0][0]
         labels.unpersist()
         labels = new
         if cur_sum == prev_sum:  # labels monotone non-increasing → fixpoint

@@ -170,6 +170,11 @@ def encode_segment(
 ) -> DataFrame:
     """Encode one segment's postings from tf rows (term, doc_id, tf, dl).
 
+    hot_terms: the explicit hot-term list (build_index precomputes it from
+    cached term stats). When the caller has no list but sets hot_df, the
+    list is derived here from tf_dl (one extra distinct-count aggregate) —
+    the threshold contract the parameter name promises.
+
     The repartition below IS the salted repartition-by-term shuffle: one
     Exchange on (bucket,shard,seg_id,part). Non-hot terms route by term hash
     (whole list on one reducer); hot terms are salted so no single reducer
@@ -186,6 +191,15 @@ def encode_segment(
     bulk-merge analog, see build_index) instead of a decode/re-encode of
     every posting. Without bounds the hash salt is used (streaming deltas,
     arbitrary caller ids)."""
+    if hot_terms is None and hot_df is not None:
+        hot_terms = [
+            r["term"]
+            for r in tf_dl.groupBy("term")
+            .agg(F.count_distinct("doc_id").alias("df"))
+            .filter(F.col("df") > hot_df)
+            .select("term")
+            .collect()
+        ]
     df = (
         tf_dl.withColumn("tid", term_id(F.col("term")))
         .withColumn("bucket", F.pmod(F.col("tid"), F.lit(n_buckets)).cast("int"))
@@ -329,6 +343,14 @@ def build_index(
 
     cached: list[DataFrame] = []
     if checkpoint is not None:
+        # the caller's fingerprint covers the INPUT; every build parameter
+        # that changes stage output encoding must be folded in too, or a
+        # re-run with e.g. a different bucket count would resume stale rows
+        # whose pmod(tid, old_B) routing silently breaks term lookup
+        checkpoint.fingerprint += (
+            f";buckets={n_buckets};dps={docs_per_shard};segs={n_segments}"
+            f";hot={hot_df};salts={n_salts};bs={block_size};qn={quantize_norms}"
+        )
         # checkpoint stages are parquet-materialized — no recompute by design
         base = checkpoint.stage("base", stage_base)
     else:
@@ -391,8 +413,15 @@ def build_index(
                 tf_dl, avgdl, n_buckets, docs_per_shard, 0, hot_df, n_salts,
                 hot_terms, block_size, doc_bounds=(doc_mn, doc_mx),
             )
-        seg_size = (n_docs + n_segments - 1) // n_segments
-        seg_col = (F.col("doc_id") / F.lit(seg_size)).cast("int")
+        # split on the ACTUAL id range (doc_mn..doc_mx), not an assumed
+        # 0..n_docs-1: offset or sparse ids (streaming continuations,
+        # caller-supplied ids) must still land inside 0..n_segments-1 or
+        # the per-segment filters silently drop documents
+        seg_size = max(1, (doc_mx - doc_mn + n_segments) // n_segments)
+        seg_col = F.least(
+            F.lit(n_segments - 1),
+            ((F.col("doc_id") - F.lit(doc_mn)) / F.lit(seg_size)).cast("int"),
+        )
         parts = []
         for s in range(n_segments):
             # filter on the compact base BEFORE the explode
@@ -402,8 +431,8 @@ def build_index(
                     seg_tf, avgdl, n_buckets, docs_per_shard, s, hot_df, n_salts,
                     hot_terms, block_size,
                     doc_bounds=(
-                        max(doc_mn, s * seg_size),
-                        min(doc_mx, (s + 1) * seg_size - 1),
+                        doc_mn + s * seg_size,
+                        min(doc_mx, doc_mn + (s + 1) * seg_size - 1),
                     ),
                 )
             )

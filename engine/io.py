@@ -13,6 +13,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLE_FORMAT = os.environ.get("SPARK_GRAFT_TABLE_FORMAT", "parquet")
 
@@ -35,14 +36,24 @@ def read_fixture(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def write_table(df: DataFrame, path: str, mode: str = "overwrite", partition_by=None):
-    """A5: bulk reindex equivalent — write refined docs/derived tables."""
+    """A5: bulk reindex equivalent — write refined docs/derived tables.
+
+    Iceberg branch (UNTESTABLE offline — no jars, SURVEY.md §0): the
+    documented writeTo() table API, createOrReplace for overwrite and
+    append otherwise; `path` is then a catalog table name."""
+    if TABLE_FORMAT == "iceberg":
+        wt = df.writeTo(path)
+        if partition_by:
+            wt = wt.partitionedBy(*[F.col(c) for c in partition_by])
+        if mode == "overwrite":
+            wt.using("iceberg").createOrReplace()
+        else:
+            wt.append()
+        return
     w = df.write.mode(mode)
     if partition_by:
         w = w.partitionBy(*partition_by)
-    if TABLE_FORMAT == "iceberg":
-        w.format("iceberg").save(path)
-    else:
-        w.parquet(path)
+    w.parquet(path)
 
 
 def write_postings_shards(postings: DataFrame, path: str, mode: str = "overwrite"):
@@ -50,11 +61,21 @@ def write_postings_shards(postings: DataFrame, path: str, mode: str = "overwrite
     tid within partitions, so a query-time term lookup prunes to one bucket
     directory and Parquet min/max skips row groups on the numeric `tid`
     (BASELINE.json:6 "queryable index shards"; mirrors Lucene's term-sorted
-    dictionary [public]). On Iceberg: `PARTITIONED BY (bucket(tid, B))`."""
-    (
-        postings.repartition("bucket")
-        .sortWithinPartitions("tid", "shard", "part")
-        .write.mode(mode)
-        .partitionBy("bucket")
-        .parquet(path)
+    dictionary [public]).
+
+    Iceberg branch (UNTESTABLE offline): the same layout through the
+    writeTo() API with the precomputed `bucket` column as the partition
+    spec — a production deployment would instead declare the transform
+    `bucket(tid, B)` on the table and drop the explicit column; both yield
+    bucket-pruned scans + tid-sorted files."""
+    sorted_p = postings.repartition("bucket").sortWithinPartitions(
+        "tid", "shard", "part"
     )
+    if TABLE_FORMAT == "iceberg":
+        wt = sorted_p.writeTo(path).partitionedBy(F.col("bucket"))
+        if mode == "overwrite":
+            wt.using("iceberg").createOrReplace()
+        else:
+            wt.append()
+        return
+    sorted_p.write.mode(mode).partitionBy("bucket").parquet(path)

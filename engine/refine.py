@@ -62,7 +62,17 @@ def html_strip_udf(html: pd.Series) -> pd.Series:
 def dedup_latest(pages: DataFrame, key: str = "url", ts: str = "warc_ts") -> DataFrame:
     """B5: one row per url, newest warc_ts wins (ES reindex-by-_id upsert
     semantics for re-crawled pages [public])."""
-    w = Window.partitionBy(key).orderBy(F.col(ts).desc(), F.col(key))
+    # content-hash tiebreak for equal-timestamp re-crawls: without it the
+    # winner among (url, ts) ties is whichever row the shuffle delivers
+    # first — nondeterministic across runs/replays (refine_pages pins the
+    # same tie the same way via its sort on _h). Hash whichever content
+    # column the frame carries (refined streams have dropped html).
+    content = next(
+        (c for c in ("html", "text") if c in pages.columns), key
+    )
+    w = Window.partitionBy(key).orderBy(
+        F.col(ts).desc(), F.xxhash64(content).desc()
+    )
     return (
         pages.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)

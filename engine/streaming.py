@@ -153,7 +153,10 @@ class IncrementalIndexer:
         df = dedup_latest(batch_df)
         if self.lang is not None:
             df = df.filter(F.col("lang") == self.lang)
-        df = df.withColumn("text", html_strip_udf(F.col("html"))).drop("html")
+        # accept raw page batches (html present -> extract) AND already-
+        # refined streams (refined_stream dropped html; text is final)
+        if "html" in df.columns:
+            df = df.withColumn("text", html_strip_udf(F.col("html"))).drop("html")
         docs = assign_doc_ids(df).withColumn(
             "doc_id", F.col("doc_id") + F.lit(int(st["next_doc_id"]))
         )
@@ -216,13 +219,11 @@ class IncrementalIndexer:
         avgdl = st["sum_dl"] / max(1, st["n_docs"])
         raw = spark.read.parquet(os.path.join(self.root, "postings_delta"))
         merged = merge_postings(raw, avgdl, block_size=self.block_size)
-        (
-            merged.repartition("bucket")
-            .sortWithinPartitions("tid", "shard", "part")
-            .write.mode("overwrite")
-            .partitionBy("bucket")
-            .parquet(os.path.join(out, "postings"))
-        )
+        from .io import write_postings_shards
+
+        # the ONE postings sink (A3 layout contract) — keep batch build and
+        # streaming compaction on the same code path
+        write_postings_shards(merged, os.path.join(out, "postings"))
         ts = (
             spark.read.parquet(os.path.join(self.root, "term_stats"))
             .groupBy("term")

@@ -65,11 +65,21 @@ def test_partial_resume_after_interrupt(spark, docs, tmp_path_factory):
     class Boom(Exception):
         pass
 
+    # phase 1: a REAL build_index run (build params fold into the stage
+    # fingerprint) that dies right after the first stage commits
     cm = CheckpointManager(spark, ckpt_root, fp)
-    # run only the first stage, then "die"
-    from engine.corpus import corpus_base
+    orig_stage = cm.stage
 
-    cm.stage("base", lambda: corpus_base(docs))
+    def dying_stage(name, fn, schema=None):
+        out = orig_stage(name, fn, schema=schema)
+        if name == "base":
+            raise Boom()
+        return out
+
+    cm.stage = dying_stage
+    with pytest.raises(Boom):
+        build_index(spark, docs, str(base / "idx0"), n_buckets=4,
+                    docs_per_shard=128, block_size=32, checkpoint=cm)
     assert cm.computed == ["base"]
 
     # rerun the full build with the same checkpoint root + fingerprint
@@ -92,3 +102,22 @@ def test_manifest_records_partition_lineage(spark, docs, tmp_path_factory):
     assert m["n_bytes"] > 0
     assert sum(p["n_rows"] for p in m["partitions"]) == m["n_rows"]
     assert all("partition_id" in p for p in m["partitions"])
+
+
+def test_changed_build_params_invalidate_resume(spark, docs, tmp_path_factory):
+    """A re-run with different encode-affecting parameters must NOT resume
+    stale stage output: bucket routing (pmod(tid, B)) is baked into the
+    rows, so resuming buckets=4 output under buckets=8 would silently break
+    term lookup. The build folds its params into the stage fingerprint."""
+    base = tmp_path_factory.mktemp("ckpt3")
+    ckpt_root = str(base / "ckpt")
+    cm = CheckpointManager(spark, ckpt_root, "fp-2")
+    build_index(spark, docs, str(base / "idx4"), n_buckets=4,
+                docs_per_shard=128, block_size=32, checkpoint=cm)
+    assert cm.computed  # fresh build computed stages
+
+    cm2 = CheckpointManager(spark, ckpt_root, "fp-2")
+    build_index(spark, docs, str(base / "idx8"), n_buckets=8,
+                docs_per_shard=128, block_size=32, checkpoint=cm2)
+    assert cm2.resumed == []  # nothing stale reused
+    assert cm2.computed  # recomputed under the new params

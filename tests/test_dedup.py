@@ -201,3 +201,50 @@ def test_ngram_jaccard_cap_keeps_true_dups(spark):
     }
     assert (0, 1) in pairs and pairs[(0, 1)] >= 0.5
     assert all(p == (0, 1) for p in pairs)
+
+
+def test_connected_components_string_ids_chain(spark):
+    """String-id pair graphs must converge fully (the fixpoint detector must
+    not rely on sum() over the label column — sum(string) is NULL and would
+    stop label propagation after one round on any chain longer than 2)."""
+    from engine.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")],
+        "id_a string, id_b string",
+    )
+    got = {
+        (r["doc_id"], r["canonical_id"])
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {
+        ("a", "a"), ("b", "a"), ("c", "a"), ("d", "a"),
+        ("x", "x"), ("y", "x"),
+    }, got
+
+
+def test_simhash_banding_guarantees_recall(spark, corpus):
+    """Pigeonhole banding must be sized to max_hamming: every pair within
+    the threshold appears, verified against the brute-force O(n^2) oracle
+    (the old fixed 4x16-bit split silently missed hamming 4..8 pairs whose
+    differing bits hit all four chunks)."""
+    import itertools
+
+    from engine.dedup import simhash_near_dups, simhash_udf
+
+    sigs = {
+        r["doc_id"]: r["sig"]
+        for r in corpus.select(
+            "doc_id", simhash_udf(F.col("text")).alias("sig")
+        ).collect()
+    }
+    for mh in (4, 6):
+        want = set()
+        for a, b in itertools.combinations(sorted(sigs), 2):
+            if bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1") <= mh:
+                want.add((a, b))
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in simhash_near_dups(corpus, max_hamming=mh).collect()
+        }
+        assert got == want, (mh, got ^ want)

@@ -179,3 +179,29 @@ def test_search_many_matches_single(index):
     for i, (q, _, _) in enumerate(QUERIES[:6]):
         single = [(r["doc_id"], r["score"]) for r in index.search(q, k=10, mode="or").collect()]
         assert by_qid.get(f"q{i}", []) == single, q
+
+
+def test_build_offset_doc_ids_multi_segment(spark, sf_dir, tmp_path):
+    """Segment assignment must split the ACTUAL id range: offset/sparse
+    doc_ids (streaming continuations, caller ids) previously mapped to
+    segment numbers >= n_segments and were SILENTLY DROPPED from the index."""
+    from engine.index import build_index
+    from engine.io import read_fixture
+    from engine.searcher import LoadedIndex
+
+    docs = (
+        read_fixture(spark, sf_dir, "documents")
+        .select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+        .limit(200)
+    )
+    n = docs.count()
+    root = str(tmp_path / "offidx")
+    m = build_index(
+        spark, docs, root, n_buckets=4, docs_per_shard=1 << 20, n_segments=3,
+        hot_df=None, block_size=32,
+    )
+    assert m.n_docs == n
+    idx = LoadedIndex(spark, root)
+    hits = idx.search("table", k=10, mode="or").collect()
+    assert hits, "offset-id index must be searchable"
+    assert all(r["doc_id"] >= 100000 for r in hits)

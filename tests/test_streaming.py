@@ -221,3 +221,15 @@ def test_streaming_percolator_matches_batch(spark, pages_dir, tmp_path):
     }
     assert got == want and want  # non-vacuous
     assert not any(qid == "q_none" for qid, _ in got)
+
+
+def test_incremental_indexer_accepts_refined_stream(spark, pages_dir, tmp_path):
+    """The documented composition writer(refined_stream(...)) must work:
+    refined batches have no 'html' column (text already extracted)."""
+    from engine.streaming import IncrementalIndexer
+
+    idxr = IncrementalIndexer(str(tmp_path / "nrt_refined"), n_buckets=2)
+    q = idxr.writer(refined_stream(stream_pages(spark, pages_dir))).start()
+    q.awaitTermination(120)
+    st = idxr._load_state()
+    assert st["n_docs"] == spark.read.parquet(pages_dir).count()
