@@ -21,17 +21,23 @@ _SENT_KEY = "_engine_pyfiles_sent"
 
 
 def make_pyfiles_zip(out_path: str | None = None) -> str:
-    """Zip the `engine` package (stable content → stable file)."""
+    """Zip the `engine` package (stable content → stable file).
+
+    Atomic publish: write to a pid-suffixed temp path then os.replace — a
+    concurrent session (grading driver + bench in parallel) must never
+    addPyFile a half-written zip to its executors."""
     out_path = out_path or os.path.join(_REPO_ROOT, "data", "engine_pyfiles.zip")
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
     src = os.path.join(_REPO_ROOT, "engine")
-    with zipfile.ZipFile(out_path, "w", zipfile.ZIP_DEFLATED) as zf:
+    tmp_path = f"{out_path}.tmp.{os.getpid()}"
+    with zipfile.ZipFile(tmp_path, "w", zipfile.ZIP_DEFLATED) as zf:
         for dirpath, _, files in os.walk(src):
             for f in sorted(files):
                 if f.endswith(".py"):
                     full = os.path.join(dirpath, f)
                     rel = os.path.relpath(full, _REPO_ROOT)
                     zf.write(full, rel)
+    os.replace(tmp_path, out_path)
     return out_path
 
 

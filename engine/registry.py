@@ -64,6 +64,21 @@ def _built_corpus(spark: SparkSession, sf_dir: str):
     return _CORPUS_CACHE[key]
 
 
+_TFPOS_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _tf_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE cached positional tf frame (doc_id, term, tf, positions) per
+    sf_dir — shared by every position-consuming contract query (phrase,
+    sloppy phrase, span_first, termvectors). Each used to re-run the full
+    Arrow analyzer + positional explode over the corpus per invocation."""
+    key = _cache_key(spark, sf_dir)
+    if key not in _TFPOS_CACHE:
+        dwt = with_tokens(read_fixture(spark, sf_dir, "documents"))
+        _TFPOS_CACHE[key] = tf_table(tokens(dwt), with_positions=True).cache()
+    return _TFPOS_CACHE[key]
+
+
 def _bm25_query(query: str, k: int, mode: str) -> Callable:
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         tf, ds, ts, n, avgdl = _built_corpus(spark, sf_dir)
@@ -238,14 +253,25 @@ register(
 _INDEX_CACHE: dict[tuple, object] = {}
 
 
+def _dir_tag(sf_dir: str) -> str:
+    """On-disk cache tag for a fixture dir: basename + short hash of the
+    FULL path — two different dirs sharing a basename (/a/sf0.01 vs
+    /b/sf0.01) must not overwrite each other's cached index while a live
+    LoadedIndex still lazily reads the files."""
+    import hashlib
+
+    norm = os.path.normpath(sf_dir)
+    base = os.path.basename(norm) or "sf"
+    return f"{base}-{hashlib.sha1(norm.encode()).hexdigest()[:8]}"
+
+
 def _indexed(spark: SparkSession, sf_dir: str):
     from .index import build_index
     from .searcher import LoadedIndex
 
     key = _cache_key(spark, sf_dir)
     if key not in _INDEX_CACHE:
-        tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-        root = os.path.join("/root/repo/data/index_cache", tag)
+        root = os.path.join("/root/repo/data/index_cache", _dir_tag(sf_dir))
         docs = read_fixture(spark, sf_dir, "documents").select("doc_id", "text")
         build_index(
             spark,
@@ -319,8 +345,7 @@ def _q_update_by_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     key = _cache_key(spark, sf_dir)
     if key not in _UPDATE_CACHE:
-        tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-        root = os.path.join("/root/repo/data/update_cache", tag)
+        root = os.path.join("/root/repo/data/update_cache", _dir_tag(sf_dir))
         docs = (
             read_fixture(spark, sf_dir, "documents")
             .select("doc_id", "text")
@@ -336,42 +361,23 @@ def _q_update_by_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "text", F.concat(F.col("text"), F.lit(" " + _UPD_TOKEN))
             )
 
-        update_by_query(spark, root, docs, pred, transform, key_col="doc_id")
-        # re-run tolerant: the mapping is reconstructible from the predicate
+        _, mapping = update_by_query(
+            spark, root, docs, pred, transform, key_col="doc_id"
+        )
+        # persist the AUTHORITATIVE (doc_id -> key) mapping update_by_query
+        # returns — a hand re-derivation of the fresh-id offset here
+        # duplicated mutate.py's formula and broke on sparse/offset ids
+        mapping.write.mode("overwrite").parquet(os.path.join(root, "update_mapping"))
         _UPDATE_CACHE[key] = LoadedIndex(spark, root)
     idx = _UPDATE_CACHE[key]
     hits = idx.search(f"{_UPD_TOKEN} table", k=_UPD_SUBSET + 1, mode="or")
+    mapping = spark.read.parquet(os.path.join(idx.root, "update_mapping"))
     return (
-        hits.join(_upd_mapping(spark, sf_dir, idx), "doc_id")
+        hits.join(mapping, "doc_id")
         .select(F.col("key").cast("long").alias("key"), "score")
         .orderBy(F.col("score").desc(), F.col("key").asc())
         .limit(10)
     )
-
-
-def _upd_mapping(spark: SparkSession, sf_dir: str, idx) -> DataFrame:
-    """(internal doc_id → stable key) for the update-by-query contract
-    query, rebuilt deterministically: unmatched docs keep their id; updated
-    docs' new ids were assigned by key rank + shard-boundary offset."""
-    from .refine import assign_doc_ids
-
-    docs = (
-        read_fixture(spark, sf_dir, "documents")
-        .select("doc_id", "text")
-        .filter(F.col("doc_id") < _UPD_SUBSET)
-    )
-    pred = F.concat(F.lit(" "), F.col("text"), F.lit(" ")).like(f"% {_UPD_PRED_TERM} %")
-    matched = docs.filter(pred)
-    offset = idx.manifest.docs_per_shard * (
-        ((_UPD_SUBSET - 1) // idx.manifest.docs_per_shard) + 1
-    )
-    new_ids = assign_doc_ids(
-        matched.select(F.col("doc_id").alias("key"), "text"), order_col="key"
-    ).withColumn("doc_id", F.col("doc_id") + F.lit(offset))
-    keep = docs.join(matched.select("doc_id"), "doc_id", "left_anti").select(
-        "doc_id", F.col("doc_id").alias("key")
-    )
-    return keep.unionByName(new_ids.select("doc_id", "key"))
 
 
 register(
@@ -521,18 +527,13 @@ def _q_phrase(phrase: str, k: int, slop: int = 0) -> Callable:
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from .search import phrase_filter, score_terms
 
-        docs = read_fixture(spark, sf_dir, "documents")
-        dwt = with_tokens(docs)
-        tok = tokens(dwt)
-        tfp = tf_table(tok, with_positions=True)
+        tfp = _tf_positions(spark, sf_dir)
         matched = phrase_filter(
             tfp.select("doc_id", "term", "positions"), terms, slop=slop
         )
-        tf = tfp.select("term", "doc_id", "tf")
-        ds = dwt.select("doc_id", "dl")
-        n, avgdl = corpus_stats(ds)
+        tf, ds, ts, n, avgdl = _built_corpus(spark, sf_dir)
         return (
-            score_terms(tf, ds, term_stats(tf), n, avgdl, terms)
+            score_terms(tf, ds, ts, n, avgdl, terms)
             .groupBy("doc_id")
             .agg(F.sum("partial").alias("score"), F.count("*").alias("nm"))
             .filter(F.col("nm") == len(terms))
@@ -1218,8 +1219,8 @@ def _q_anti(spark, sf_dir):
 register(
     "rel_anti_join",
     _q_anti,
-    """SELECT c_custkey FROM customer
-       WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """SELECT c_custkey FROM customer c
+       WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
        ORDER BY c_custkey""",
 )
 
@@ -1543,6 +1544,7 @@ WITH sh0 AS (
                range(1, greatest(len(string_split(text,' ')) - 2, 1) + 1),
                i -> array_to_string(string_split(text,' ')[i:i+2], ' '))) AS s
     FROM documents)
+  WHERE length(s) > 0  -- engine's with_shingles drops empty shingles
 ),
 sh AS (  -- hot-shingle cap (df > 256 dropped), mirroring max_df=256
   SELECT * FROM sh0
@@ -2228,9 +2230,14 @@ def _q_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _percolate_oracle(queries: list[tuple[str, str]]) -> str:
+    # analyze with the SAME parse_query the engine uses (dedup + analysis):
+    # raw q.split() diverges on repeated/non-canonical terms — n_terms would
+    # overcount and the HAVING equality could never hold
+    from .search import parse_query
+
     vals = []
     for qid, q in queries:
-        terms = [t for t in q.split()]
+        terms = parse_query(q).terms
         for t in terms:
             vals.append(f"('{qid}', '{t}', {len(terms)})")
     values_sql = ", ".join(vals)
@@ -2277,6 +2284,7 @@ WITH RECURSIVE sh0 AS (
                range(1, greatest(len(string_split(text,' ')) - 2, 1) + 1),
                i -> array_to_string(string_split(text,' ')[i:i+2], ' '))) AS s
     FROM documents)
+  WHERE length(s) > 0  -- engine's with_shingles drops empty shingles
 ),
 sh AS (
   SELECT * FROM sh0
@@ -2318,8 +2326,7 @@ SELECT a AS doc_id, min(lbl) AS canonical_id FROM reach GROUP BY 1 ORDER BY 1
 def _q_span_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .search import span_first_filter
 
-    dwt = with_tokens(_docs(spark, sf_dir))
-    tfp = tf_table(tokens(dwt), with_positions=True)
+    tfp = _tf_positions(spark, sf_dir)
     return span_first_filter(tfp.select("doc_id", "term", "positions"), "merge", end=5)
 
 
@@ -2929,9 +2936,7 @@ def _q_termvectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES `_termvectors` API [public]: per-document term vector (term, tf,
     positions) plus the term's corpus df — for a fixed doc set, a pruned
     scan of the positional tf frame joined to broadcast term stats."""
-    docs = _docs(spark, sf_dir)
-    dwt = with_tokens(docs)
-    tfp = tf_table(tokens(dwt), with_positions=True)
+    tfp = _tf_positions(spark, sf_dir)
     tf, ds, ts, n, avgdl = _built_corpus(spark, sf_dir)
     sel = tfp.filter(F.col("doc_id").isin([0, 1, 2]))
     return (
@@ -3174,10 +3179,13 @@ _PRIORITY = [
     "rel_pricing_summary",
     # scalar function families
     "fn_json_extract", "fn_string",
-    # text-analysis pipeline
-    "text_quality", "text_token_counts", "text_fingerprint",
+    # text-analysis pipeline (fingerprint demoted to 51+: the block above
+    # must hold EXACTLY 50 names for the driver's 50-query check; quality +
+    # token_counts keep the family represented)
+    "text_quality", "text_token_counts",
     # --- 51+: demoted oracle near-duplicates (still checked if the driver
     # runs all; each 1-50 slot keeps one green representative per operator)
+    "text_fingerprint",
     "bm25_phrase_slop", "bm25_wand_and_k100", "search_update_by_query",
     "search_span_first", "search_terms_set", "agg_extended_stats",
     "agg_matrix_stats", "agg_adjacency_matrix",
