@@ -107,3 +107,31 @@ def test_compression_is_effective():
     dls = np.full(100_000, 100)
     enc = encode_postings(doc_ids, tfs, dls, avgdl=100.0)
     assert len(enc["doc_ids_enc"]) < 110_000  # ≈1.0–1.1 B/doc vs 8 B raw
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=300, unique=True),
+)
+@settings(max_examples=30, deadline=None)
+def test_block_max_is_float32_safe_upper_bound(ids):
+    """Stored impact bounds must remain UPPER bounds after the float32
+    parquet round-trip: for every block, float32(stored) >= max exact
+    float64 impact of the block (cast-to-nearest could round below, making
+    WAND's block skip unsound)."""
+    import numpy as np
+
+    from engine.codec import bm25_impact, encode_postings
+
+    ids = np.sort(np.asarray(ids, dtype=np.int64))
+    rng = np.random.default_rng(7)
+    tfs = rng.integers(1, 50, len(ids)).astype(np.int64)
+    dls = rng.integers(5, 500, len(ids)).astype(np.int64)
+    avgdl = 100.0
+    enc = encode_postings(ids, tfs, dls, avgdl, block_size=32)
+    impacts = bm25_impact(tfs, dls, avgdl)
+    bounds = np.append(np.arange(0, len(ids), 32), len(ids))
+    for bi, s in enumerate(enc["skips"]):
+        true_max = float(impacts[bounds[bi]:bounds[bi + 1]].max())
+        stored_f32 = np.float32(s[4])
+        assert float(stored_f32) >= true_max
+    assert float(np.float32(enc["block_max"])) >= float(impacts.max())
