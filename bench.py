@@ -69,7 +69,10 @@ def run_once(spark, sf_dir: str, cpus: int):
     n_refined = refined.count()
     dt = time.perf_counter() - t0
     timings["refine_pages"] = round(dt, 3)
-    extras["refine_docs_per_sec"] = round(n_pages / dt, 1)
+    # throughput denominator = INPUT pages processed (incl. the ~3% re-crawl
+    # rows the dedup collapses); n_refined is reported separately
+    extras["refine_pages_per_sec"] = round(n_pages / dt, 1)
+    extras["n_input_pages"] = n_pages
     pages.unpersist()
 
     # -- 2. index build throughput (north rule), shared with WAND queries ---
@@ -141,7 +144,7 @@ def main() -> None:
         "sf": sf,
         "cpus": cpus,
         "reps": reps,
-        "n_refine_pages": n_refined,
+        "n_refined_docs": n_refined,
         "n_index_docs": n_docs,
         **extras,
     }

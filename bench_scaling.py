@@ -50,8 +50,11 @@ MARK_END = "<!-- scaling:end -->"
 
 def ensure_corpus(path: str) -> str:
     meta = os.path.join(path, "_meta.json")
-    if os.path.exists(meta) and json.load(open(meta)).get("n_pages") == N_PAGES:
-        return path
+    try:
+        if os.path.exists(meta) and json.load(open(meta)).get("n_pages") == N_PAGES:
+            return path
+    except (json.JSONDecodeError, OSError):
+        pass  # truncated meta from a killed run — regenerate below
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -102,6 +105,11 @@ def run_pairs(n_lo: int, n_hi: int, pages: str, zip_path: str):
         if COOLDOWN_SEC and n_hi > 1:
             time.sleep(COOLDOWN_SEC)
         r_hi = _run_once(n_hi, pages, zip_path)
+        if COOLDOWN_SEC and n_lo > 1:
+            # a >1-core lo run is throttle-sensitive too; without its own
+            # idle lead-in it would run in the post-hi degraded window and
+            # INFLATE the pair efficiency
+            time.sleep(COOLDOWN_SEC)
         r_lo = _run_once(n_lo, pages, zip_path)
         for n, r in ((n_hi, r_hi), (n_lo, r_lo)):
             if best[n] is None or r["wall_sec"] < best[n]["wall_sec"]:
@@ -160,10 +168,14 @@ def update_baseline_md(block: str) -> None:
     path = os.path.join(REPO, "BASELINE.md")
     text = open(path).read()
     section = f"{MARK_BEGIN}\n{block}\n{MARK_END}"
-    if MARK_BEGIN in text:
+    if MARK_BEGIN in text and MARK_END in text:
         pre = text.split(MARK_BEGIN)[0]
         post = text.split(MARK_END)[-1]
         text = pre + section + post
+    elif MARK_BEGIN in text:
+        # truncated/hand-edited file with an unmatched begin marker: replace
+        # from the marker to EOF rather than duplicating the document
+        text = text.split(MARK_BEGIN)[0] + section + "\n"
     else:
         text = text.rstrip() + "\n\n" + section + "\n"
     open(path, "w").write(text)
@@ -254,10 +266,16 @@ def main() -> None:
     pages = ensure_corpus(os.path.join(REPO, "data", "scaling_pages"))
     zip_path = make_pyfiles_zip()
     results, pair_eff = run_pairs(n_lo, n_hi, pages, zip_path)
-    ctl = {c: run_platform_control(c) for c in LEVELS}
-    if COOLDOWN_SEC:
-        time.sleep(COOLDOWN_SEC)
-    sctl = {c: run_shuffle_control(c) for c in sorted(LEVELS, reverse=True)}
+    ctl = {}
+    for c in sorted(LEVELS, reverse=True):  # hi first, rested — same
+        if COOLDOWN_SEC and c > 1:          # protocol as the job runs
+            time.sleep(COOLDOWN_SEC)
+        ctl[c] = run_platform_control(c)
+    sctl = {}
+    for c in sorted(LEVELS, reverse=True):
+        if COOLDOWN_SEC and c > 1:
+            time.sleep(COOLDOWN_SEC)
+        sctl[c] = run_shuffle_control(c)
     t_n, t_4n = results[n_lo]["wall_sec"], results[n_hi]["wall_sec"]
     speedup = t_n / t_4n
     eff = max(speedup / factor, pair_eff)

@@ -63,6 +63,11 @@ def job_build(args: argparse.Namespace) -> dict:
 
     spark, owned = _spark("engine-build-index", args.shuffle_partitions)
     spark.sparkContext.setLogLevel("WARN")
+    # reused/externally-created sessions may not have the engine zip on
+    # their Python workers — the UDFs pickle references to engine.* modules
+    from engine.packaging import ensure_workers_can_import
+
+    ensure_workers_can_import(spark)
     _prof = os.environ.get("ENGINE_PROFILE") == "1"
     _laps: dict[str, float] = {}
     _t = time.perf_counter()
@@ -91,7 +96,9 @@ def job_build(args: argparse.Namespace) -> dict:
             os.path.join(args.out, "_checkpoints"),
             # layout=rs1: range-salted hot terms + bulk merge (a resumed
             # checkpoint from the hash-salt era must not be bulk-merged)
-            fingerprint=f"pages={args.pages};segments={args.segments};salts={args.salts};layout=rs1",
+            # lang changes the refined document set the 'base' stage holds;
+            # build_index appends the encode params itself
+            fingerprint=f"pages={args.pages};lang={args.lang};layout=rs1",
         )
         if args.checkpoint
         else None
@@ -130,6 +137,9 @@ def job_search(args: argparse.Namespace) -> dict:
 
     spark, owned = _spark("engine-search", args.shuffle_partitions)
     spark.sparkContext.setLogLevel("WARN")
+    from engine.packaging import ensure_workers_can_import
+
+    ensure_workers_can_import(spark)
     idx = LoadedIndex(spark, args.index)
     t0 = time.perf_counter()
     rows = idx.search(args.query, k=args.k, mode=args.mode).collect()

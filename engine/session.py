@@ -27,7 +27,10 @@ def get_spark(
     if cpus is None:
         env = os.environ.get("SPARK_GRAFT_CPUS")
         master = f"local[{env}]" if env else "local[*]"
-        n = int(env) if env else (os.cpu_count() or 8)
+        try:
+            n = int(env) if env else (os.cpu_count() or 8)
+        except ValueError:  # e.g. SPARK_GRAFT_CPUS='*' — valid master, not an int
+            n = os.cpu_count() or 8
     else:
         master = f"local[{cpus}]"
         n = cpus
