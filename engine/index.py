@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from . import BLOCK_SIZE
-from .codec import encode_postings
+from .codec import _varint_decode_starts, _varint_encode_offsets, encode_postings
 from .corpus import corpus_base, corpus_stats, exploded_tf, term_stats
 
 SKIP_STRUCT = T.StructType(
@@ -99,6 +99,144 @@ def sorted_run_starts(pdf: pd.DataFrame, key_cols: list[str]) -> np.ndarray:
     if not len(pdf):
         return np.empty(0, dtype=np.int64)
     return run_starts([pdf[c].to_numpy() for c in key_cols])
+
+
+# Map-side partial postings: the pre-shuffle wire format. One row per
+# (bucket, shard, seg_id, part, tid) run found inside one map-partition chunk
+# — doc_ids delta+varint-encoded (absolute restart at the run start), tf/dl
+# plain varint. No skips/block-max (those are final-encode artifacts). The
+# salted exchange then moves ~4-6 bytes per posting instead of a 4-long row:
+# the map-side combine for the index build, exactly as a distributed sort
+# would combine before its exchange.
+PARTIAL_SCHEMA = T.StructType(
+    [
+        T.StructField("tid", T.LongType()),
+        T.StructField("bucket", T.IntegerType()),
+        T.StructField("shard", T.IntegerType()),
+        T.StructField("seg_id", T.IntegerType()),
+        T.StructField("part", T.IntegerType()),
+        T.StructField("ids_enc", T.BinaryType()),
+        T.StructField("tfs_enc", T.BinaryType()),
+        T.StructField("dls_enc", T.BinaryType()),
+    ]
+)
+
+_PARTIAL_COLS = [f.name for f in PARTIAL_SCHEMA.fields]
+
+
+def _partial_encode_fn(max_pairs: int = 1 << 22):
+    """Map-side partial posting encoder for `mapInPandas` over UNSHUFFLED
+    (tid, doc_id, tf, dl, bucket, shard, seg_id, part) pair rows.
+
+    Accumulates up to `max_pairs` rows (bounds memory at ~32 B/pair ≈ 128 MiB
+    per flush regardless of input partition size), then ONE np.lexsort + ONE
+    vectorized varint pass per stream encodes every run in the chunk — the
+    per-run Python work is only a bytes-slice, so the Zipf tail of
+    single-posting terms costs nanoseconds, not a varint call each. Long
+    accumulation is what makes partials pay: runs average
+    chunk_pairs / chunk_vocab postings, amortizing the per-row key overhead."""
+
+    _cols = _GROUP_COLS + ["doc_id", "tf", "dl"]
+
+    def flush(acc: dict[str, list[np.ndarray]]):
+        arrs = {c: np.concatenate(acc[c]) for c in _cols}
+        n = len(arrs["tid"])
+        if n == 0:
+            return None
+        # lexsort: last key is primary → (bucket, shard, seg_id, part, tid, doc_id)
+        order = np.lexsort((arrs["doc_id"], arrs["tid"], arrs["part"],
+                            arrs["seg_id"], arrs["shard"], arrs["bucket"]))
+        arrs = {c: arrs[c][order] for c in _cols}
+        starts = run_starts([arrs[c] for c in _GROUP_COLS])
+        ids = arrs["doc_id"]
+        gaps = np.empty(n, dtype=np.uint64)
+        gaps[0] = np.uint64(ids[0])
+        if n > 1:
+            # run-boundary diffs may be negative — wrapped values are
+            # overwritten by the absolute restarts on the next line
+            gaps[1:] = np.diff(ids).astype(np.uint64)
+        gaps[starts] = ids[starts].astype(np.uint64)
+        doc_enc, d_off = _varint_encode_offsets(gaps, starts)
+        tf_enc, t_off = _varint_encode_offsets(arrs["tf"].astype(np.uint64), starts)
+        dl_enc, l_off = _varint_encode_offsets(arrs["dl"].astype(np.uint64), starts)
+        d_b = np.append(d_off, len(doc_enc))
+        t_b = np.append(t_off, len(tf_enc))
+        l_b = np.append(l_off, len(dl_enc))
+        tid_a, b_a = arrs["tid"], arrs["bucket"]
+        sh_a, sg_a, p_a = arrs["shard"], arrs["seg_id"], arrs["part"]
+        rows = [
+            (
+                int(tid_a[s]), int(b_a[s]), int(sh_a[s]), int(sg_a[s]), int(p_a[s]),
+                doc_enc[d_b[i]:d_b[i + 1]], tf_enc[t_b[i]:t_b[i + 1]],
+                dl_enc[l_b[i]:l_b[i + 1]],
+            )
+            for i, s in enumerate(starts.tolist())
+        ]
+        return pd.DataFrame(rows, columns=_PARTIAL_COLS)
+
+    def fn(batches):
+        acc: dict[str, list[np.ndarray]] = {c: [] for c in _cols}
+        held = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            for c in _cols:
+                acc[c].append(pdf[c].to_numpy())
+            held += len(pdf)
+            if held >= max_pairs:
+                out = flush(acc)
+                if out is not None:
+                    yield out
+                acc = {c: [] for c in _cols}
+                held = 0
+        if held:
+            out = flush(acc)
+            if out is not None:
+                yield out
+
+    return fn
+
+
+def _expand_partials(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Decode a batch of partial rows back to pair rows (vectorized: the
+    batch's blobs concatenate into ONE varint stream per column; per-partial
+    delta restarts are corrected with the same searchsorted/np.repeat trick
+    as codec.decode_postings). Row order — and so group contiguity from the
+    reduce-side sort — is preserved."""
+    ids_bufs = pdf["ids_enc"].to_numpy()
+    n_rows = len(ids_bufs)
+    lens = np.fromiter((len(b) for b in ids_bufs), dtype=np.int64, count=n_rows)
+    vals, vstarts = _varint_decode_starts(b"".join(ids_bufs))
+    ids = np.cumsum(vals.astype(np.int64))
+    byte_starts = np.zeros(n_rows, dtype=np.int64)
+    np.cumsum(lens[:-1], out=byte_starts[1:])
+    bstarts = np.searchsorted(vstarts, byte_starts)
+    reps = np.diff(np.append(bstarts, len(vals)))
+    corr = np.zeros(n_rows, dtype=np.int64)
+    corr[1:] = ids[bstarts[1:] - 1]
+    ids = ids - np.repeat(corr, reps)
+    from .codec import varint_decode
+
+    out = {c: np.repeat(pdf[c].to_numpy(), reps) for c in _GROUP_COLS}
+    out["doc_id"] = ids
+    out["tf"] = varint_decode(b"".join(pdf["tfs_enc"].to_numpy())).astype(np.int64)
+    out["dl"] = varint_decode(b"".join(pdf["dls_enc"].to_numpy())).astype(np.int64)
+    return pd.DataFrame(out)
+
+
+def _partial_merge_fn(avgdl: float, block_size: int):
+    """Reduce-side combiner: expand partial rows to pair rows per Arrow batch
+    and delegate to the SAME streaming run-encoder the raw-pair path uses —
+    one code path computes skips/block-max either way, so the two paths are
+    byte-identical per (bucket, shard, seg_id, part, tid) by construction."""
+    inner = _encode_stream_fn(avgdl, block_size)
+
+    def fn(batches):
+        yield from inner(
+            _expand_partials(pdf) for pdf in batches if len(pdf)
+        )
+
+    return fn
 
 
 def _encode_stream_fn(avgdl: float, block_size: int):
@@ -167,6 +305,7 @@ def encode_segment(
     hot_terms: list[str] | None = None,
     block_size: int = BLOCK_SIZE,
     doc_bounds: tuple[int, int] | None = None,
+    partial_encode: bool = True,
 ) -> DataFrame:
     """Encode one segment's postings from tf rows (term, doc_id, tf, dl).
 
@@ -230,9 +369,24 @@ def encode_segment(
     # track cores, not bytes. repartition(N, cols) pins N and opts out of
     # coalescing for exactly this exchange.
     n_parts = int(tf_dl.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    pairs = df.select("tid", "doc_id", "tf", "dl", "bucket", "shard", "seg_id", "part")
+    if partial_encode:
+        # Map-side partial encode BEFORE the exchange (see _partial_encode_fn):
+        # the shuffle then moves per-run varint blobs (~4-6 B/posting) instead
+        # of 4-long pair rows, and the reduce-side external sort orders ~10-20×
+        # fewer rows. Shuffle bytes are the scaling ceiling of the build on a
+        # shared-memory box AND of a real cluster's network — this is the
+        # single biggest scale lever in the job (north rule: efficiency ≥0.8
+        # N→4N). Output is byte-identical to the raw-pair path
+        # (tests/test_index.py pins it).
+        return (
+            pairs.mapInPandas(_partial_encode_fn(), PARTIAL_SCHEMA)
+            .repartition(n_parts, "bucket", "shard", "seg_id", "part")
+            .sortWithinPartitions(*_GROUP_COLS)
+            .mapInPandas(_partial_merge_fn(avgdl, block_size), POSTINGS_SCHEMA)
+        )
     return (
-        df.select("tid", "doc_id", "tf", "dl", "bucket", "shard", "seg_id", "part")
-        .repartition(n_parts, "bucket", "shard", "seg_id", "part")
+        pairs.repartition(n_parts, "bucket", "shard", "seg_id", "part")
         .sortWithinPartitions(*_GROUP_COLS, "doc_id")
         .mapInPandas(_encode_stream_fn(avgdl, block_size), POSTINGS_SCHEMA)
     )

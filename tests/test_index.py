@@ -205,3 +205,80 @@ def test_build_offset_doc_ids_multi_segment(spark, sf_dir, tmp_path):
     hits = idx.search("table", k=10, mode="or").collect()
     assert hits, "offset-id index must be searchable"
     assert all(r["doc_id"] >= 100000 for r in hits)
+
+
+def test_partial_encode_equivalence(spark, docs, exact):
+    """Map-side partial posting encode (blobs through the salted exchange)
+    must be byte-identical per (bucket, shard, seg_id, part, tid) to the
+    raw-pair path — same df/cf/streams/skips/block_max."""
+    from engine.corpus import corpus_base, exploded_tf
+    from engine.index import detect_hot_terms, encode_segment
+
+    _, _, ts, _, avgdl = exact
+    base = corpus_base(docs)
+    tf_dl = exploded_tf(base)
+    hot = detect_hot_terms(ts, 50)
+    kw = dict(
+        avgdl=avgdl, n_buckets=4, docs_per_shard=128, seg_id=0, n_salts=4,
+        hot_terms=hot, block_size=32, doc_bounds=(0, 10**6),
+    )
+    key = lambda r: (r["bucket"], r["shard"], r["seg_id"], r["part"], r["tid"])
+    da = {key(r): r for r in encode_segment(tf_dl, partial_encode=False, **kw).collect()}
+    db = {key(r): r for r in encode_segment(tf_dl, partial_encode=True, **kw).collect()}
+    assert set(da) == set(db)
+    for k, ra in da.items():
+        rb = db[k]
+        for c in ("df", "cf", "doc_ids_enc", "tfs_enc", "dls_enc", "block_max"):
+            assert ra[c] == rb[c], (k, c)
+        assert [tuple(s) for s in ra["skips"]] == [tuple(s) for s in rb["skips"]], k
+
+
+def test_partial_encode_multi_flush_roundtrip(spark):
+    """A tiny max_pairs forces several flushes per partition (many partial
+    rows per (group, tid)); the reduce-side expand+merge must still rebuild
+    exact postings."""
+    import pandas as pd
+
+    from engine.index import (
+        PARTIAL_SCHEMA, POSTINGS_SCHEMA, _GROUP_COLS, _partial_encode_fn,
+        _partial_merge_fn,
+    )
+    from engine.codec import decode_postings
+
+    rng = np.random.default_rng(7)
+    n = 5000
+    pdf = pd.DataFrame(
+        {
+            "tid": rng.integers(0, 40, n),
+            "doc_id": rng.permutation(n * 3)[:n],
+            "tf": rng.integers(1, 9, n),
+            "dl": rng.integers(10, 300, n),
+        }
+    ).drop_duplicates(["tid", "doc_id"])
+    pdf["bucket"] = (pdf["tid"] % 4).astype("int32")
+    pdf["shard"] = (pdf["doc_id"] // 4096).astype("int32")
+    pdf["seg_id"] = np.int32(0)
+    pdf["part"] = (pdf["doc_id"] % 2).astype("int32")
+    pairs = spark.createDataFrame(pdf)
+    out = (
+        pairs.repartition(8)  # scatter rows of a group across partitions
+        .mapInPandas(_partial_encode_fn(max_pairs=100), PARTIAL_SCHEMA)
+        .repartition(4, "bucket", "shard", "seg_id", "part")
+        .sortWithinPartitions(*_GROUP_COLS)
+        .mapInPandas(_partial_merge_fn(avgdl=100.0, block_size=16), POSTINGS_SCHEMA)
+    ).collect()
+    got = {}
+    for r in out:
+        ids, tfs, dls = decode_postings(
+            r["doc_ids_enc"], r["tfs_enc"], r["dls_enc"], r["skips"]
+        )
+        got[(r["bucket"], r["shard"], r["seg_id"], r["part"], r["tid"])] = (
+            ids.tolist(), tfs.tolist(), dls.tolist(), r["df"], r["cf"]
+        )
+    exp = pdf.sort_values(["bucket", "shard", "seg_id", "part", "tid", "doc_id"])
+    for gk, g in exp.groupby(["bucket", "shard", "seg_id", "part", "tid"]):
+        key = tuple(int(x) for x in gk)
+        ids, tfs, dls, df_, cf_ = got[key]
+        assert ids == g["doc_id"].tolist(), key
+        assert tfs == g["tf"].tolist() and dls == g["dl"].tolist(), key
+        assert df_ == len(g) and cf_ == int(g["tf"].sum()), key
