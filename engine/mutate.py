@@ -11,11 +11,19 @@ fresh internal doc id. The Spark-first re-expression:
   appended by `delete_by_query`, routed per shard to the search UDF via a
   cogroup (engine/searcher.py — the delete set is never broadcast whole),
   folded away by `expunge_deletes`;
-* `expunge_deletes` is a SHUFFLE-FREE `mapInPandas` over posting rows:
-  decode → drop dead ids → re-encode. Block-max metadata is recomputed with
-  the post-delete avgdl (a smaller avgdl RAISES per-posting impacts, so
-  stale maxima would under-bound and break WAND's pruning soundness).
-  term_dict df/cf and doc_stats/manifest stats are rebuilt distributed;
+* `expunge_deletes` routes tombstones to posting rows by a (bucket, shard)
+  COGROUP — the dead set is NEVER materialized on the driver (a
+  delete_by_query("lang:xx") over a trillion-doc corpus tombstones billions
+  of ids; any collect()/broadcast of that set is a driver OOM). Tombstones
+  replicate across the B buckets of their shard (B × an 8-byte id — small
+  against the postings themselves), and each cogroup task rewrites one
+  (bucket, shard) posting slice: decode → drop dead ids → re-encode. Group
+  memory is one shard's 1/B of postings, so the SAME knob (n_buckets) that
+  sizes partition pruning also bounds expunge task memory at 10^12-doc
+  scale. Block-max metadata is recomputed with the post-delete avgdl (a
+  smaller avgdl RAISES per-posting impacts, so stale maxima would
+  under-bound and break WAND's pruning soundness). term_dict df/cf and
+  doc_stats/manifest stats are rebuilt distributed;
 * `update_by_query` tombstones the matched docs and reindexes their
   transformed text as a NEW segment under fresh doc_ids in fresh shards,
   then runs the ordinary segment merge with the tombstones as drop_ids —
@@ -148,42 +156,88 @@ def delete_by_query(index: LoadedIndex, query: str, mode: str = "or") -> int:
 # expunge
 
 
-def _expunge_rows_fn(drop_bc, avgdl: float, block_size: int):
-    """Row-local rewrite: decode → drop dead ids → re-encode with the
-    post-delete avgdl. No shuffle — posting rows stay where they are."""
+def _expunge_pdf(
+    pdf: pd.DataFrame, drop: np.ndarray, avgdl: float, block_size: int
+) -> pd.DataFrame:
+    """Rewrite one batch of posting rows: decode → drop dead ids (sorted
+    `drop`, searchsorted membership) → re-encode with the post-delete avgdl.
+    Rows whose every posting died are dropped."""
+    cols = {c: pdf[c].to_numpy() for c in _POSTINGS_COLS}
+    out = []
+    for i in range(len(pdf)):
+        ids, tfs, dls = decode_postings(
+            cols["doc_ids_enc"][i], cols["tfs_enc"][i],
+            cols["dls_enc"][i], cols["skips"][i],
+        )
+        if len(drop) and len(ids):
+            pos = np.searchsorted(drop, ids)
+            pos[pos >= len(drop)] = len(drop) - 1
+            live = drop[pos] != ids
+            ids, tfs, dls = ids[live], tfs[live], dls[live]
+        if not len(ids):
+            continue  # every posting was deleted — drop the row
+        enc = encode_postings(ids, tfs, dls, avgdl, block_size)
+        out.append(
+            (
+                int(cols["tid"][i]), int(cols["bucket"][i]),
+                int(cols["shard"][i]), int(cols["seg_id"][i]),
+                int(cols["part"][i]),
+                enc["df"], enc["cf"], enc["doc_ids_enc"], enc["tfs_enc"],
+                enc["dls_enc"], enc["skips"], enc["block_max"],
+            )
+        )
+    return pd.DataFrame(out, columns=_POSTINGS_COLS)
 
-    def fn(batches):
-        drop = drop_bc.value
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            cols = {c: pdf[c].to_numpy() for c in _POSTINGS_COLS}
-            out = []
-            for i in range(len(pdf)):
-                ids, tfs, dls = decode_postings(
-                    cols["doc_ids_enc"][i], cols["tfs_enc"][i],
-                    cols["dls_enc"][i], cols["skips"][i],
-                )
-                if len(drop) and len(ids):
-                    pos = np.searchsorted(drop, ids)
-                    pos[pos >= len(drop)] = len(drop) - 1
-                    live = drop[pos] != ids
-                    ids, tfs, dls = ids[live], tfs[live], dls[live]
-                if not len(ids):
-                    continue  # every posting was deleted — drop the row
-                enc = encode_postings(ids, tfs, dls, avgdl, block_size)
-                out.append(
-                    (
-                        int(cols["tid"][i]), int(cols["bucket"][i]),
-                        int(cols["shard"][i]), int(cols["seg_id"][i]),
-                        int(cols["part"][i]),
-                        enc["df"], enc["cf"], enc["doc_ids_enc"], enc["tfs_enc"],
-                        enc["dls_enc"], enc["skips"], enc["block_max"],
-                    )
-                )
-            yield pd.DataFrame(out, columns=_POSTINGS_COLS)
+
+def _expunge_cogroup_fn(avgdl: float, block_size: int):
+    """Cogroup body for one (bucket, shard) key: left = that posting slice,
+    right = the shard's tombstoned ids (replicated to this bucket). Every
+    row re-encodes — even with zero local deletes — because avgdl changed
+    globally and block-max impact bounds must stay sound for WAND."""
+
+    def fn(postings_pdf: pd.DataFrame, tomb_pdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(postings_pdf):
+            return pd.DataFrame(
+                {c: pd.Series(dtype=postings_pdf[c].dtype) for c in _POSTINGS_COLS}
+            )
+        drop = np.sort(tomb_pdf["doc_id"].to_numpy().astype(np.int64))
+        return _expunge_pdf(postings_pdf, drop, avgdl, block_size)
 
     return fn
+
+
+def _with_shard_bucket(
+    tomb: DataFrame, docs_per_shard: int, n_buckets: int
+) -> DataFrame:
+    """Key tombstones by shard and replicate across the shard's B buckets —
+    the distributed routing that replaces any driver-side collect/broadcast
+    of the dead set."""
+    return tomb.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        (F.col("doc_id") / F.lit(docs_per_shard)).cast("int").alias("shard"),
+        F.explode(F.array(*[F.lit(b) for b in range(n_buckets)])).alias("_b"),
+    ).withColumn("bucket", F.col("_b").cast("int")).drop("_b")
+
+
+def expunge_postings(
+    postings: DataFrame,
+    tomb: DataFrame,
+    avgdl: float,
+    block_size: int,
+    n_buckets: int,
+    docs_per_shard: int,
+) -> DataFrame:
+    """Distributed expunge: drop every tombstoned doc from the postings and
+    re-encode (skips + block-max) under the post-delete `avgdl`. One
+    (bucket, shard) cogroup — the dead set shuffles alongside the postings,
+    never through the driver; group memory is one shard's 1/B of postings
+    plus that shard's dead ids (≤ docs_per_shard longs by construction)."""
+    keyed = _with_shard_bucket(tomb, docs_per_shard, n_buckets)
+    return (
+        postings.groupBy("bucket", "shard")
+        .cogroup(keyed.groupBy("bucket", "shard"))
+        .applyInPandas(_expunge_cogroup_fn(avgdl, block_size), POSTINGS_SCHEMA)
+    )
 
 
 def _corpus_totals(ds: DataFrame) -> tuple[int, float]:
@@ -242,15 +296,9 @@ def expunge_deletes(spark: SparkSession, root: str) -> IndexManifest:
     tomb = load_tombstones(spark, root)
     if tomb is None:
         return manifest
-    drop = np.sort(
-        np.fromiter(
-            (r["doc_id"] for r in tomb.collect()), dtype=np.int64
-        )
-    )
-    if not len(drop):
+    if tomb.limit(1).count() == 0:
         shutil.rmtree(tombstone_path(root))
         return manifest
-    drop_bc = spark.sparkContext.broadcast(drop)
 
     ds_new = spark.read.parquet(os.path.join(root, "doc_stats")).join(
         tomb, "doc_id", "left_anti"
@@ -264,8 +312,9 @@ def expunge_deletes(spark: SparkSession, root: str) -> IndexManifest:
 
     old_postings = spark.read.parquet(os.path.join(root, "postings"))
     write_postings_shards(
-        old_postings.mapInPandas(
-            _expunge_rows_fn(drop_bc, avgdl, manifest.block_size), POSTINGS_SCHEMA
+        expunge_postings(
+            old_postings, tomb, avgdl, manifest.block_size,
+            manifest.n_buckets, manifest.docs_per_shard,
         ),
         os.path.join(root, "postings.tmp"),
     )
@@ -304,11 +353,12 @@ def update_by_query(
     filter selecting docs to update. transform: fn(DataFrame) -> DataFrame
     mapping the matched docs to their new `text` (key preserved).
 
-    One segment-merge pass does reindex + expunge together (drop_ids), so
-    the returned index needs no separate expunge and is value-identical to
-    a from-scratch build over the transformed corpus. Returns (manifest,
-    mapping DataFrame(doc_id, key)) — search hits join back to stable keys
-    via it.
+    The old postings are expunged distributed (dead ids routed per
+    (bucket, shard) cogroup, never through the driver), then one segment
+    merge folds in the reindexed delta — the result is value-identical to a
+    from-scratch build over the transformed corpus and needs no separate
+    expunge. Returns (manifest, mapping DataFrame(doc_id, key)) — search
+    hits join back to stable keys via it.
     """
     from .corpus import corpus_base, exploded_tf
     from .index import encode_segment
@@ -320,35 +370,32 @@ def update_by_query(
     matched = docs.filter(predicate)
     # ES _update_by_query only processes LIVE docs: a doc already tombstoned
     # by delete_by_query must not be resurrected just because the predicate
-    # matches it — exclude prior tombstones from the reindex set. The prior
-    # ids are MATERIALIZED to the driver (this pass deletes the tombstone
-    # dir at the end; a lazy anti-join would re-read deleted files through
-    # the returned mapping's lineage), which costs the same O(tombstones)
-    # collect the expunge merge below already pays for `drop`.
+    # matches it — exclude prior tombstones from the reindex set (anti-join,
+    # never an isin(...) literal: a billion-id predicate explodes plan size).
     prior = load_tombstones(spark, root)
-    prior_ids = (
-        np.sort(
-            np.fromiter((r["doc_id"] for r in prior.collect()), dtype=np.int64)
-        )
-        if prior is not None
-        else np.empty(0, dtype=np.int64)
-    )
-    if len(prior_ids):
-        matched = matched.filter(~F.col("doc_id").isin([int(x) for x in prior_ids]))
+    if prior is not None:
+        # SNAPSHOT the prior tombstones (distributed parquet write, never a
+        # driver collect — billions of tombstones must not transit the
+        # driver): this pass deletes the tombstone dir below, and both the
+        # expunge and the returned mapping's lineage must survive that
+        # deletion. Each call gets a fresh snapshot dir so mappings returned
+        # by earlier calls stay valid too.
+        import uuid
+
+        snap = os.path.join(root, "_dead_snapshots", uuid.uuid4().hex)
+        prior.write.mode("overwrite").parquet(snap)
+        prior = spark.read.parquet(snap)
+        matched = matched.join(prior, "doc_id", "left_anti")
+    # cache the id set (distributed, spillable) — it feeds the stats
+    # rebuild, the expunge and the returned mapping; never collected
     dead = matched.select("doc_id").cache()
-    # fold any pre-existing delete_by_query tombstones into the same merge —
-    # this pass clears the tombstone dir, so it must expunge them too
-    live_dead = np.sort(
-        np.fromiter((r["doc_id"] for r in dead.collect()), dtype=np.int64)
+    # fold any pre-existing delete_by_query tombstones into the same pass —
+    # it clears the tombstone dir, so it must expunge them too
+    all_dead = (
+        dead if prior is None
+        else dead.unionByName(prior.select("doc_id")).distinct()
     )
-    drop = np.union1d(live_dead, prior_ids)
-    # rebuilt from the materialized ids: later joins against this frame must
-    # not carry lineage into the tombstone parquet (deleted at the end)
-    all_dead = spark.createDataFrame(
-        [(int(x),) for x in drop], "doc_id long"
-    )
-    if not len(drop):
-        dead.unpersist()
+    if all_dead.limit(1).count() == 0:
         # consistent (doc_id, key) mapping shape on the empty path too
         return manifest, docs.select(
             "doc_id", F.col(key_col).alias("key")
@@ -389,12 +436,20 @@ def update_by_query(
         seg_id=manifest.n_segments,
         block_size=manifest.block_size,
     )
+    # distributed expunge of the old postings (dead ids routed per
+    # (bucket, shard) cogroup — see expunge_postings; no driver-side set),
+    # then the ordinary segment merge folds in the reindexed delta. The
+    # expunge already re-encodes under the post-update avgdl, so the merge
+    # needs no drop list at all.
     old_postings = spark.read.parquet(os.path.join(root, "postings"))
+    old_live = expunge_postings(
+        old_postings.select(*_POSTINGS_COLS), all_dead, avgdl,
+        manifest.block_size, manifest.n_buckets, manifest.docs_per_shard,
+    )
     merged = merge_postings(
-        old_postings.select(*_POSTINGS_COLS).unionByName(delta),
+        old_live.unionByName(delta),
         avgdl,
         block_size=manifest.block_size,
-        drop_ids=drop,
     )
     write_postings_shards(merged, os.path.join(root, "postings.tmp"))
 

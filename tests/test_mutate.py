@@ -228,3 +228,32 @@ def test_update_by_query_empty_match_returns_mapping_shape(spark, docs, tmp_path
     )
     assert set(mapping.columns) == {"doc_id", "key"}
     assert mapping.count() == 0
+
+
+def test_expunge_million_row_tombstone_set(spark, index, docs, tmp_path):
+    """Scale guard: a ~1M-id tombstone set (most ids not even indexed, as a
+    wide delete-by-query over a trillion-doc corpus would produce for any
+    one shard range) must route per (bucket, shard) cogroup — never through
+    a driver-side collect/broadcast — and still expunge exactly the indexed
+    ids it covers."""
+    n_docs = index.manifest.n_docs
+    # every even doc_id dies, plus ~1M ids far beyond the corpus
+    tomb = (
+        spark.range(0, 1_000_000)
+        .select((F.col("id") * 2).alias("doc_id"))
+    )
+    mutate.write_tombstones(index.root, tomb)
+    mutate.expunge_deletes(spark, index.root)
+    after = LoadedIndex(spark, index.root)
+    assert after.manifest.n_docs == (n_docs + 1) // 2
+    # survivors only, and scores equal a fresh build over the odd docs
+    fresh_root = str(tmp_path / "fresh_million")
+    _build(spark, docs.filter(F.col("doc_id") % 2 == 1), fresh_root)
+    fresh = LoadedIndex(spark, fresh_root)
+    for query, k, mode in QUERIES[:2]:
+        a = _hits(after.search(query, k=k, mode=mode, round_to=None))
+        b = _hits(fresh.search(query, k=k, mode=mode, round_to=None))
+        assert [d for d, _ in a] == [d for d, _ in b], query
+        np.testing.assert_allclose(
+            [s for _, s in a], [s for _, s in b], rtol=1e-9
+        )
