@@ -328,3 +328,101 @@ def missing_value_count_agg(df: DataFrame, col: str) -> DataFrame:
         F.count(c).alias("value_count"),
         F.round(F.avg(c), 4).alias("avg_v"),
     )
+
+
+def rare_terms_agg(df: DataFrame, col: str, max_doc_count: int = 1) -> DataFrame:
+    """ES `rare_terms` agg [public: ES rare_terms docs]: the long-tail
+    inverse of `terms` — buckets whose doc_count is AT MOST max_doc_count,
+    ordered count asc then key asc. One hash aggregate + filter; ES uses a
+    CuckooFilter to bound memory, Spark's partial+final hash agg gives the
+    exact answer with bounded shuffle (one row per distinct key)."""
+    return (
+        df.groupBy(col)
+        .agg(F.count("*").alias("doc_count"))
+        .filter(F.col("doc_count") <= max_doc_count)
+        .orderBy(F.col("doc_count").asc(), F.col(col).asc())
+    )
+
+
+def multi_terms_agg(df: DataFrame, cols: list[str], size: int = 10) -> DataFrame:
+    """ES `multi_terms` agg [public]: terms buckets over a COMPOSITE key,
+    top-N by doc count (tie-break: keys asc). Same single hash-agg shape as
+    `terms`, the key is just wider."""
+    return (
+        df.groupBy(*cols)
+        .agg(F.count("*").alias("doc_count"))
+        .orderBy(F.col("doc_count").desc(), *[F.col(c).asc() for c in cols])
+        .limit(size)
+    )
+
+
+def percentile_ranks_agg(
+    df: DataFrame, col: str, values: list[float], group_by: str
+) -> DataFrame:
+    """ES `percentile_ranks` [public]: for each given value v, the percent
+    of observed values ≤ v — the inverse of `percentiles`. One aggregate
+    pass: avg of an indicator per v (missing values ignored, as in ES)."""
+    c = F.col(col)
+    aggs = [
+        F.round(
+            F.avg(F.when(c <= F.lit(v), 1.0).otherwise(0.0)) * 100, 4
+        ).alias(f"pr_{str(v).replace('.', '_').rstrip('0').rstrip('_')}")
+        for v in values
+    ]
+    return df.filter(c.isNotNull()).groupBy(group_by).agg(*aggs).orderBy(group_by)
+
+
+_AUTO_DH_LADDER = [
+    ("minute", 60), ("hour", 3600), ("day", 86400),
+    ("month", 2592000), ("year", 31536000),
+]
+
+
+def auto_date_histogram_agg(
+    df: DataFrame, ts_col: str, target_buckets: int = 12
+) -> DataFrame:
+    """ES `auto_date_histogram` [public]: pick the smallest calendar
+    interval from a fixed ladder that keeps the bucket count ≤ target, then
+    date_trunc at it. The interval choice needs only the min/max timestamp
+    (one 1-row aggregate — the same driver-side scalar ES's coordinating
+    node computes); the bucketing itself is one hash aggregate."""
+    r = df.agg(F.min(ts_col).alias("mn"), F.max(ts_col).alias("mx")).collect()[0]
+    unit = _AUTO_DH_LADDER[-1][0]
+    if r["mn"] is not None:
+        span = (r["mx"] - r["mn"]).total_seconds()
+        for u, sec in _AUTO_DH_LADDER:
+            if span / sec <= target_buckets:
+                unit = u
+                break
+    return (
+        df.groupBy(F.date_trunc(unit, F.col(ts_col)).alias("bucket"))
+        .agg(F.count("*").alias("doc_count"))
+        .withColumn("interval_unit", F.lit(unit))
+        .orderBy("bucket")
+    )
+
+
+def diversified_sampler_agg(
+    df: DataFrame,
+    diversity_col: str,
+    order_col: str,
+    value_col: str,
+    max_per_value: int = 3,
+) -> DataFrame:
+    """ES `diversified_sampler` + child metric [public: ES sampler docs]:
+    cap the sample at max_per_value docs PER diversity value, then run the
+    metric over the sample. ES samples by shard-local score order
+    (nondeterministic across layouts); this engine pins a deterministic
+    total order (order_col asc) so results are layout- and
+    parallelism-invariant — documented divergence. One window (rank within
+    diversity value) + one aggregate."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(diversity_col).orderBy(F.col(order_col).asc())
+    sample = df.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= max_per_value
+    )
+    return sample.groupBy(diversity_col).agg(
+        F.count("*").alias("sample_count"),
+        F.round(F.avg(value_col), 4).alias("avg_v"),
+    ).orderBy(diversity_col)

@@ -28,9 +28,13 @@ from .wand import TermCursor, exhaustive_topk, intersect_topk, wand_topk
 TOPK_SCHEMA = "doc_id long, score double"
 
 
-def _rows_to_cursor(rows: pd.DataFrame, idf: float, avgdl: float) -> TermCursor:
+def _pack_rows(rows: pd.DataFrame) -> list[dict]:
+    """One term's posting rows → the cursor wire format (part-sorted, skip
+    entries as plain tuples). The per-skip conversion is the expensive part
+    — batch search packs each tid ONCE and shares the result across every
+    query's cursor (engine/wand.py TermCursor also shares decoded blocks)."""
     rs = rows.sort_values("part")
-    packed = [
+    return [
         {
             "doc_ids_enc": r.doc_ids_enc,
             "tfs_enc": r.tfs_enc,
@@ -48,7 +52,10 @@ def _rows_to_cursor(rows: pd.DataFrame, idf: float, avgdl: float) -> TermCursor:
         }
         for r in rs.itertuples(index=False)
     ]
-    return TermCursor(packed, idf, avgdl)
+
+
+def _rows_to_cursor(rows: pd.DataFrame, idf: float, avgdl: float) -> TermCursor:
+    return TermCursor(_pack_rows(rows), idf, avgdl)
 
 
 def _shard_topk_fn(
@@ -152,6 +159,53 @@ def _shard_topk_fn(
     return fn
 
 
+def _shard_tree_fn(
+    tree,
+    pos_tids: dict[str, int],
+    neg_tids: dict[str, int],
+    idfs: dict[str, float],
+    avgdl: float,
+    k: int,
+    after: tuple[float, int] | None = None,
+    round_to: int | None = 4,
+):
+    """Grouped-map UDF body for NESTED bool trees (engine/boolquery.py): one
+    shard's posting rows → local top-k under wand_tree_topk. Same shape as
+    _shard_topk_fn; cursors are keyed by term string because tree
+    evaluation is term-name-based."""
+    from .wand import wand_tree_topk
+
+    def core(pdf: pd.DataFrame, not_ids=None) -> pd.DataFrame:
+        by_tid = {t: g for t, g in pdf.groupby("tid")}
+        pos: dict[str, TermCursor] = {}
+        for term, tid in pos_tids.items():
+            rows = by_tid.get(tid)
+            if rows is not None and len(rows):
+                pos[term] = _rows_to_cursor(rows, idfs[term], avgdl)
+        neg: dict[str, TermCursor] = {}
+        for term, tid in neg_tids.items():
+            rows = by_tid.get(tid)
+            if rows is not None and len(rows):
+                neg[term] = _rows_to_cursor(rows, 0.0, avgdl)
+        if not pos:
+            return pd.DataFrame(
+                {"doc_id": pd.Series(dtype="int64"), "score": pd.Series(dtype="float64")}
+            )
+        hits = wand_tree_topk(
+            tree, pos, k, neg_cursors=neg, after=after, not_ids=not_ids,
+            round_to=round_to,
+        )
+        return pd.DataFrame(
+            {"doc_id": [h[0] for h in hits], "score": [h[1] for h in hits]}
+        )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        return core(pdf)
+
+    fn.core = core
+    return fn
+
+
 def _shard_topk_cogroup_fn(core):
     """Cogrouped-map wrapper: (shard's posting rows, shard's tombstone rows)
     → local top-k. Tombstones ride the same shard key as the postings —
@@ -241,6 +295,74 @@ class LoadedIndex:
         core = _shard_topk_fn(
             tids, idfs, neg_tids, self.manifest.avgdl, k, mode, algo, after,
             min_should_match, round_to,
+        )
+        dead = self.tombstones.select("doc_id") if self.tombstones is not None else None
+        if exclude is not None:
+            ex = exclude.select("doc_id")
+            dead = ex if dead is None else dead.unionByName(ex).distinct()
+        if dead is not None:
+            tomb = dead.select(
+                F.col("doc_id").cast("long").alias("doc_id"),
+                (F.col("doc_id") / F.lit(self.manifest.docs_per_shard))
+                .cast("int")
+                .alias("shard"),
+            )
+            local = (
+                rows.groupBy("shard")
+                .cogroup(tomb.groupBy("shard"))
+                .applyInPandas(_shard_topk_cogroup_fn(core.core), TOPK_SCHEMA)
+            )
+        else:
+            local = rows.groupBy("shard").applyInPandas(core, TOPK_SCHEMA)
+        score_col = (
+            F.round(F.col("score"), round_to) if round_to is not None else F.col("score")
+        )
+        return (
+            local.select("doc_id", score_col.alias("score"))
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(k)
+        )
+
+    def search_tree(
+        self,
+        tree,
+        k: int = 10,
+        round_to: int | None = 4,
+        after: tuple[float, int] | None = None,
+        exclude: DataFrame | None = None,
+    ) -> DataFrame:
+        """Top-k under a NESTED bool query tree (engine/boolquery.Bool/Term)
+        on the block-max WAND path → DataFrame(doc_id, score), ordered
+        (score desc, doc_id asc). Same lifecycle as search(): term-dict
+        seek, bucket-pruned + tid-pushdown posting scan (one scan covers
+        every leaf of the tree), per-shard wand_tree_topk, global top-k.
+        Tombstones route per shard via cogroup exactly as in search()."""
+        from .boolquery import collect_leaves, is_pure_bool
+
+        if not is_pure_bool(tree):
+            raise ValueError(
+                "search_tree supports Bool/Term trees; dis_max/constant_score/"
+                "boosting run on the exact path (engine.boolquery.tree_search)"
+            )
+        pos_t, neg_t = collect_leaves(tree)
+        found = self._lookup(sorted(pos_t | neg_t))
+        empty = self.spark.createDataFrame([], TOPK_SCHEMA)
+        pos_tids = {t: found[t][2] for t in pos_t if t in found}
+        if not pos_tids:
+            return empty
+        # a term in both contexts keeps its positive cursor (match flags are
+        # per term, context-free in eval_tree)
+        neg_tids = {
+            t: found[t][2] for t in neg_t if t in found and t not in pos_tids
+        }
+        idfs = {t: self.idf(found[t][0]) for t in pos_tids}
+        buckets = sorted({found[t][1] for t in found})
+        all_tids = list(pos_tids.values()) + list(neg_tids.values())
+        rows = self.postings.filter(
+            F.col("bucket").isin(buckets) & F.col("tid").isin(all_tids)
+        )
+        core = _shard_tree_fn(
+            tree, pos_tids, neg_tids, idfs, self.manifest.avgdl, k, after, round_to
         )
         dead = self.tombstones.select("doc_id") if self.tombstones is not None else None
         if exclude is not None:
@@ -437,16 +559,33 @@ def _shard_multi_topk_fn(specs: list[dict], avgdl: float, round_to: int | None =
     def core(pdf: pd.DataFrame, not_ids=None) -> pd.DataFrame:
         out_q, out_d, out_s = [], [], []
         by_tid = {int(t): g for t, g in pdf.groupby("tid", sort=False)}
+        # shared per-tid state across ALL queries in the batch: rows are
+        # packed once (skip-tuple conversion is per-entry Python) and every
+        # cursor over a tid shares one decoded-block memo — "the" appearing
+        # in 7 of 8 queries decodes once per shard, not 7 times
+        packed: dict[int, list] = {}
+        caches: dict[int, dict] = {}
+
+        def cursor_for(t: int, idf: float) -> TermCursor | None:
+            rows = by_tid.get(t)
+            if rows is None:
+                return None
+            pk = packed.get(t)
+            if pk is None:
+                pk = _pack_rows(rows)
+                packed[t] = pk
+                caches[t] = {}
+            return TermCursor(pk, idf, avgdl, cache=caches[t])
+
         for spec in specs:
             cursors = []
             for t in spec["tids"]:
-                rows = by_tid.get(int(t))
-                if rows is not None:
-                    cursors.append(_rows_to_cursor(rows, spec["idfs"][t], avgdl))
+                c = cursor_for(int(t), spec["idfs"][t])
+                if c is not None:
+                    cursors.append(c)
             neg = [
-                _rows_to_cursor(by_tid[int(t)], 0.0, avgdl)
-                for t in spec["neg"]
-                if int(t) in by_tid
+                c for c in (cursor_for(int(t), 0.0) for t in spec["neg"])
+                if c is not None
             ]
             if not cursors or (spec["mode"] == "and" and len(cursors) < len(spec["tids"])):
                 continue

@@ -40,14 +40,21 @@ class TermCursor:
     __slots__ = (
         "idf", "avgdl", "k1", "b", "rows", "block_row", "block_local",
         "first_docs", "block_impacts", "n_blocks", "cur_block",
-        "ids", "tfs", "dls", "i", "doc", "list_max_impact",
+        "ids", "tfs", "dls", "i", "doc", "list_max_impact", "cache",
     )
 
     def __init__(self, rows: list[dict], idf: float, avgdl: float,
-                 k1: float = BM25_K1, b: float = BM25_B):
+                 k1: float = BM25_K1, b: float = BM25_B,
+                 cache: dict | None = None):
         """rows: dicts with doc_ids_enc, tfs_enc, dls_enc, skips (list of
         (first_doc, doc_off, tf_off, dl_off, max_impact)), block_max —
-        sorted by `part` so doc ranges are ascending across rows."""
+        sorted by `part` so doc ranges are ascending across rows.
+
+        cache: optional SHARED decoded-block memo (block index → arrays) for
+        cursors over the same rows list — batch search decodes each hot
+        term's blocks once per shard, not once per query referencing it.
+        Cursor POSITION stays per-cursor; only the immutable decode output
+        is shared."""
         self.idf = idf
         self.avgdl = avgdl
         self.k1 = k1
@@ -70,6 +77,7 @@ class TermCursor:
         self.ids = self.tfs = self.dls = None
         self.i = 0
         self.doc = -1
+        self.cache = cache
         if self.n_blocks == 0:
             self.doc = INF
 
@@ -78,11 +86,22 @@ class TermCursor:
         return self.idf * self.list_max_impact
 
     def _load_block(self, bi: int) -> None:
-        r = self.rows[self.block_row[bi]]
-        self.ids, self.tfs, self.dls = decode_block(
-            r["doc_ids_enc"], r["tfs_enc"], r["dls_enc"], r["skips"],
-            int(self.block_local[bi]),
-        )
+        if self.cache is not None:
+            ent = self.cache.get(bi)
+            if ent is None:
+                r = self.rows[self.block_row[bi]]
+                ent = decode_block(
+                    r["doc_ids_enc"], r["tfs_enc"], r["dls_enc"], r["skips"],
+                    int(self.block_local[bi]),
+                )
+                self.cache[bi] = ent
+            self.ids, self.tfs, self.dls = ent
+        else:
+            r = self.rows[self.block_row[bi]]
+            self.ids, self.tfs, self.dls = decode_block(
+                r["doc_ids_enc"], r["tfs_enc"], r["dls_enc"], r["skips"],
+                int(self.block_local[bi]),
+            )
         self.cur_block = bi
 
     def block_max_score_at(self, target: int) -> float:
@@ -303,6 +322,107 @@ def wand_topk(
                     break
         else:
             for c in active[:pivot]:
+                if c.doc < pivot_doc:
+                    c.next_geq(pivot_doc)
+    return _heap_result(heap)
+
+
+def wand_tree_topk(
+    tree,
+    pos_cursors: dict[str, TermCursor],
+    k: int,
+    neg_cursors: dict[str, TermCursor] | None = None,
+    after: tuple[float, int] | None = None,
+    not_ids: np.ndarray | None = None,
+    round_to: int | None = 4,
+) -> list[tuple[int, float]]:
+    """Block-max WAND top-k under a NESTED bool query tree
+    (engine/boolquery.py) → [(doc_id, score)] rank-ordered.
+
+    Pruning bound: any bool-tree score is ≤ Σ of the matched positive
+    leaves' partials (every contribution in a bool tree IS some leaf's
+    partial, counted at most once per leaf occurrence), so the flat WAND
+    pivot bound Σ max_score over the candidate prefix — and its shallow
+    block-max refinement — stay sound unchanged. The tree only tightens
+    acceptance, never raises a score above the flat-OR bound. Restricted to
+    Bool/Term trees (boolquery.is_pure_bool); dis_max/constant_score/
+    boosting run on the exact path where no bound is needed.
+
+    Candidates are driven by the positive-context leaf cursors; negated-only
+    leaves (under must_not) advance lazily via next_geq at evaluation, like
+    flat WAND's must_not lists. Acceptance + scoring is one
+    boolquery.eval_tree walk per surviving candidate."""
+    from .boolquery import eval_tree, is_pure_bool, scoring_multiplicity
+
+    if not is_pure_bool(tree):
+        raise ValueError("wand_tree_topk supports Bool/Term trees only")
+    neg_cursors = neg_cursors or {}
+    # per-cursor bound weight: a term in m scoring clauses contributes its
+    # partial up to m times (see boolquery.scoring_multiplicity); pure
+    # filter/negation-context terms weigh 0 (they gate, never score)
+    mult = scoring_multiplicity(tree)
+    items = [(t, c) for t, c in pos_cursors.items() if c.n_blocks > 0]
+    for _, c in items:
+        c.next_geq(0)
+    heap: list = []
+    theta = float("-inf")
+    active = items
+    while True:
+        active = [(t, c) for t, c in active if c.doc < INF]
+        if not active:
+            break
+        active.sort(key=lambda tc: tc[1].doc)
+        acc = 0.0
+        pivot = -1
+        for p, (t, c) in enumerate(active):
+            acc += mult.get(t, 0) * c.max_score
+            if len(heap) < k or acc > theta:
+                pivot = p
+                break
+        if pivot == -1:
+            break
+        pivot_doc = active[pivot][1].doc
+        lim = pivot
+        while lim + 1 < len(active) and active[lim + 1][1].doc == pivot_doc:
+            lim += 1
+        if len(heap) >= k:
+            bub = sum(
+                mult.get(t, 0) * c.block_max_score_at(pivot_doc)
+                for t, c in active[: lim + 1]
+            )
+            if bub <= theta:
+                d = min(
+                    c.next_block_first_after(pivot_doc) for _, c in active[: lim + 1]
+                )
+                if lim + 1 < len(active):
+                    d = min(d, active[lim + 1][1].doc)
+                d = max(d, pivot_doc + 1)
+                for _, c in active[: lim + 1]:
+                    if c.doc < d:
+                        c.next_geq(d)
+                continue
+        if active[0][1].doc == pivot_doc:
+            if not _tombstoned(pivot_doc, not_ids):
+                matched: dict[str, bool] = {}
+                partial: dict[str, float] = {}
+                for t, c in active:
+                    if c.doc != pivot_doc:
+                        break
+                    matched[t] = True
+                    partial[t] = c.score()
+                for t, c in neg_cursors.items():
+                    if c.next_geq(pivot_doc) == pivot_doc:
+                        matched[t] = True
+                ok, s = eval_tree(tree, matched, partial)
+                if ok and _after_ok(s, pivot_doc, after, round_to):
+                    theta = _push(heap, k, _rank_score(s, round_to), pivot_doc)
+            for _, c in active:
+                if c.doc == pivot_doc:
+                    c.next_geq(pivot_doc + 1)
+                else:
+                    break
+        else:
+            for _, c in active[:pivot]:
                 if c.doc < pivot_doc:
                     c.next_geq(pivot_doc)
     return _heap_result(heap)
