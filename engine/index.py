@@ -305,7 +305,7 @@ def encode_segment(
     hot_terms: list[str] | None = None,
     block_size: int = BLOCK_SIZE,
     doc_bounds: tuple[int, int] | None = None,
-    partial_encode: bool = True,
+    partial_encode: bool = False,
 ) -> DataFrame:
     """Encode one segment's postings from tf rows (term, doc_id, tf, dl).
 
@@ -454,6 +454,7 @@ def build_index(
     checkpoint=None,
     quantize_norms: bool = False,
     bulk_merge: bool = True,
+    partial_encode: bool | None = None,
 ) -> IndexManifest:
     """Full index build: docs(doc_id, text, …) → postings shards + term_dict
     + doc_stats + manifest under out_root (SURVEY.md §3.1 lifecycle).
@@ -553,6 +554,15 @@ def build_index(
             ).otherwise(F.col("dl")),
         )
         ds = base.select("doc_id", "dl")
+    if partial_encode is None:
+        # AUTO: the map-side partial encode adds one Python stage + one
+        # Arrow round-trip of the pair table — fixed cost that pays only
+        # when the salted exchange it shrinks is large. Gate on estimated
+        # pair volume (n_docs × avgdl ≈ token count ≥ distinct pairs): tiny
+        # corpora (tests, bench fixtures, streaming micro-batches) keep the
+        # single-stage path; anything web-scale (and the 150k-page scaling
+        # job) takes the partial path where shuffle bytes are the ceiling.
+        partial_encode = n_docs * max(avgdl, 1.0) > 10_000_000
     tf_dl = exploded_tf(base)  # (term, doc_id, tf, dl) — JVM explode, no join
     # ts (V rows, V = vocab size) feeds BOTH hot-term detection and the term
     # dictionary — cache it so the 26M-row explode+groupBy runs once
@@ -566,6 +576,7 @@ def build_index(
             return encode_segment(
                 tf_dl, avgdl, n_buckets, docs_per_shard, 0, hot_df, n_salts,
                 hot_terms, block_size, doc_bounds=(doc_mn, doc_mx),
+                partial_encode=partial_encode,
             )
         # split on the ACTUAL id range (doc_mn..doc_mx), not an assumed
         # 0..n_docs-1: offset or sparse ids (streaming continuations,
@@ -588,6 +599,7 @@ def build_index(
                         doc_mn + s * seg_size,
                         min(doc_mx, doc_mn + (s + 1) * seg_size - 1),
                     ),
+                    partial_encode=partial_encode,
                 )
             )
         out = parts[0]

@@ -66,3 +66,45 @@ def test_quantized_search_self_consistent_and_close(pair):
         # ranking stays close to the exact index: top-10 sets mostly overlap
         ex = {r["doc_id"] for r in exact.search(q, k=10, mode=mode).collect()}
         assert len(ex & {d for d, _ in w}) >= 8, q
+
+
+class TestSmallFloatTable:
+    """quantize_norm is pinned to the PUBLIC Lucene SmallFloat intToByte4
+    table: identical quantized values, monotone byte encoding, roundtrip."""
+
+    def test_quantize_equals_byte4_roundtrip_exhaustive(self):
+        from engine.codec import byte4_to_int, int_to_byte4, quantize_norm
+
+        v = np.arange(0, 200_000, dtype=np.int64)
+        np.testing.assert_array_equal(
+            quantize_norm(v), byte4_to_int(int_to_byte4(v))
+        )
+
+    def test_quantize_equals_byte4_roundtrip_large_random(self):
+        from engine.codec import byte4_to_int, int_to_byte4, quantize_norm
+
+        rng = np.random.default_rng(3)
+        v = rng.integers(0, 2**31, 100_000, dtype=np.int64)
+        np.testing.assert_array_equal(
+            quantize_norm(v), byte4_to_int(int_to_byte4(v))
+        )
+
+    def test_byte_encoding_monotone_and_compact(self):
+        from engine.codec import int_to_byte4
+
+        v = np.arange(0, 1_000_000, dtype=np.int64)
+        b = int_to_byte4(v).astype(np.int64)
+        assert b.dtype == np.int64 and b.max() <= 255
+        assert (np.diff(b) >= 0).all()  # non-decreasing in the value
+        # distinct quantized values <-> distinct bytes (an injective table)
+        from engine.codec import quantize_norm
+
+        q = quantize_norm(v)
+        assert len(np.unique(b)) == len(np.unique(q))
+
+    def test_idempotent(self):
+        from engine.codec import quantize_norm
+
+        v = np.arange(0, 100_000, dtype=np.int64)
+        q = quantize_norm(v)
+        np.testing.assert_array_equal(quantize_norm(q), q)
