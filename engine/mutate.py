@@ -109,8 +109,12 @@ def match_doc_ids(index: LoadedIndex, query: str, mode: str = "or") -> DataFrame
     rows = index.postings.filter(
         F.col("bucket").isin(buckets) & F.col("tid").isin(tids + neg_tids)
     )
-    return rows.groupBy("shard").applyInPandas(
-        _shard_match_fn(tids, neg_tids, mode), "doc_id long"
+    from .searcher import _pin_shard_parallelism
+
+    return (
+        _pin_shard_parallelism(rows)
+        .groupBy("shard")
+        .applyInPandas(_shard_match_fn(tids, neg_tids, mode), "doc_id long")
     )
 
 

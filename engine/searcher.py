@@ -28,6 +28,17 @@ from .wand import TermCursor, exhaustive_topk, intersect_topk, wand_topk
 TOPK_SCHEMA = "doc_id long, score double"
 
 
+def _pin_shard_parallelism(df):
+    """Pin the width of the per-shard scoring exchange. AQE coalesces this
+    shuffle by BYTES — a few hundred pruned posting rows collapse to ONE
+    post-shuffle partition, serializing the Python WAND stage even though
+    its cost is CPU per shard, not bytes (measured 2x on the 8-query batch
+    at sf0.1). Explicit repartition(N, shard) opts this one exchange out of
+    coalescing, exactly like encode_segment does for the encode stage."""
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    return df.repartition(n, "shard")
+
+
 def _pack_rows(rows: pd.DataFrame) -> list[dict]:
     """One term's posting rows → the cursor wire format (part-sorted, skip
     entries as plain tuples). The per-skip conversion is the expensive part
@@ -308,12 +319,15 @@ class LoadedIndex:
                 .alias("shard"),
             )
             local = (
-                rows.groupBy("shard")
-                .cogroup(tomb.groupBy("shard"))
+                _pin_shard_parallelism(rows).groupBy("shard")
+                .cogroup(_pin_shard_parallelism(tomb).groupBy("shard"))
                 .applyInPandas(_shard_topk_cogroup_fn(core.core), TOPK_SCHEMA)
             )
         else:
-            local = rows.groupBy("shard").applyInPandas(core, TOPK_SCHEMA)
+            local = (
+                _pin_shard_parallelism(rows)
+                .groupBy("shard").applyInPandas(core, TOPK_SCHEMA)
+            )
         score_col = (
             F.round(F.col("score"), round_to) if round_to is not None else F.col("score")
         )
@@ -376,12 +390,15 @@ class LoadedIndex:
                 .alias("shard"),
             )
             local = (
-                rows.groupBy("shard")
-                .cogroup(tomb.groupBy("shard"))
+                _pin_shard_parallelism(rows).groupBy("shard")
+                .cogroup(_pin_shard_parallelism(tomb).groupBy("shard"))
                 .applyInPandas(_shard_topk_cogroup_fn(core.core), TOPK_SCHEMA)
             )
         else:
-            local = rows.groupBy("shard").applyInPandas(core, TOPK_SCHEMA)
+            local = (
+                _pin_shard_parallelism(rows)
+                .groupBy("shard").applyInPandas(core, TOPK_SCHEMA)
+            )
         score_col = (
             F.round(F.col("score"), round_to) if round_to is not None else F.col("score")
         )
@@ -449,12 +466,15 @@ class LoadedIndex:
                 .alias("shard"),
             )
             local = (
-                rows.groupBy("shard")
-                .cogroup(tomb.groupBy("shard"))
+                _pin_shard_parallelism(rows).groupBy("shard")
+                .cogroup(_pin_shard_parallelism(tomb).groupBy("shard"))
                 .applyInPandas(_shard_topk_cogroup_fn(fn.core), BATCH_TOPK_SCHEMA)
             )
         else:
-            local = rows.groupBy("shard").applyInPandas(fn, BATCH_TOPK_SCHEMA)
+            local = (
+                _pin_shard_parallelism(rows)
+                .groupBy("shard").applyInPandas(fn, BATCH_TOPK_SCHEMA)
+            )
         score_col = (
             F.round(F.col("score"), round_to) if round_to is not None else F.col("score")
         )
