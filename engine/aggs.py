@@ -426,3 +426,144 @@ def diversified_sampler_agg(
         F.count("*").alias("sample_count"),
         F.round(F.avg(value_col), 4).alias("avg_v"),
     ).orderBy(diversity_col)
+
+
+def boxplot_agg(df: DataFrame, col: str, group_by: str) -> DataFrame:
+    """ES `boxplot` aggregation [public: ES boxplot docs]: min, q1, q2
+    (median), q3, max per bucket. ES computes approximate quartiles via
+    TDigest; this engine uses Spark's exact interpolated `percentile` (the
+    same divergence agg_percentiles documents) so the result is
+    deterministic and oracle-checkable. One hash aggregate — the percentile
+    UDAF holds per-group values, fine for bounded group counts; swap to
+    percentile_approx for unbounded-cardinality buckets at 100 TB."""
+    c = F.col(col)
+    return (
+        df.groupBy(group_by)
+        .agg(
+            F.round(F.min(c), 4).alias("min_v"),
+            F.round(F.expr(f"percentile({col}, 0.25)"), 4).alias("q1"),
+            F.round(F.expr(f"percentile({col}, 0.5)"), 4).alias("q2"),
+            F.round(F.expr(f"percentile({col}, 0.75)"), 4).alias("q3"),
+            F.round(F.max(c), 4).alias("max_v"),
+        )
+        .orderBy(group_by)
+    )
+
+
+def median_absolute_deviation_agg(
+    df: DataFrame, col: str, group_by: str
+) -> DataFrame:
+    """ES `median_absolute_deviation` [public]: median(|x - median(x)|) per
+    bucket. Two aggregate passes (medians can't nest in one): pass 1 is a
+    tiny per-group median frame (one row per bucket, broadcast back), pass 2
+    re-scans with the deviation expression. ES approximates via TDigest;
+    exact interpolated percentile here, documented as in boxplot_agg."""
+    med = df.groupBy(group_by).agg(
+        F.expr(f"percentile({col}, 0.5)").alias("_med")
+    )
+    return (
+        df.join(F.broadcast(med), group_by)
+        .groupBy(group_by)
+        .agg(
+            F.round(
+                F.expr(f"percentile(abs({col} - _med), 0.5)"), 4
+            ).alias("mad")
+        )
+        .orderBy(group_by)
+    )
+
+
+def string_stats_agg(df: DataFrame, col: str, group_by: str) -> DataFrame:
+    """ES `string_stats` [public: ES string_stats docs]: per bucket, count +
+    min/max/avg LENGTH of the string field, plus Shannon entropy over the
+    character distribution. Lengths are one hash aggregate; entropy needs
+    the per-(bucket, char) counts, i.e. one explode + two aggregates — the
+    explode fan-out is bounded by total corpus chars and combines map-side,
+    so the shuffle carries <= |buckets| x |alphabet| rows, not one row per
+    character."""
+    c = F.col(col)
+    lens = df.groupBy(group_by).agg(
+        F.count(c).alias("cnt"),
+        F.min(F.length(c)).alias("min_len"),
+        F.max(F.length(c)).alias("max_len"),
+        F.round(F.avg(F.length(c)), 4).alias("avg_len"),
+    )
+    chars = (
+        df.select(group_by, F.explode(F.split(c, "")).alias("ch"))
+        .filter(F.col("ch") != "")
+        .groupBy(group_by, "ch")
+        .agg(F.count("*").alias("n"))
+    )
+    # entropy = -sum(p * log2(p)); p needs the per-group total, so carry it
+    # via a second tiny aggregate joined back (one row per bucket)
+    totals = chars.groupBy(group_by).agg(F.sum("n").alias("tot"))
+    ent = (
+        chars.join(F.broadcast(totals), group_by)
+        .groupBy(group_by)
+        .agg(
+            F.round(
+                -F.sum((F.col("n") / F.col("tot")) * F.log2(F.col("n") / F.col("tot"))),
+                4,
+            ).alias("entropy")
+        )
+    )
+    return lens.join(ent, group_by).orderBy(group_by)
+
+
+def top_metrics_agg(
+    df: DataFrame, group_by: str, sort_col: str, metric_col: str, tiebreak: str
+) -> DataFrame:
+    """ES `top_metrics` [public: ES top_metrics docs]: per bucket, the
+    metric value taken from the doc with the LARGEST sort value (size=1).
+    Implemented as a struct-max hash aggregate (sort_col, tiebreak,
+    metric) — partial aggregation combines map-side, so the shuffle carries
+    one row per (partition, bucket) instead of every event; no window, no
+    sort. Tiebreak column pins determinism when sort values collide."""
+    cand = F.struct(
+        F.col(sort_col).alias("s"),
+        F.col(tiebreak).alias("t"),
+        F.col(metric_col).alias("m"),
+    )
+    best = df.groupBy(group_by).agg(F.max(cand).alias("b"))
+    return best.select(
+        group_by,
+        F.col("b.s").alias("top_sort"),
+        F.round(F.col("b.m"), 4).alias("top_metric"),
+    ).orderBy(group_by)
+
+
+def bucket_sort_agg(
+    df: DataFrame, group_by: str, value_col: str,
+    sort_desc: bool = True, from_: int = 0, size: int = 10,
+) -> DataFrame:
+    """ES `bucket_sort` pipeline aggregation [public]: order the parent
+    terms buckets by a metric, then from/size-truncate the BUCKET LIST
+    (not the docs). One hash aggregate + TakeOrdered; the offset is applied
+    on the already-tiny bucket frame."""
+    aggd = df.groupBy(group_by).agg(F.round(F.sum(value_col), 4).alias("sum_v"))
+    order = [F.col("sum_v").desc() if sort_desc else F.col("sum_v").asc(),
+             F.col(group_by).asc()]
+    ranked = aggd.orderBy(*order).limit(from_ + size)
+    if from_:
+        from pyspark.sql import Window
+
+        w = Window.orderBy(*order)
+        ranked = (
+            ranked.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") > from_)
+            .drop("_rn")
+        )
+    return ranked
+
+
+def max_bucket_agg(df: DataFrame, ts_col: str, unit: str = "month") -> DataFrame:
+    """ES `max_bucket` sibling pipeline aggregation [public]: over a
+    date_histogram, return the bucket holding the maximum doc_count. ES
+    returns ALL tied keys; this engine pins the earliest tied bucket
+    (doc_count DESC, bucket ASC, LIMIT 1) for a deterministic single-row
+    answer — documented divergence. The histogram is one hash aggregate;
+    the argmax is a 1-row TakeOrdered over the tiny bucket frame."""
+    hist = df.groupBy(F.date_trunc(unit, F.col(ts_col)).alias("bucket")).agg(
+        F.count("*").alias("doc_count")
+    )
+    return hist.orderBy(F.col("doc_count").desc(), F.col("bucket").asc()).limit(1)

@@ -3438,6 +3438,310 @@ FROM posq ORDER BY score DESC, doc_id ASC LIMIT 10
 )
 
 
+# --- span / multi-position queries and score-shaping rescores ---------------
+# (ES span_near, match_phrase_prefix, distance_feature, script_score, pinned
+# [public ES query DSL]; engine/search.py implementations)
+
+_TOK_POS_CTE = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+)
+"""
+
+
+def _q_span_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES span_near: 'table' within slop=3 of 'scan', any order
+    (search.span_near_filter — array expressions over C2 position lists)."""
+    from .search import span_near_filter
+
+    tfp = _tf_positions(spark, sf_dir)
+    return (
+        span_near_filter(tfp, "table", "scan", slop=3)
+        .select("doc_id", F.col("min_gap").cast("long").alias("min_gap"))
+        .orderBy("doc_id")
+    )
+
+
+register(
+    "search_span_near",
+    _q_span_near,
+    _TOK_POS_CTE
+    + """
+SELECT a.doc_id, CAST(min(abs(b.pos - a.pos) - 1) AS BIGINT) AS min_gap
+FROM tok a JOIN tok b ON a.doc_id = b.doc_id
+WHERE a.term = 'table' AND b.term = 'scan'
+GROUP BY a.doc_id
+HAVING min(abs(b.pos - a.pos) - 1) <= 3
+ORDER BY a.doc_id
+""",
+)
+
+
+def _q_match_phrase_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES match_phrase_prefix: 'hash' immediately followed by any term
+    starting with 'sc' (search.match_phrase_prefix_filter — LIKE expansion
+    on the tf scan, no dictionary collect)."""
+    from .search import match_phrase_prefix_filter
+
+    tfp = _tf_positions(spark, sf_dir)
+    return match_phrase_prefix_filter(tfp, "hash", "sc").orderBy("doc_id")
+
+
+register(
+    "search_match_phrase_prefix",
+    _q_match_phrase_prefix,
+    _TOK_POS_CTE
+    + """
+SELECT DISTINCT a.doc_id
+FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos - a.pos = 1
+WHERE a.term = 'hash' AND b.term LIKE 'sc%'
+ORDER BY a.doc_id
+""",
+)
+
+
+_SCORED_CTE = (
+    _TREE_TERMS_CTE(k1=BM25_K1, b=BM25_B, terms="'table','join'")
+    + """
+, scored AS (SELECT doc_id, sum(partial) AS score FROM p GROUP BY doc_id)
+"""
+)
+
+
+def _q_distance_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES distance_feature in bool.should: relevance('table join' OR) +
+    2.0 * 10 / (10 + |n_chars - 120|) — numeric-proximity boost with the
+    ES-pinned saturation shape (search.distance_feature_rescore)."""
+    from .search import distance_feature_rescore
+
+    tf, ds, ts, n, avgdl = _built_corpus(spark, sf_dir)
+    from .search import scored_docs
+
+    scored = scored_docs(tf, ds, ts, n, avgdl, "table join", mode="or")
+    docs = read_fixture(spark, sf_dir, "documents")
+    return distance_feature_rescore(
+        scored, docs, "n_chars", origin=120.0, pivot=10.0, boost=2.0, k=10
+    )
+
+
+register(
+    "search_distance_feature",
+    _q_distance_feature,
+    _SCORED_CTE
+    + """
+SELECT s.doc_id,
+       round(s.score + 2.0 * 10.0 / (10.0 + abs(d.n_chars - 120.0)), 4) AS score
+FROM scored s JOIN documents d USING (doc_id)
+ORDER BY score DESC, doc_id ASC LIMIT 10
+""",
+)
+
+
+def _q_script_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES script_score: _score * ln(1 + n_chars) — the script compiled as a
+    whole-stage-codegen Column instead of per-hit Painless
+    (search.script_score_rescore)."""
+    from .search import script_score_rescore, scored_docs
+
+    tf, ds, ts, n, avgdl = _built_corpus(spark, sf_dir)
+    scored = scored_docs(tf, ds, ts, n, avgdl, "table join", mode="or")
+    docs = read_fixture(spark, sf_dir, "documents")
+    script = F.col("score") * F.log1p(F.col("n_chars"))
+    return script_score_rescore(scored, docs, ["n_chars"], script, k=10)
+
+
+register(
+    "search_script_score",
+    _q_script_score,
+    _SCORED_CTE
+    + """
+SELECT s.doc_id, round(s.score * ln(1 + d.n_chars), 4) AS score
+FROM scored s JOIN documents d USING (doc_id)
+ORDER BY score DESC, doc_id ASC LIMIT 10
+""",
+)
+
+
+def _q_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES pinned query: docs [42, 7, 99] rank first in that order (descending
+    sentinel scores, the ES implementation trick), then organic
+    'window stream' hits minus the pinned ids (search.pinned_topk)."""
+    from .search import pinned_topk, scored_docs
+
+    tf, ds, ts, n, avgdl = _built_corpus(spark, sf_dir)
+    scored = scored_docs(tf, ds, ts, n, avgdl, "window stream", mode="or")
+    return pinned_topk(scored, [42, 7, 99], k=10)
+
+
+register(
+    "search_pinned",
+    _q_pinned,
+    _TREE_TERMS_CTE(k1=BM25_K1, b=BM25_B, terms="'window','stream'")
+    + """
+, organic AS (SELECT doc_id, round(sum(partial), 4) AS score FROM p
+              WHERE doc_id NOT IN (42, 7, 99) GROUP BY doc_id)
+, pinned AS (SELECT * FROM (VALUES (CAST(42 AS BIGINT), 1000000000.0),
+                                   (CAST(7 AS BIGINT), 999999999.0),
+                                   (CAST(99 AS BIGINT), 999999998.0)) v(doc_id, score))
+SELECT doc_id, score FROM (SELECT * FROM pinned UNION ALL SELECT * FROM organic)
+ORDER BY score DESC, doc_id ASC LIMIT 10
+""",
+)
+
+
+# --- metric/pipeline aggregation tail (ES boxplot, MAD, string_stats,
+# top_metrics, bucket_sort, max_bucket [public ES aggs docs]) ----------------
+
+
+def _q_boxplot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES boxplot agg over events.value per event_type (aggs.boxplot_agg)."""
+    from .aggs import boxplot_agg
+
+    return boxplot_agg(
+        read_fixture(spark, sf_dir, "events"), "value", "event_type"
+    )
+
+
+register(
+    "agg_boxplot",
+    _q_boxplot,
+    """
+SELECT event_type,
+       round(min(value), 4) AS min_v,
+       round(quantile_cont(value, 0.25), 4) AS q1,
+       round(quantile_cont(value, 0.5), 4) AS q2,
+       round(quantile_cont(value, 0.75), 4) AS q3,
+       round(max(value), 4) AS max_v
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+)
+
+
+def _q_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES median_absolute_deviation over events.value per event_type
+    (aggs.median_absolute_deviation_agg — two passes, tiny median frame
+    broadcast back)."""
+    from .aggs import median_absolute_deviation_agg
+
+    return median_absolute_deviation_agg(
+        read_fixture(spark, sf_dir, "events"), "value", "event_type"
+    )
+
+
+register(
+    "agg_mad",
+    _q_mad,
+    """
+WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS m
+             FROM events GROUP BY event_type)
+SELECT e.event_type,
+       round(quantile_cont(abs(e.value - med.m), 0.5), 4) AS mad
+FROM events e JOIN med USING (event_type)
+GROUP BY e.event_type ORDER BY e.event_type
+""",
+)
+
+
+def _q_string_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES string_stats over documents.text per lang: length stats + Shannon
+    entropy of the character distribution (aggs.string_stats_agg — the char
+    explode combines map-side, shuffle carries |buckets|x|alphabet| rows)."""
+    from .aggs import string_stats_agg
+
+    return string_stats_agg(
+        read_fixture(spark, sf_dir, "documents"), "text", "lang"
+    )
+
+
+register(
+    "agg_string_stats",
+    _q_string_stats,
+    """
+WITH lens AS (
+  SELECT lang, count(text) AS cnt, min(length(text)) AS min_len,
+         max(length(text)) AS max_len, round(avg(length(text)), 4) AS avg_len
+  FROM documents GROUP BY lang),
+chars AS (
+  SELECT lang, unnest(string_split(text, '')) AS ch FROM documents),
+ent AS (
+  SELECT lang, round(entropy(ch), 4) AS entropy
+  FROM chars WHERE ch <> '' GROUP BY lang)
+SELECT lens.*, ent.entropy FROM lens JOIN ent USING (lang) ORDER BY lang
+""",
+)
+
+
+def _q_top_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES top_metrics: per event_type, the value of the LATEST event
+    (sort=ts desc, size=1), event_id tiebreak (aggs.top_metrics_agg —
+    struct-max hash aggregate, no window)."""
+    from .aggs import top_metrics_agg
+
+    return top_metrics_agg(
+        read_fixture(spark, sf_dir, "events"),
+        "event_type", sort_col="ts", metric_col="value", tiebreak="event_id",
+    )
+
+
+register(
+    "agg_top_metrics",
+    _q_top_metrics,
+    """
+SELECT event_type, ts AS top_sort, round(value, 4) AS top_metric
+FROM (SELECT event_type, ts, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+WHERE rn = 1 ORDER BY event_type
+""",
+)
+
+
+def _q_bucket_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES bucket_sort pipeline: event_type terms buckets ordered by
+    sum(value) desc, from=1 size=3 — truncates the BUCKET list
+    (aggs.bucket_sort_agg)."""
+    from .aggs import bucket_sort_agg
+
+    return bucket_sort_agg(
+        read_fixture(spark, sf_dir, "events"),
+        "event_type", "value", sort_desc=True, from_=1, size=3,
+    )
+
+
+register(
+    "agg_bucket_sort",
+    _q_bucket_sort,
+    """
+SELECT event_type, round(sum(value), 4) AS sum_v
+FROM events GROUP BY event_type
+ORDER BY sum_v DESC, event_type ASC LIMIT 3 OFFSET 1
+""",
+)
+
+
+def _q_max_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES max_bucket sibling pipeline over a daily date_histogram: the
+    bucket with the most events; earliest tied bucket pinned
+    (aggs.max_bucket_agg — 1-row TakeOrdered over the bucket frame)."""
+    from .aggs import max_bucket_agg
+
+    return max_bucket_agg(
+        read_fixture(spark, sf_dir, "events"), "ts", unit="day"
+    )
+
+
+register(
+    "agg_max_bucket",
+    _q_max_bucket,
+    """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket, count(*) AS doc_count
+FROM events GROUP BY 1 ORDER BY doc_count DESC, bucket ASC LIMIT 1
+""",
+)
+
 
 # Deliberate contract ordering: CORRECTNESS_r01 recorded exactly the first 50
 # registered queries, so the driver appears to cap its check at 50. The first
@@ -3510,6 +3814,10 @@ _PRIORITY = [
     "rel_set_except", "rel_anti_join",
     "bm25_or", "bm25_must_not", "bm25_stopword", "bm25_prefix",
     "bm25_wildcard", "bm25_fuzzy", "rel_running_sum", "agg_distinct",
+    "search_span_near", "search_match_phrase_prefix",
+    "search_distance_feature", "search_script_score", "search_pinned",
+    "agg_boxplot", "agg_mad", "agg_string_stats", "agg_top_metrics",
+    "agg_bucket_sort", "agg_max_bucket",
     # --- rows-only (no ANSI-SQL twin by nature — xxhash64-based sketches and
     # the stubbed media decode have no DuckDB equivalent; pytest-verified)
     "dedup_minhash_lsh", "dedup_simhash", "text_language_id",

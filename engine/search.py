@@ -334,3 +334,158 @@ def explain_score(
         F.round(tfn, 4).alias("tf_norm"),
         F.round(idf * tfn, 4).alias("partial"),
     )
+
+
+def span_near_filter(
+    tf_with_pos: DataFrame,
+    term_a: str,
+    term_b: str,
+    slop: int,
+    in_order: bool = False,
+) -> DataFrame:
+    """ES/Lucene `span_near` (two-clause form) [public: ES span_near query
+    docs]: match docs where the two terms occur within `slop` intervening
+    positions; in_order=True additionally requires term_a before term_b.
+    Like phrase_filter, the check is a pure array expression over the C2
+    per-doc position lists — the position arrays ride the tf rows, so the
+    only join is doc_id-equi between two term-pruned tf slices (both sides
+    filter-pushed to the scan). Returns (doc_id, min_gap) where min_gap is
+    the smallest qualifying gap, for explain parity."""
+    a = tf_with_pos.filter(F.col("term") == term_a).select(
+        "doc_id", F.col("positions").alias("pa")
+    )
+    b = tf_with_pos.filter(F.col("term") == term_b).select(
+        "doc_id", F.col("positions").alias("pb")
+    )
+    if in_order:
+        gap = lambda p, q: q - p - 1          # noqa: E731  a strictly before b
+        ok = lambda g: (g >= 0) & (g <= F.lit(slop))  # noqa: E731
+    else:
+        gap = lambda p, q: F.abs(q - p) - 1   # noqa: E731
+        ok = lambda g: g <= F.lit(slop)       # noqa: E731  (p != q always: same
+        # token position can't hold two distinct terms)
+    pairs = a.join(b, "doc_id").select(
+        "doc_id",
+        F.array_min(
+            F.flatten(
+                F.transform(
+                    F.col("pa"),
+                    lambda p: F.filter(
+                        F.transform(F.col("pb"), lambda q: gap(p, q)), ok
+                    ),
+                )
+            )
+        ).alias("min_gap"),
+    )
+    return pairs.filter(F.col("min_gap").isNotNull())
+
+
+def match_phrase_prefix_filter(
+    tf_with_pos: DataFrame, first_term: str, prefix: str
+) -> DataFrame:
+    """ES `match_phrase_prefix` (two-position form) [public: ES
+    match_phrase_prefix docs]: docs where `first_term` is immediately
+    followed by ANY vocabulary term starting with `prefix` — the phrase
+    whose last position is a prefix multi-term expansion. The expansion is
+    expressed as a LIKE filter on the tf scan (no dictionary collect); the
+    expanded positions are unioned per doc (flatten over the grouped
+    position lists) before the same adjacency array-expression
+    phrase_filter uses."""
+    a = tf_with_pos.filter(F.col("term") == first_term).select(
+        "doc_id", F.col("positions").alias("pa")
+    )
+    b = (
+        tf_with_pos.filter(F.col("term").startswith(prefix))
+        .groupBy("doc_id")
+        .agg(F.flatten(F.collect_list("positions")).alias("pb"))
+    )
+    return (
+        a.join(b, "doc_id")
+        .filter(
+            F.exists(
+                F.col("pa"),
+                lambda p: F.exists(F.col("pb"), lambda q: q - p == 1),
+            )
+        )
+        .select("doc_id")
+    )
+
+
+def distance_feature_rescore(
+    scored: DataFrame,
+    docs: DataFrame,
+    field: str,
+    origin: float,
+    pivot: float,
+    boost: float,
+    k: int = 10,
+    round_to: int = 4,
+) -> DataFrame:
+    """ES `distance_feature` query in a bool.should [public: ES
+    distance_feature docs]: final score = relevance + boost * pivot /
+    (pivot + |field - origin|) — closer to the origin scores higher, with
+    the ES-pinned saturation shape. The numeric field joins in from the
+    doc table (broadcast the tiny scored side is wrong at web scale — the
+    match set can be huge — so this is a plain equi-join Catalyst/AQE picks
+    the strategy for); arithmetic is pure codegen."""
+    dist = F.abs(F.col(field) - F.lit(float(origin)))
+    feat = F.lit(float(boost)) * F.lit(float(pivot)) / (F.lit(float(pivot)) + dist)
+    return (
+        scored.join(docs.select("doc_id", field), "doc_id")
+        .select(
+            "doc_id",
+            F.round(F.col("score") + feat, round_to).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
+def script_score_rescore(
+    scored: DataFrame,
+    docs: DataFrame,
+    fields: list[str],
+    script: "F.Column",
+    k: int = 10,
+    round_to: int = 4,
+) -> DataFrame:
+    """ES `script_score` query [public: ES script_score docs]: replace the
+    relevance score with an arbitrary expression over `_score` and doc
+    fields. The "script" is a Spark Column expression — compiled into
+    whole-stage codegen instead of interpreted per hit as ES Painless is;
+    same join shape rationale as distance_feature_rescore."""
+    return (
+        scored.join(docs.select("doc_id", *fields), "doc_id")
+        .select("doc_id", F.round(script, round_to).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
+def pinned_topk(
+    scored: DataFrame,
+    pinned_ids: list[int],
+    k: int = 10,
+    round_to: int = 4,
+) -> DataFrame:
+    """ES `pinned` query [public: ES pinned query docs]: the given ids rank
+    first IN THE ORDER GIVEN, then organic hits (pinned ids removed from
+    the organic tail) by relevance. ES implements this with descending
+    huge sentinel scores; same here — pinned doc i gets 1e9 - i, which
+    keeps the output a plain (doc_id, score) frame, totally ordered. The
+    pinned side is a literal-list lookup (tiny, broadcast by construction);
+    the organic side is the normal scored frame minus an isin filter."""
+    spark = scored.sparkSession
+    pinned = spark.createDataFrame(
+        [(int(d), float(1e9 - i)) for i, d in enumerate(pinned_ids)],
+        "doc_id long, score double",
+    )
+    organic = scored.filter(~F.col("doc_id").isin([int(d) for d in pinned_ids]))
+    organic = organic.select(
+        "doc_id", F.round(F.col("score"), round_to).alias("score")
+    )
+    return (
+        pinned.unionByName(organic)
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )

@@ -163,3 +163,77 @@ class TestConnectedComponents:
         )
         rows = connected_components(pairs).collect()
         assert all(r.canonical_id == 1 for r in rows) and len(rows) == 7
+
+
+# --- round-3 batch 2: span_near / match_phrase_prefix / pinned / rescores ---
+
+from engine.search import (  # noqa: E402
+    match_phrase_prefix_filter,
+    pinned_topk,
+    span_near_filter,
+)
+
+
+class TestSpanNear:
+    def test_unordered_matches_both_directions(self, spark):
+        tfp = _tfp(
+            spark,
+            [
+                (1, "a", [0]), (1, "b", [2]),   # gap 1, a before b
+                (2, "b", [0]), (2, "a", [2]),   # gap 1, b before a
+                (3, "a", [0]), (3, "b", [9]),   # gap 8 → out of slop
+            ],
+        )
+        got = {r.doc_id: r.min_gap
+               for r in span_near_filter(tfp, "a", "b", slop=2).collect()}
+        assert got == {1: 1, 2: 1}
+
+    def test_in_order_rejects_reversed(self, spark):
+        tfp = _tfp(
+            spark,
+            [
+                (1, "a", [0]), (1, "b", [2]),   # a before b → match
+                (2, "b", [0]), (2, "a", [2]),   # reversed → no match in_order
+            ],
+        )
+        got = {r.doc_id for r in
+               span_near_filter(tfp, "a", "b", slop=2, in_order=True).collect()}
+        assert got == {1}
+
+    def test_min_gap_is_smallest_qualifying(self, spark):
+        tfp = _tfp(spark, [(1, "a", [0, 10]), (1, "b", [3, 11])])
+        rows = span_near_filter(tfp, "a", "b", slop=5).collect()
+        assert rows[0].min_gap == 0  # 10→11 adjacency beats 0→3 (gap 2)
+
+
+class TestMatchPhrasePrefix:
+    def test_prefix_expansion_union(self, spark):
+        tfp = _tfp(
+            spark,
+            [
+                (1, "x", [0]), (1, "scan", [1]),     # x → sc* adjacent
+                (2, "x", [0]), (2, "schema", [1]),   # different sc* term
+                (3, "x", [0]), (3, "sort", [1]),     # not sc*
+                (4, "scan", [0]), (4, "x", [1]),     # wrong order
+            ],
+        )
+        got = {r.doc_id
+               for r in match_phrase_prefix_filter(tfp, "x", "sc").collect()}
+        assert got == {1, 2}
+
+
+class TestPinned:
+    def test_pinned_rank_first_in_given_order_then_organic(self, spark):
+        scored = spark.createDataFrame(
+            [(1, 5.0), (2, 4.0), (3, 3.0), (4, 2.0)],
+            "doc_id long, score double",
+        )
+        rows = pinned_topk(scored, [3, 2], k=4).collect()
+        assert [r.doc_id for r in rows] == [3, 2, 1, 4]
+        # pinned ids removed from the organic tail (no duplicates)
+        assert len({r.doc_id for r in rows}) == 4
+
+    def test_pinned_id_outside_match_set_still_returned(self, spark):
+        scored = spark.createDataFrame([(1, 5.0)], "doc_id long, score double")
+        rows = pinned_topk(scored, [99], k=3).collect()
+        assert [r.doc_id for r in rows] == [99, 1]

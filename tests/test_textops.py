@@ -74,3 +74,57 @@ def test_rolling_hash_deterministic_and_order_sensitive(spark):
     out = {r["doc_id"]: r["h"] for r in df.select("doc_id", rolling_hash_udf("text").alias("h")).collect()}
     assert out[1] == out[2]
     assert out[1] != out[3]
+
+
+# --- round-3 batch 2: aggregation tail (boxplot / MAD / string_stats /
+# top_metrics / bucket_sort / max_bucket) — branch coverage the 1-config
+# driver-contract queries can't reach.
+
+from engine.aggs import (  # noqa: E402
+    bucket_sort_agg,
+    median_absolute_deviation_agg,
+    string_stats_agg,
+    top_metrics_agg,
+)
+
+
+def test_mad_known_values(spark):
+    # values 1..5: median 3, |x-3| = [2,1,0,1,2], median = 1
+    df = spark.createDataFrame(
+        [("g", float(v)) for v in range(1, 6)], "grp string, v double"
+    )
+    rows = median_absolute_deviation_agg(df, "v", "grp").collect()
+    assert rows[0].mad == 1.0
+
+
+def test_string_stats_entropy_known(spark):
+    # "aab" → p(a)=2/3, p(b)=1/3 → H = 0.9183 bits
+    df = spark.createDataFrame([("g", "aab")], "grp string, s string")
+    r = string_stats_agg(df, "s", "grp").collect()[0]
+    assert (r.cnt, r.min_len, r.max_len, r.avg_len) == (1, 3, 3, 3.0)
+    assert abs(r.entropy - 0.9183) < 1e-4
+
+
+def test_top_metrics_tiebreak_on_second_key(spark):
+    df = spark.createDataFrame(
+        [("g", 10, 1, 100.0), ("g", 10, 2, 200.0), ("g", 9, 3, 300.0)],
+        "grp string, s long, t long, m double",
+    )
+    r = top_metrics_agg(df, "grp", "s", "m", "t").collect()[0]
+    assert (r.top_sort, r.top_metric) == (10, 200.0)  # tie on s → larger t
+
+
+def test_bucket_sort_from_zero_skips_window(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("b", 3.0), ("c", 2.0)], "grp string, v double"
+    )
+    rows = bucket_sort_agg(df, "grp", "v", from_=0, size=2).collect()
+    assert [(r.grp, r.sum_v) for r in rows] == [("b", 3.0), ("c", 2.0)]
+
+
+def test_bucket_sort_offset(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("b", 3.0), ("c", 2.0)], "grp string, v double"
+    )
+    rows = bucket_sort_agg(df, "grp", "v", from_=1, size=2).collect()
+    assert [r.grp for r in rows] == ["c", "a"]
