@@ -79,7 +79,17 @@ class Boosting:
     negative_boost: float = 0.5
 
 
-Node = Term | Bool | DisMax | ConstantScore | Boosting
+@dataclass(frozen=True)
+class DocSet:
+    """Opaque doc-id membership leaf, resolved from the `docsets` dict passed
+    to score_tree — for predicates the per-term partial frame can't express
+    (phrase adjacency from simple_query_string). Scores 0.0 (filter-context
+    semantics); exact path only (is_pure_bool → False keeps it off WAND)."""
+
+    name: str
+
+
+Node = Term | Bool | DisMax | ConstantScore | Boosting | DocSet
 
 
 def term(s: str) -> Term:
@@ -118,6 +128,8 @@ def collect_leaves(node: Node, negated: bool = False) -> tuple[set[str], set[str
             # the negative side only scales score — its terms must be
             # readable (a cursor exists) but never drive candidates
             add(n.negative, True)
+        elif isinstance(n, DocSet):
+            pass  # membership leaf: no terms to read
         else:
             raise TypeError(f"unknown query node: {n!r}")
 
@@ -225,17 +237,24 @@ def eval_tree(
 # DataFrame composition (exact path)
 
 
-def _score_node(parts: DataFrame, node: Node) -> DataFrame:
+def _score_node(
+    parts: DataFrame, node: Node, docsets: dict[str, DataFrame] | None = None
+) -> DataFrame:
     """(doc_id, score) — one row per doc matching `node`. `parts` is the
-    per-(doc_id, term, partial) frame covering every leaf term."""
+    per-(doc_id, term, partial) frame covering every leaf term; `docsets`
+    resolves DocSet leaves to doc-id frames."""
     if isinstance(node, Term):
         return parts.filter(F.col("term") == node.term).select(
             "doc_id", F.col("partial").alias("score")
         )
+    if isinstance(node, DocSet):
+        if not docsets or node.name not in docsets:
+            raise ValueError(f"unresolved DocSet leaf: {node.name!r}")
+        return docsets[node.name].select("doc_id", F.lit(0.0).alias("score"))
     if isinstance(node, Bool):
         base: DataFrame | None = None
         for i, c in enumerate(node.must):
-            f = _score_node(parts, c).select("doc_id", F.col("score").alias(f"_m{i}"))
+            f = _score_node(parts, c, docsets).select("doc_id", F.col("score").alias(f"_m{i}"))
             base = f if base is None else base.join(f, "doc_id")
         base_score = (
             sum(F.col(f"_m{i}") for i in range(len(node.must)))
@@ -243,13 +262,13 @@ def _score_node(parts: DataFrame, node: Node) -> DataFrame:
             else F.lit(0.0)
         )
         for c in node.filter:
-            base_f = _score_node(parts, c).select("doc_id")
+            base_f = _score_node(parts, c, docsets).select("doc_id")
             base = base_f if base is None else base.join(base_f, "doc_id", "left_semi")
         m = node.effective_min_should()
         if node.should:
             sh = None
             for c in node.should:
-                f = _score_node(parts, c)
+                f = _score_node(parts, c, docsets)
                 sh = f if sh is None else sh.unionByName(f)
             sh_agg = sh.groupBy("doc_id").agg(
                 F.sum("score").alias("_ss"), F.count("*").alias("_ns")
@@ -271,12 +290,12 @@ def _score_node(parts: DataFrame, node: Node) -> DataFrame:
                 raise ValueError("Bool with no positive clauses cannot match")
             out = base.select("doc_id", base_score.alias("score"))
         for c in node.must_not:
-            out = out.join(_score_node(parts, c).select("doc_id"), "doc_id", "left_anti")
+            out = out.join(_score_node(parts, c, docsets).select("doc_id"), "doc_id", "left_anti")
         return out
     if isinstance(node, DisMax):
         u = None
         for c in node.clauses:
-            f = _score_node(parts, c)
+            f = _score_node(parts, c, docsets)
             u = f if u is None else u.unionByName(f)
         return u.groupBy("doc_id").agg(
             (
@@ -285,12 +304,12 @@ def _score_node(parts: DataFrame, node: Node) -> DataFrame:
             ).alias("score")
         )
     if isinstance(node, ConstantScore):
-        return _score_node(parts, node.filter).select(
+        return _score_node(parts, node.filter, docsets).select(
             "doc_id", F.lit(float(node.boost)).alias("score")
         )
     if isinstance(node, Boosting):
-        p = _score_node(parts, node.positive)
-        nm = _score_node(parts, node.negative).select(
+        p = _score_node(parts, node.positive, docsets)
+        nm = _score_node(parts, node.negative, docsets).select(
             "doc_id", F.lit(1).alias("_neg")
         )
         return p.join(nm, "doc_id", "left").select(
@@ -311,16 +330,18 @@ def score_tree(
     n_docs: int,
     avgdl: float,
     tree: Node,
+    docsets: dict[str, DataFrame] | None = None,
 ) -> DataFrame:
     """Exact-path tree scorer → (doc_id, score), one row per matching doc.
     ONE pruned tf scan covers every leaf term (the per-term partial frame is
-    shared across all branches); each tree node adds a join/aggregate."""
+    shared across all branches); each tree node adds a join/aggregate.
+    docsets resolves DocSet membership leaves (phrase adjacency sets)."""
     pos, neg = collect_leaves(tree)
     terms = sorted(pos | neg)
     if not terms:
         return tf.sparkSession.createDataFrame([], "doc_id long, score double")
     parts = score_terms(tf, doc_stats, term_stats, n_docs, avgdl, terms)
-    return _score_node(parts, tree)
+    return _score_node(parts, tree, docsets)
 
 
 def tree_search(
@@ -332,10 +353,11 @@ def tree_search(
     tree: Node,
     k: int = 10,
     round_to: int | None = 4,
+    docsets: dict[str, DataFrame] | None = None,
 ) -> DataFrame:
     """Exact top-k under a query tree — the tree analog of search.exact_search
     (score DESC, doc_id ASC; rounded for driver-hash stability)."""
-    scored = score_tree(tf, doc_stats, term_stats, n_docs, avgdl, tree)
+    scored = score_tree(tf, doc_stats, term_stats, n_docs, avgdl, tree, docsets)
     score_col = (
         F.round(F.col("score"), round_to) if round_to is not None else F.col("score")
     )

@@ -1,0 +1,328 @@
+"""ES `simple_query_string` parser (SURVEY.md §2.D: D43) — the user-facing
+query grammar compiled onto the existing Bool tree (engine/boolquery.py)
+[public: ES simple_query_string docs; Lucene SimpleQueryParser].
+
+Supported syntax (the Lucene SimpleQueryParser core):
+
+  term            analyzed word (the index analyzer, D1)
+  "a b"           phrase — all terms must match AND be strictly adjacent
+  pre*            prefix — dictionary expansion, scored as a disjunction
+  +               AND (binds tighter than |)
+  |               OR
+  -atom           negation of the following atom (must_not in its group)
+  ( ... )         grouping
+  whitespace      the default operator (default 'or', ES default)
+
+Pinned divergences (documented, deterministic):
+  * prefix expansion caps at `max_expansions` vocabulary terms in ascending
+    term order (ES caps at 50 in an index-dependent order);
+  * a negated atom inside an OR group attaches as the group's must_not
+    (Lucene wraps it in SHOULD(NOT(x)), which can match the whole corpus —
+    never useful, never produced by real clients);
+  * `~N` fuzziness/slop suffixes are not part of this subset (fuzzy and
+    sloppy-phrase exist as first-class queries elsewhere in the engine).
+
+The compiled tree runs on the exact path (score_tree): phrases carry a
+position predicate the per-term partial frame can't express, so they ride a
+DocSet filter leaf resolved against `search.phrase_filter` doc sets. Pure
+term/bool trees (no phrase) remain WAND-eligible via boolquery.is_pure_bool.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .boolquery import Bool, DocSet, Node, Term, tree_search
+from .tokenizer import tokenize
+
+# ---------------------------------------------------------------------------
+# lexer
+
+_TOKEN_RE = re.compile(
+    r"""\s*(?:
+        (?P<phrase>"[^"]*")
+      | (?P<lparen>\()
+      | (?P<rparen>\))
+      | (?P<pipe>\|)
+      | (?P<plus>\+)
+      | (?P<minus>-)
+      | (?P<word>[^\s()|+\-"]+)
+    )""",
+    re.VERBOSE,
+)
+
+
+def _lex(q: str) -> list[tuple[str, str]]:
+    out, i = [], 0
+    while i < len(q):
+        m = _TOKEN_RE.match(q, i)
+        if not m or m.end() == i:
+            if q[i:].strip():
+                raise ValueError(f"simple_query_string: cannot lex at {q[i:]!r}")
+            break
+        i = m.end()
+        kind = m.lastgroup
+        out.append((kind, m.group(kind)))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# parser AST (pre-analysis; compiled to boolquery nodes afterwards)
+
+
+@dataclass(frozen=True)
+class _Word:
+    text: str
+
+
+@dataclass(frozen=True)
+class _Phrase:
+    text: str
+
+
+@dataclass(frozen=True)
+class _Prefix:
+    prefix: str
+
+
+@dataclass(frozen=True)
+class _Group:
+    node: "object"
+
+
+@dataclass(frozen=True)
+class _Neg:
+    atom: "object"
+
+
+@dataclass(frozen=True)
+class _Op:
+    """n-ary operator node: op in {'and', 'or'}, operands parse-order."""
+
+    op: str
+    operands: tuple
+
+
+class _Parser:
+    """Precedence climbing: OR < AND; whitespace juxtaposition inserts the
+    default operator between adjacent operands."""
+
+    def __init__(self, tokens: list[tuple[str, str]], default_operator: str):
+        if default_operator not in ("or", "and"):
+            raise ValueError(f"default_operator must be or/and: {default_operator}")
+        self.toks = tokens
+        self.pos = 0
+        self.default = default_operator
+
+    def peek(self):
+        return self.toks[self.pos] if self.pos < len(self.toks) else (None, None)
+
+    def next(self):
+        t = self.peek()
+        self.pos += 1
+        return t
+
+    def parse(self):
+        node = self.or_expr()
+        if self.peek()[0] is not None:
+            raise ValueError(f"unexpected token {self.peek()!r}")
+        return node
+
+    def or_expr(self):
+        ops = [self.and_expr()]
+        while True:
+            kind, _ = self.peek()
+            if kind == "pipe":
+                self.next()
+                ops.append(self.and_expr())
+            elif self.default == "or" and kind in (
+                "phrase", "lparen", "minus", "word",
+            ):
+                ops.append(self.and_expr())  # juxtaposition = default OR
+            else:
+                break
+        return ops[0] if len(ops) == 1 else _Op("or", tuple(ops))
+
+    def and_expr(self):
+        ops = [self.atom()]
+        while True:
+            kind, _ = self.peek()
+            if kind == "plus":
+                self.next()
+                ops.append(self.atom())
+            elif self.default == "and" and kind in (
+                "phrase", "lparen", "minus", "word",
+            ):
+                ops.append(self.atom())  # juxtaposition = default AND
+            else:
+                break
+        return ops[0] if len(ops) == 1 else _Op("and", tuple(ops))
+
+    def atom(self):
+        kind, text = self.next()
+        if kind == "minus":
+            return _Neg(self.atom())
+        if kind == "phrase":
+            return _Phrase(text[1:-1])
+        if kind == "word":
+            if text.endswith("*") and len(text) > 1:
+                return _Prefix(text[:-1])
+            return _Word(text)
+        if kind == "lparen":
+            inner = self.or_expr()
+            if self.next()[0] != "rparen":
+                raise ValueError("unbalanced parenthesis")
+            return _Group(inner)
+        raise ValueError(f"unexpected token {(kind, text)!r}")
+
+
+def parse_simple_query_string(q: str, default_operator: str = "or"):
+    """Query string → parser AST (compile with `compile_tree`)."""
+    toks = _lex(q)
+    if not toks:
+        raise ValueError("empty simple_query_string")
+    return _Parser(toks, default_operator).parse()
+
+
+# ---------------------------------------------------------------------------
+# compilation to boolquery nodes
+
+
+class _Compiler:
+    """AST → boolquery Node. Phrases become Bool(must=terms,
+    filter=(DocSet,)) with the adjacency doc set registered in
+    self.phrases; prefixes become a should-disjunction over the expanded
+    vocabulary (the ES multi-term rewrite)."""
+
+    def __init__(self, expand, default_operator: str):
+        self.expand = expand  # prefix -> list[str] (bounded, deterministic)
+        self.default = default_operator
+        self.phrases: dict[str, list[str]] = {}  # DocSet name -> terms
+
+    def compile(self, ast) -> Node:
+        node = self._node(ast)
+        if node is None:
+            raise ValueError("query analyzes to no positive clauses")
+        if isinstance(node, _NegMark):
+            raise ValueError("pure-negative simple_query_string cannot match")
+        return node
+
+    def _node(self, ast):
+        if isinstance(ast, _Word):
+            toks = tokenize(ast.text)
+            if not toks:
+                return None
+            if len(toks) == 1:
+                return Term(toks[0])
+            # the analyzer split one word into several tokens: combine with
+            # the default operator (the ES per-field analysis behavior)
+            parts = tuple(Term(t) for t in toks)
+            return (
+                Bool(must=parts)
+                if self.default == "and"
+                else Bool(should=parts, min_should=1)
+            )
+        if isinstance(ast, _Phrase):
+            toks = tokenize(ast.text)
+            if not toks:
+                return None
+            if len(toks) == 1:
+                return Term(toks[0])
+            name = f"phrase_{len(self.phrases)}"
+            self.phrases[name] = toks
+            return Bool(must=tuple(Term(t) for t in toks), filter=(DocSet(name),))
+        if isinstance(ast, _Prefix):
+            toks = tokenize(ast.prefix)
+            if len(toks) != 1:
+                raise ValueError(f"prefix must analyze to one token: {ast.prefix!r}")
+            expanded = self.expand(toks[0])
+            if not expanded:
+                return None
+            if len(expanded) == 1:
+                return Term(expanded[0])
+            return Bool(should=tuple(Term(t) for t in expanded), min_should=1)
+        if isinstance(ast, _Group):
+            return self._node(ast.node)
+        if isinstance(ast, _Neg):
+            inner = self._node(ast.atom)
+            return None if inner is None else _NegMark(inner)
+        if isinstance(ast, _Op):
+            pos, neg = [], []
+            for o in ast.operands:
+                n = self._node(o)
+                if n is None:
+                    continue
+                (neg if isinstance(n, _NegMark) else pos).append(
+                    n.node if isinstance(n, _NegMark) else n
+                )
+            if not pos:
+                return None if not neg else _NegMark(neg[0])
+            if ast.op == "and":
+                return Bool(must=tuple(pos), must_not=tuple(neg))
+            return Bool(should=tuple(pos), must_not=tuple(neg), min_should=1)
+        raise TypeError(f"unknown AST node {ast!r}")
+
+
+@dataclass(frozen=True)
+class _NegMark:
+    """Wrapper marking a compiled subtree as negated; absorbed into the
+    enclosing group's must_not."""
+
+    node: Node
+
+
+def dictionary_expand(
+    term_stats: DataFrame, prefix: str, max_expansions: int = 50
+) -> list[str]:
+    """Bounded vocabulary expansion for a prefix — ascending term order,
+    capped (pinned-deterministic analog of the ES max_expansions=50 rewrite).
+    The dictionary seek is a filtered scan returning ≤ max_expansions rows —
+    the same bounded driver-side lookup shape as the term-dict seek (D2)."""
+    rows = (
+        term_stats.filter(F.col("term").startswith(prefix))
+        .select("term")
+        .orderBy("term")
+        .limit(max_expansions)
+        .collect()
+    )
+    return [r.term for r in rows]
+
+
+def qs_search(
+    tf: DataFrame,
+    doc_stats: DataFrame,
+    term_stats: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    query: str,
+    tf_positions: DataFrame | None = None,
+    k: int = 10,
+    default_operator: str = "or",
+    max_expansions: int = 50,
+    round_to: int | None = 4,
+) -> DataFrame:
+    """Parse + compile + score a simple_query_string → top-k (doc_id, score).
+
+    tf_positions is only required when the query contains a multi-term
+    phrase (the adjacency DocSet needs position lists)."""
+    from .search import phrase_filter
+
+    ast = parse_simple_query_string(query, default_operator)
+    comp = _Compiler(
+        lambda p: dictionary_expand(term_stats, p, max_expansions),
+        default_operator,
+    )
+    tree = comp.compile(ast)
+    docsets = {}
+    for name, terms in comp.phrases.items():
+        if tf_positions is None:
+            raise ValueError("phrase query requires tf_positions")
+        docsets[name] = phrase_filter(tf_positions, terms, slop=0).select("doc_id")
+    return tree_search(
+        tf, doc_stats, term_stats, n_docs, avgdl, tree,
+        k=k, round_to=round_to, docsets=docsets or None,
+    )

@@ -3591,6 +3591,78 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
 )
 
 
+# --- simple_query_string (user-facing query grammar → Bool tree) ------------
+
+
+def _q_query_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES simple_query_string: '"sort merge" | (table + join) -dup' — phrase
+    OR and-group, dup excluded (querystring.qs_search: lexer → precedence
+    parser → boolquery tree; the phrase rides a DocSet adjacency filter)."""
+    from .querystring import qs_search
+
+    tf, ds, ts, n, avgdl = _built_corpus(spark, sf_dir)
+    return qs_search(
+        tf, ds, ts, n, avgdl,
+        '"sort merge" | (table + join) -dup',
+        tf_positions=_tf_positions(spark, sf_dir), k=10,
+    )
+
+
+register(
+    "search_query_string",
+    _q_query_string,
+    _TREE_TERMS_CTE(k1=BM25_K1, b=BM25_B,
+                    terms="'sort','merge','table','join','dup'")
+    + """
+, ph AS (SELECT a.doc_id, a.partial + b.partial AS s
+         FROM (SELECT doc_id, partial FROM p WHERE term = 'sort') a
+         JOIN (SELECT doc_id, partial FROM p WHERE term = 'merge') b USING (doc_id)
+         JOIN documents d ON d.doc_id = a.doc_id
+         WHERE ' ' || d.text || ' ' LIKE '% sort merge %')
+, ag AS (SELECT a.doc_id, a.partial + b.partial AS s
+         FROM (SELECT doc_id, partial FROM p WHERE term = 'table') a
+         JOIN (SELECT doc_id, partial FROM p WHERE term = 'join') b USING (doc_id))
+, u AS (SELECT * FROM ph UNION ALL SELECT * FROM ag)
+SELECT doc_id, round(sum(s), 4) AS score FROM u
+WHERE doc_id NOT IN (SELECT doc_id FROM p WHERE term = 'dup')
+GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 10
+""",
+)
+
+
+def _q_qs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """simple_query_string prefix: 's* + table' — the prefix expands over the
+    vocabulary (ascending-term cap, ES max_expansions analog) into a
+    should-disjunction ANDed with 'table'."""
+    from .querystring import qs_search
+
+    tf, ds, ts, n, avgdl = _built_corpus(spark, sf_dir)
+    return qs_search(tf, ds, ts, n, avgdl, "s* + table", k=10)
+
+
+register(
+    "search_qs_prefix",
+    _q_qs_prefix,
+    """
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+p AS (SELECT tf.doc_id, tf.term,
+        ln(1 + (stats.n_docs - dfc.df + 0.5) / (dfc.df + 0.5))
+        * tf.tf / (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / stats.avgdl)) AS partial
+      FROM tf JOIN dfc USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+      WHERE tf.term LIKE 's%' OR tf.term = 'table'),
+pre AS (SELECT doc_id, sum(partial) AS s FROM p WHERE term LIKE 's%' GROUP BY doc_id),
+t AS (SELECT doc_id, partial AS s FROM p WHERE term = 'table')
+SELECT t.doc_id, round(pre.s + t.s, 4) AS score
+FROM pre JOIN t USING (doc_id)
+ORDER BY score DESC, doc_id ASC LIMIT 10
+""".format(k1=BM25_K1, b=BM25_B),
+)
+
+
 # --- metric/pipeline aggregation tail (ES boxplot, MAD, string_stats,
 # top_metrics, bucket_sort, max_bucket [public ES aggs docs]) ----------------
 
@@ -3814,6 +3886,7 @@ _PRIORITY = [
     "rel_set_except", "rel_anti_join",
     "bm25_or", "bm25_must_not", "bm25_stopword", "bm25_prefix",
     "bm25_wildcard", "bm25_fuzzy", "rel_running_sum", "agg_distinct",
+    "search_query_string", "search_qs_prefix",
     "search_span_near", "search_match_phrase_prefix",
     "search_distance_feature", "search_script_score", "search_pinned",
     "agg_boxplot", "agg_mad", "agg_string_stats", "agg_top_metrics",
