@@ -1,0 +1,110 @@
+"""Training-sequence packing (LLM-data-pipeline op, SURVEY.md §2 pipeline
+extras): lay the corpus out as one token stream in doc_id order and chop it
+into fixed-length training sequences — the standard "concat and chunk"
+pretraining batcher [public: GPT-2/3 data pipeline descriptions; HuggingFace
+`group_texts`]. The engine computes, per document, where its tokens land:
+
+    tok_start   global offset of the doc's first token
+    pack_first  sequence index holding that first token
+    pack_last   sequence index holding the doc's last token
+
+A doc with pack_first != pack_last straddles a sequence boundary (it will be
+split across training examples); downstream consumers use these spans to
+emit per-pack slices without ever materializing the token stream.
+
+Scale design: the global prefix sum is NOT a single-partition window (that
+serializes the corpus through one task — the N→4N scaling killer). Dense
+doc_ids (refine.assign_doc_ids guarantees 0..N-1) make contiguous RANGE
+buckets a pure function of doc_id, so:
+
+  1. one hash aggregate → per-bucket token totals (tiny: n_buckets rows);
+  2. driver-side running sum over the sorted buckets → per-bucket offset
+     (O(n_buckets) — same bounded-collect shape as refine.assign_doc_ids);
+  3. within-bucket cumulative sum, window partitioned BY BUCKET (parallel).
+
+Every stage is parallel; the only serial work is the n_buckets-row scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+PACK_BUCKETS = 1024
+
+
+def pack_documents(
+    docs: DataFrame,
+    seq_len: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_docs: int | None = None,
+    n_buckets: int = PACK_BUCKETS,
+) -> DataFrame:
+    """Per-doc packing spans for concat-and-chunk at `seq_len` tokens.
+
+    Returns (doc_id, n_tokens, tok_start, pack_first, pack_last), one row per
+    doc, doc_id-ordered semantics (the token stream concatenates in doc_id
+    order). Whitespace token counts — swap the counter expression for a BPE
+    estimate (textops.token_counts) without touching the prefix-sum scheme.
+
+    Requires dense doc_ids 0..N-1 (refine.assign_doc_ids invariant); n_docs
+    defaults to a count() pass."""
+    if n_docs is None:
+        n_docs = docs.count()
+    if n_docs == 0:
+        return docs.sparkSession.createDataFrame(
+            [],
+            "doc_id long, n_tokens long, tok_start long, "
+            "pack_first long, pack_last long",
+        )
+    n_buckets = max(1, min(n_buckets, n_docs))
+    # contiguous ranges: bucket = doc_id * B // N is monotone in doc_id, so
+    # bucket offsets + within-bucket cumsum == the global prefix sum
+    bucket = (F.col(id_col) * n_buckets / F.lit(n_docs)).cast("long")
+    t = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tokens"),
+    ).withColumn("_b", bucket)
+
+    per_bucket = {
+        r["_b"]: r["s"]
+        for r in t.groupBy("_b").agg(F.sum("n_tokens").alias("s")).collect()
+    }
+    offsets, acc = {}, 0
+    for b in sorted(per_bucket):
+        offsets[b] = acc
+        acc += per_bucket[b]
+    off_expr = F.create_map(*[F.lit(x) for b in offsets for x in (b, offsets[b])])
+
+    w = Window.partitionBy("_b").orderBy("doc_id")
+    cum_before = F.coalesce(
+        F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    tok_start = (off_expr[F.col("_b")] + cum_before).cast("long")
+    return (
+        t.withColumn("tok_start", tok_start)
+        .select(
+            "doc_id",
+            "n_tokens",
+            "tok_start",
+            F.floor(F.col("tok_start") / seq_len).cast("long").alias("pack_first"),
+            F.floor((F.col("tok_start") + F.col("n_tokens") - 1) / seq_len)
+            .cast("long")
+            .alias("pack_last"),
+        )
+    )
+
+
+def packing_stats(packed: DataFrame, seq_len: int) -> DataFrame:
+    """One-row summary of a pack_documents frame: total tokens, number of
+    full sequences produced, and how many docs straddle a boundary (the
+    attention-mask fragmentation a packing-aware loader cares about)."""
+    return packed.agg(
+        F.sum("n_tokens").alias("total_tokens"),
+        F.ceil(F.sum("n_tokens") / seq_len).cast("long").alias("n_sequences"),
+        F.sum(
+            (F.col("pack_last") != F.col("pack_first")).cast("long")
+        ).alias("n_straddling"),
+    )

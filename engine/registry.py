@@ -3815,6 +3815,143 @@ FROM events GROUP BY 1 ORDER BY doc_count DESC, bucket ASC LIMIT 1
 )
 
 
+# --- LLM-training-pipeline ops batch 3: sequence packing, benchmark
+# decontamination, deterministic stratified sampling / domain remix ----------
+
+
+def _q_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing at seq_len=64: per-doc token spans
+    over the doc_id-ordered token stream (pack.pack_documents — range-bucket
+    prefix sums, no single-partition window)."""
+    from .pack import pack_documents
+
+    docs = read_fixture(spark, sf_dir, "documents")
+    return pack_documents(docs, seq_len=64).orderBy("doc_id")
+
+
+register(
+    "pack_sequences",
+    _q_pack,
+    """
+WITH t AS (SELECT doc_id,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+           FROM documents),
+c AS (SELECT doc_id, n_tokens,
+        CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+          AS tok_start
+      FROM t)
+SELECT doc_id, n_tokens, tok_start,
+       CAST(floor(tok_start / 64.0) AS BIGINT) AS pack_first,
+       CAST(floor((tok_start + n_tokens - 1) / 64.0) AS BIGINT) AS pack_last
+FROM c ORDER BY doc_id
+""",
+)
+
+
+def _q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs with doc_id % 97 == 0 act as the
+    held-out eval set; every other doc reports how many of its distinct word
+    trigrams appear in the eval set (decontam.ngram_overlap — broadcast
+    benchmark n-gram set, no train-side shuffle before the count agg)."""
+    from .decontam import ngram_overlap
+
+    docs = read_fixture(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    return ngram_overlap(train, bench, n=3).orderBy("doc_id")
+
+
+register(
+    "decontam_ngram_overlap",
+    _q_decontam,
+    """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+                    generate_subscripts(string_split(text, ' '), 1) AS pos
+             FROM documents),
+tri AS (SELECT DISTINCT a.doc_id, a.term || ' ' || b.term || ' ' || c.term AS ng
+        FROM tok a
+        JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+bench AS (SELECT DISTINCT ng FROM tri WHERE doc_id % 97 = 0)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+FROM tri WHERE doc_id % 97 <> 0 AND ng IN (SELECT ng FROM bench)
+GROUP BY doc_id ORDER BY doc_id
+""",
+)
+
+
+_PORTABLE_HASH_SQL = "((doc_id % 1048576) * 2654435761 + 12345) % 4294967296"
+
+
+def _q_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language downsampling (en 50%, de 30%, fr 10%,
+    es 80%, zh 100%) with the SQL-portable hash; returns per-lang kept
+    counts (sample.stratified_sample — pure codegen filter)."""
+    from .sample import portable_hash_expr, stratified_sample
+
+    docs = read_fixture(spark, sf_dir, "documents")
+    kept = stratified_sample(
+        docs, "lang", {"en": 50, "de": 30, "fr": 10, "es": 80, "zh": 100},
+        denom=100, hash_expr=portable_hash_expr(),
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(F.count("*").alias("n_kept"))
+        .orderBy("lang")
+    )
+
+
+register(
+    "sample_stratified",
+    _q_stratified,
+    f"""
+SELECT lang, CAST(count(*) AS BIGINT) AS n_kept FROM documents
+WHERE {_PORTABLE_HASH_SQL} % 100 <
+      CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 30 WHEN 'fr' THEN 10
+                WHEN 'es' THEN 80 WHEN 'zh' THEN 100 ELSE 0 END
+GROUP BY lang ORDER BY lang
+""",
+)
+
+
+def _q_remix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain remix to a uniform 20%-per-language target: waterfilling rates
+    from one tiny count aggregate, then the stratified filter
+    (sample.remix_to_target); returns per-lang kept counts."""
+    from .sample import portable_hash_expr, remix_to_target
+
+    docs = read_fixture(spark, sf_dir, "documents")
+    targets = {s: 0.2 for s in ("en", "de", "fr", "es", "zh")}
+    kept, _ = remix_to_target(
+        docs, "lang", targets, denom=100, hash_expr=portable_hash_expr()
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(F.count("*").alias("n_kept"))
+        .orderBy("lang")
+    )
+
+
+register(
+    "sample_remix",
+    _q_remix,
+    f"""
+WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+tot AS (SELECT sum(n) AS t FROM c),
+sh AS (SELECT lang, n / tot.t AS share FROM c CROSS JOIN tot),
+sc AS (SELECT min(share / 0.2) AS scale FROM sh),
+r AS (SELECT lang,
+             least(100, floor(100 * 0.2 * sc.scale / share + 1e-9)) AS rate
+      FROM sh CROSS JOIN sc)
+SELECT d.lang, CAST(count(*) AS BIGINT) AS n_kept
+FROM documents d JOIN r ON d.lang = r.lang
+WHERE {_PORTABLE_HASH_SQL} % 100 < r.rate
+GROUP BY d.lang ORDER BY d.lang
+""",
+)
+
+
 # Deliberate contract ordering: CORRECTNESS_r01 recorded exactly the first 50
 # registered queries, so the driver appears to cap its check at 50. The first
 # 50 names below are all oracle-bearing and cover every operator family once
@@ -3891,6 +4028,8 @@ _PRIORITY = [
     "search_distance_feature", "search_script_score", "search_pinned",
     "agg_boxplot", "agg_mad", "agg_string_stats", "agg_top_metrics",
     "agg_bucket_sort", "agg_max_bucket",
+    "pack_sequences", "decontam_ngram_overlap", "sample_stratified",
+    "sample_remix",
     # --- rows-only (no ANSI-SQL twin by nature — xxhash64-based sketches and
     # the stubbed media decode have no DuckDB equivalent; pytest-verified)
     "dedup_minhash_lsh", "dedup_simhash", "text_language_id",

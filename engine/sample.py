@@ -1,0 +1,104 @@
+"""Deterministic stratified sampling + domain remixing (LLM-data-pipeline
+ops): downsample per stratum (language/source/quality band) with a pure
+content-derived hash so the sample is reproducible across runs, partitions,
+and cluster sizes — never `rand()` [public: fixed-seed hash sampling as in
+CCNet / RedPajama / Dolma pipeline descriptions].
+
+keep(doc) = h(doc) mod denom < rate[stratum], where h is a deterministic
+hash of the doc key. Default h = xxhash64 (JVM-side, well-mixed). The
+contract queries pin the SQL-portable Knuth multiplicative variant
+(portable_hash_expr) so DuckDB reproduces the exact sample; a production run
+keeps xxhash64. Either way the filter is pure codegen over the scan —
+shuffle-free, trivially scale-safe.
+
+remix_to_target computes the per-stratum rates that move the corpus to a
+target mix while keeping the most data: the stratum with the least headroom
+relative to its target stays at 100% and everything else scales down
+proportionally (classic waterfilling; no stratum is ever upsampled).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Knuth multiplicative constant; doc_id folded to 2^20 first so the product
+# stays far below 2^63 (Spark 4 ANSI mode raises on long overflow)
+_KNUTH = 2654435761
+_FOLD = 1 << 20
+_MOD = 1 << 32
+
+
+def portable_hash_expr(id_col: str = "doc_id") -> Column:
+    """Deterministic hash expressible in ANSI SQL (same literal arithmetic
+    runs in DuckDB): ((id % 2^20) * 2654435761 + 12345) % 2^32."""
+    return (
+        (F.col(id_col) % F.lit(_FOLD)) * F.lit(_KNUTH) + F.lit(12345)
+    ) % F.lit(_MOD)
+
+
+def stratified_sample(
+    docs: DataFrame,
+    strata_col: str,
+    rates: dict[str, int],
+    denom: int = 100,
+    hash_expr: Column | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep each stratum at rates[stratum]/denom (missing strata keep 0).
+    Pure filter over the scan; deterministic for a given input set."""
+    if hash_expr is None:
+        hash_expr = F.pmod(F.xxhash64(F.col(id_col)), F.lit(_MOD))
+    rate = F.create_map(
+        *[F.lit(x) for s, r in sorted(rates.items()) for x in (s, r)]
+    )[F.col(strata_col)]
+    return docs.filter((hash_expr % denom) < F.coalesce(rate, F.lit(0)))
+
+
+def remix_rates(
+    counts: dict[str, int], targets: dict[str, float], denom: int = 100
+) -> dict[str, int]:
+    """Waterfilling rates (integer per-denom) that move `counts` toward the
+    `targets` mix without upsampling: scale = min_s(share_s / target_s);
+    rate_s = floor(denom · target_s · scale / share_s + ε) — the binding
+    stratum lands at denom (keep everything), the rest shed proportionally.
+    Floor-with-epsilon (not round) so the arithmetic is reproducible in
+    portable SQL: the contract oracle runs the identical expression."""
+    total = sum(counts.values())
+    if total == 0:
+        return {s: 0 for s in targets}
+    shares = {s: counts.get(s, 0) / total for s in targets}
+    scale = min(
+        shares[s] / t for s, t in targets.items() if t > 0 and shares[s] > 0
+    )
+    out = {}
+    for s, t in targets.items():
+        if shares.get(s, 0) <= 0 or t <= 0:
+            out[s] = 0
+        else:
+            out[s] = min(denom, math.floor(denom * t * scale / shares[s] + 1e-9))
+    return out
+
+
+def remix_to_target(
+    docs: DataFrame,
+    strata_col: str,
+    targets: dict[str, float],
+    denom: int = 100,
+    hash_expr: Column | None = None,
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, dict[str, int]]:
+    """Resample toward the target mix: one tiny count aggregate (rows =
+    |strata|) to derive rates, then the stratified filter. Returns
+    (sampled frame, the rates used)."""
+    counts = {
+        r[strata_col]: r["n"]
+        for r in docs.groupBy(strata_col).agg(F.count("*").alias("n")).collect()
+    }
+    rates = remix_rates(counts, targets, denom)
+    return (
+        stratified_sample(docs, strata_col, rates, denom, hash_expr, id_col),
+        rates,
+    )

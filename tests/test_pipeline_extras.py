@@ -1,0 +1,206 @@
+"""Tests for the LLM-training-pipeline extras: sequence packing (pack.py),
+benchmark decontamination (decontam.py), stratified sampling / remix
+(sample.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from engine.decontam import decontaminate, ngram_overlap
+from engine.io import read_fixture
+from engine.pack import pack_documents, packing_stats
+from engine.sample import (
+    portable_hash_expr,
+    remix_rates,
+    remix_to_target,
+    stratified_sample,
+)
+
+
+# --- packing ---------------------------------------------------------------
+
+
+def test_pack_matches_serial_prefix_sum(spark, sf_dir):
+    docs = read_fixture(spark, sf_dir, "documents")
+    rows = pack_documents(docs, seq_len=64).orderBy("doc_id").collect()
+    # serial reference: concat in doc_id order, running offset
+    ref = sorted(
+        (r["doc_id"], len(r["text"].split(" ")))
+        for r in docs.select("doc_id", "text").collect()
+    )
+    acc = 0
+    for row, (did, nt) in zip(rows, ref):
+        assert row["doc_id"] == did
+        assert row["n_tokens"] == nt
+        assert row["tok_start"] == acc
+        assert row["pack_first"] == acc // 64
+        assert row["pack_last"] == (acc + nt - 1) // 64
+        acc += nt
+
+
+def test_pack_bucket_count_invariance(spark, sf_dir):
+    """The range-bucket decomposition is an implementation detail: any
+    n_buckets gives the identical global prefix sum."""
+    docs = read_fixture(spark, sf_dir, "documents")
+    a = pack_documents(docs, seq_len=128, n_buckets=1).orderBy("doc_id").collect()
+    b = pack_documents(docs, seq_len=128, n_buckets=7).orderBy("doc_id").collect()
+    c = pack_documents(docs, seq_len=128, n_buckets=1024).orderBy("doc_id").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b] == [tuple(r) for r in c]
+
+
+def test_packing_stats(spark, sf_dir):
+    docs = read_fixture(spark, sf_dir, "documents")
+    packed = pack_documents(docs, seq_len=64)
+    s = packing_stats(packed, seq_len=64).collect()[0]
+    total = sum(r["n_tokens"] for r in packed.collect())
+    assert s["total_tokens"] == total
+    assert s["n_sequences"] == -(-total // 64)
+    # a straddler is exactly a doc whose span crosses a 64-boundary
+    n_straddle = sum(
+        1 for r in packed.collect() if r["pack_last"] != r["pack_first"]
+    )
+    assert s["n_straddling"] == n_straddle
+
+
+def test_pack_empty(spark):
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert pack_documents(empty, seq_len=64, n_docs=0).count() == 0
+
+
+# --- decontamination -------------------------------------------------------
+
+
+def test_decontam_planted_overlap(spark):
+    bench = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (10, "a quick brown fox appeared"),        # shares "quick brown fox"
+            (11, "totally unrelated words here now"),  # clean
+            (12, "over the lazy dog sleeps"),          # shares 2 trigrams
+            (13, "fox jumps"),                         # < 3 tokens of overlap run
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["n_shared"]
+        for r in ngram_overlap(train, bench, n=3).collect()
+    }
+    assert got == {10: 1, 12: 2}
+    kept = sorted(
+        r["doc_id"] for r in decontaminate(train, bench, n=3).collect()
+    )
+    assert kept == [11, 13]
+
+
+def test_decontam_short_docs_contribute_nothing(spark):
+    """Docs shorter than n tokens yield no n-grams on either side."""
+    bench = spark.createDataFrame([(0, "ab cd")], "doc_id long, text string")
+    train = spark.createDataFrame(
+        [(1, "ab cd"), (2, "ab cd ef")], "doc_id long, text string"
+    )
+    assert ngram_overlap(train, bench, n=3).count() == 0
+
+
+def test_decontam_distinct_ngrams_counted_once(spark):
+    """A repeated n-gram in the train doc counts once (distinct semantics)."""
+    bench = spark.createDataFrame([(0, "x y z")], "doc_id long, text string")
+    train = spark.createDataFrame(
+        [(1, "x y z x y z x y z")], "doc_id long, text string"
+    )
+    rows = ngram_overlap(train, bench, n=3).collect()
+    assert len(rows) == 1 and rows[0]["n_shared"] == 1
+
+
+# --- sampling / remix ------------------------------------------------------
+
+
+def test_stratified_deterministic_and_parallelism_invariant(spark, sf_dir):
+    docs = read_fixture(spark, sf_dir, "documents")
+    rates = {"en": 50, "de": 30, "fr": 10, "es": 80, "zh": 100}
+    a = sorted(
+        r["doc_id"]
+        for r in stratified_sample(docs, "lang", rates).select("doc_id").collect()
+    )
+    b = sorted(
+        r["doc_id"]
+        for r in stratified_sample(
+            docs.repartition(13), "lang", rates
+        ).select("doc_id").collect()
+    )
+    assert a == b and len(a) > 0
+    # zh kept whole, fr heavily cut
+    zh_total = docs.filter(F.col("lang") == "zh").count()
+    kept = stratified_sample(docs, "lang", rates)
+    assert kept.filter(F.col("lang") == "zh").count() == zh_total
+    fr_total = docs.filter(F.col("lang") == "fr").count()
+    fr_kept = kept.filter(F.col("lang") == "fr").count()
+    assert fr_kept < fr_total * 0.3
+
+
+def test_stratified_missing_stratum_dropped(spark):
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 2 else "xx") for i in range(100)],
+        "doc_id long, lang string",
+    )
+    kept = stratified_sample(docs, "lang", {"en": 100})
+    assert kept.filter(F.col("lang") == "xx").count() == 0
+    assert kept.filter(F.col("lang") == "en").count() == 50
+
+
+def test_portable_hash_matches_duckdb(spark):
+    import duckdb
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(1000)], "doc_id long"
+    )
+    s = [
+        (r["doc_id"], r["h"])
+        for r in docs.select(
+            "doc_id", portable_hash_expr().alias("h")
+        ).collect()
+    ]
+    d = duckdb.sql(
+        "SELECT i, ((i % 1048576) * 2654435761 + 12345) % 4294967296 "
+        "FROM range(1000) t(i) ORDER BY i"
+    ).fetchall()
+    assert sorted(s) == [(a, b) for a, b in d]
+
+
+def test_remix_rates_waterfilling():
+    counts = {"en": 700, "de": 100, "fr": 100, "zh": 100}
+    targets = {"en": 0.25, "de": 0.25, "fr": 0.25, "zh": 0.25}
+    rates = remix_rates(counts, targets, denom=100)
+    # binding strata (share 0.1 vs target 0.25) keep everything
+    assert rates["de"] == rates["fr"] == rates["zh"] == 100
+    # en sheds down to match: 0.25*0.4/0.7 ≈ 0.1428 → rate 14
+    assert rates["en"] == 14
+    # zero/absent strata
+    assert remix_rates({}, targets) == {s: 0 for s in targets}
+    assert remix_rates({"en": 10}, {"en": 0.5, "de": 0.5})["de"] == 0
+
+
+def test_remix_to_target_moves_mix(spark, sf_dir):
+    docs = read_fixture(spark, sf_dir, "documents")
+    targets = {s: 0.2 for s in ("en", "de", "fr", "es", "zh")}
+    kept, rates = remix_to_target(docs, "lang", targets)
+    assert max(rates.values()) == 100  # no stratum upsampled, one binding
+    got = {
+        r["lang"]: r["n"]
+        for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    total = sum(got.values())
+    # every stratum within a few points of the 20% target (integer rates +
+    # hash granularity on a few hundred docs → loose tolerance)
+    for s in targets:
+        assert abs(got[s] / total - 0.2) < 0.08, (s, got, rates)
+
+
+def test_sample_plan_is_shuffle_free(spark, sf_dir):
+    """The stratified filter must compile to a pure scan+filter — no
+    Exchange anywhere (the whole point of hash-based sampling at 100 TB)."""
+    docs = read_fixture(spark, sf_dir, "documents")
+    kept = stratified_sample(docs, "lang", {"en": 50, "zh": 100})
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
