@@ -556,6 +556,56 @@ def bucket_sort_agg(
     return ranked
 
 
+def stats_bucket_agg(
+    df: DataFrame, ts_col: str, value_col: str, unit: str = "day"
+) -> DataFrame:
+    """ES `stats_bucket` sibling pipeline aggregation [public: ES
+    stats_bucket docs — also subsumes avg_bucket/min_bucket/sum_bucket]:
+    count/min/max/avg/sum of a metric ACROSS the parent date_histogram's
+    buckets. Two hash aggregates, the second over the already-tiny bucket
+    frame (single-row output) — exactly how ES reduces the bucket list at
+    the coordinating node."""
+    hist = df.groupBy(F.date_trunc(unit, F.col(ts_col)).alias("bucket")).agg(
+        F.sum(value_col).alias("sum_v")
+    )
+    return hist.agg(
+        F.count("*").alias("n_buckets"),
+        F.round(F.min("sum_v"), 4).alias("min_v"),
+        F.round(F.max("sum_v"), 4).alias("max_v"),
+        F.round(F.avg("sum_v"), 4).alias("avg_v"),
+        F.round(F.sum("sum_v"), 4).alias("total_v"),
+    )
+
+
+def bucket_script_agg(
+    df: DataFrame, group_by: str, num_col: str, unit_price_expr: "F.Column"
+) -> DataFrame:
+    """ES `bucket_script` pipeline aggregation [public: ES bucket_script
+    docs]: a per-bucket metric COMPUTED FROM sibling metrics of the same
+    parent bucket (params.a / params.b style). The script runs on the bucket
+    frame after the hash aggregate — pure codegen arithmetic over
+    buckets-many rows, never over the docs."""
+    aggd = df.groupBy(group_by).agg(
+        F.count("*").alias("doc_count"),
+        F.sum(num_col).alias("_sum"),
+        F.sum(unit_price_expr).alias("_wsum"),
+    )
+    return (
+        aggd.select(
+            group_by,
+            "doc_count",
+            F.round(F.col("_sum"), 4).alias("sum_v"),
+            # the "script": weighted sum over plain sum, NULL-safe like ES
+            # (a bucket with zero denominator yields null, not an error)
+            F.round(
+                F.when(F.col("_sum") != 0, F.col("_wsum") / F.col("_sum")),
+                4,
+            ).alias("script_v"),
+        )
+        .orderBy(group_by)
+    )
+
+
 def max_bucket_agg(df: DataFrame, ts_col: str, unit: str = "month") -> DataFrame:
     """ES `max_bucket` sibling pipeline aggregation [public]: over a
     date_histogram, return the bucket holding the maximum doc_count. ES

@@ -108,22 +108,24 @@ def _bm25_oracle(
     'LIKE:<pattern>' (ES prefix/wildcard rewrite) or 'FUZZY:<term>:<d>'
     (edit-distance ≤ d expansion over the vocabulary, ES fuzzy rewrite)."""
     must_not = must_not or []
-    if terms and terms[0].startswith("LIKE:"):
-        # multi-term expansion (ES prefix/wildcard): score the union of all
-        # vocabulary terms matching the pattern
-        terms_in = None
-        term_pred = f"tf.term LIKE '{terms[0][5:]}'"
-    elif terms and terms[0].startswith("FUZZY:"):
-        _, fterm, fdist = terms[0].split(":")
-        terms_in = None
-        term_pred = f"levenshtein(tf.term, '{fterm}') <= {int(fdist)}"
-    elif terms and terms[0].startswith("RE:"):
-        # ES regexp rewrite: whole-term (anchored) regex over the vocabulary
-        terms_in = None
-        term_pred = f"regexp_full_match(tf.term, '{terms[0][3:]}')"
-    else:
-        terms_in = ", ".join(f"'{t}'" for t in terms)
-        term_pred = f"tf.term IN ({terms_in})"
+    # Each entry is a literal term or an expansion spec ('LIKE:<pattern>'
+    # prefix/wildcard, 'FUZZY:<term>:<d>', 'RE:<anchored regex>'); specs and
+    # literals may mix (ES match_bool_prefix = literal terms + a trailing
+    # prefix expansion). term_pred ORs the pieces together.
+    preds, lits = [], []
+    for t in terms:
+        if t.startswith("LIKE:"):
+            preds.append(f"tf.term LIKE '{t[5:]}'")
+        elif t.startswith("FUZZY:"):
+            _, fterm, fdist = t.split(":")
+            preds.append(f"levenshtein(tf.term, '{fterm}') <= {int(fdist)}")
+        elif t.startswith("RE:"):
+            preds.append(f"regexp_full_match(tf.term, '{t[3:]}')")
+        else:
+            lits.append(t)
+    if lits:
+        preds.insert(0, "tf.term IN (%s)" % ", ".join(f"'{t}'" for t in lits))
+    term_pred = "(" + " OR ".join(preds) + ")"
     if mode == "and":
         and_clause = f"AND n_matched = {len(terms)}"
     elif min_should_match > 1:
@@ -3952,6 +3954,197 @@ GROUP BY d.lang ORDER BY d.lang
 )
 
 
+# --- query/agg tail batch 3: match_bool_prefix, combined_fields, ids,
+# stats_bucket + bucket_script pipeline siblings ------------------------------
+
+
+def _q_match_bool_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `match_bool_prefix` [public: ES match_bool_prefix docs]: analyze
+    the query, every token but the last as a term clause, the LAST token as
+    a prefix expansion — all OR-combined in bool.should. Rides the indexed
+    multi-term rewrite: dictionary seek expands the prefix (V-row scan),
+    then one WAND disjunction scores literal + expanded terms together."""
+    idx = _indexed(spark, sf_dir)
+    expanded = [
+        r["term"]
+        for r in idx.term_dict.filter(F.col("term").like("sca%")).collect()
+    ]
+    terms = sorted(set(["table"]) | set(expanded))
+    return idx.search(" ".join(terms), k=10, mode="or", algo="wand")
+
+
+register(
+    "search_match_bool_prefix",
+    _q_match_bool_prefix,
+    _bm25_oracle(["table", "LIKE:sca%"], 10, "or"),
+)
+
+
+def _q_combined_fields(
+    query_terms: list[str], fields: list[tuple[str, float]], k: int
+) -> Callable:
+    """ES `combined_fields` [public: ES combined_fields docs / Lucene
+    CombinedFieldQuery, BM25F-lite]: term-centric multi-field match — the
+    fields act as ONE pseudo-field: tf_c = Σ_f boost_f·tf_f, dl_c =
+    Σ_f boost_f·dl_f, df over the pseudo-field, one BM25 per term. Contrast
+    multi_match most_fields (bm25_multifield), which scores each field with
+    its own statistics and sums per-field scores."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .corpus import corpus_base, corpus_stats, exploded_tf, term_stats
+        from .search import score_terms
+
+        docs = read_fixture(spark, sf_dir, "documents")
+        tf_parts, dl_parts = [], []
+        for field, boost in fields:
+            base = corpus_base(docs.select("doc_id", F.col(field).alias("text")))
+            tf_parts.append(
+                exploded_tf(base).select(
+                    "doc_id", "term",
+                    (F.col("tf") * F.lit(float(boost))).alias("tf"),
+                )
+            )
+            dl_parts.append(
+                base.select(
+                    "doc_id", (F.col("dl") * F.lit(float(boost))).alias("dl")
+                )
+            )
+        tfu, dlu = tf_parts[0], dl_parts[0]
+        for p in tf_parts[1:]:
+            tfu = tfu.unionByName(p)
+        for p in dl_parts[1:]:
+            dlu = dlu.unionByName(p)
+        # combined pseudo-field: weighted tf summed across fields (one row
+        # per doc-term → df falls out of term_stats), weighted dl per doc
+        tfc = tfu.groupBy("doc_id", "term").agg(F.sum("tf").alias("tf"))
+        dlc = dlu.groupBy("doc_id").agg(F.sum("dl").alias("dl"))
+        ts = term_stats(tfc)
+        n, avgdl = corpus_stats(dlc)
+        tfc_dl = tfc.join(dlc, "doc_id")  # dl inline → score_terms skips its join
+        return (
+            score_terms(tfc_dl, dlc, ts, n, avgdl, query_terms)
+            .groupBy("doc_id")
+            .agg(F.round(F.sum("partial"), 4).alias("score"))
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(k)
+        )
+
+    return run
+
+
+def _combined_fields_oracle(
+    query_terms: list[str], fields: list[tuple[str, float]], k: int
+) -> str:
+    terms_in = ", ".join(f"'{t}'" for t in query_terms)
+    unions = "\nUNION ALL\n".join(
+        f"SELECT doc_id, unnest(string_split({field}, ' ')) AS term, "
+        f"CAST({boost} AS DOUBLE) AS w FROM documents"
+        for field, boost in fields
+    )
+    return f"""
+WITH u AS ({unions}),
+tf AS (SELECT doc_id, term, sum(w) AS tf FROM u GROUP BY 1, 2),
+dl AS (SELECT doc_id, sum(w) AS dl FROM u GROUP BY 1),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / stats.avgdl)) ) AS score
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  WHERE tf.term IN ({terms_in})
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score, 4) AS score
+FROM scores ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
+register(
+    "bm25_combined_fields",
+    _q_combined_fields(["table", "src3"], [("text", 1.0), ("source", 2.0)], 10),
+    _combined_fields_oracle(["table", "src3"], [("text", 1.0), ("source", 2.0)], 10),
+)
+
+
+_IDS_QUERY = [3, 17, 42, 99, 123456789]  # last id absent at every sf
+
+
+def _q_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `ids` query [public: ES ids query docs]: fetch docs by _id list —
+    filter context, constant score 1.0. The IN-list pushes to the parquet
+    scan (PushedFilters: In(doc_id, ...)); no shuffle anywhere."""
+    docs = read_fixture(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.col("doc_id").isin(_IDS_QUERY))
+        .select("doc_id", F.lit(1.0).alias("score"), "lang")
+        .orderBy("doc_id")
+    )
+
+
+register(
+    "search_ids",
+    _q_ids,
+    f"""
+SELECT doc_id, 1.0 AS score, lang FROM documents
+WHERE doc_id IN ({", ".join(str(i) for i in _IDS_QUERY)}) ORDER BY doc_id
+""",
+)
+
+
+def _q_stats_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES stats_bucket sibling pipeline (subsumes avg/min/max/sum_bucket):
+    count/min/max/avg/sum of per-day sum(value) across the date_histogram's
+    buckets (aggs.stats_bucket_agg — second agg runs on the bucket frame)."""
+    from .aggs import stats_bucket_agg
+
+    return stats_bucket_agg(
+        read_fixture(spark, sf_dir, "events"), "ts", "value", unit="day"
+    )
+
+
+register(
+    "agg_stats_bucket",
+    _q_stats_bucket,
+    """
+WITH h AS (SELECT date_trunc('day', ts) AS bucket, sum(value) AS sum_v
+           FROM events GROUP BY 1)
+SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+       round(min(sum_v), 4) AS min_v, round(max(sum_v), 4) AS max_v,
+       round(avg(sum_v), 4) AS avg_v, round(sum(sum_v), 4) AS total_v
+FROM h
+""",
+)
+
+
+def _q_bucket_script(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES bucket_script pipeline: per event_type bucket, a metric computed
+    from two sibling metrics — sum(value·(user_id%10)) / sum(value), i.e.
+    the value-weighted mean of a per-doc feature (aggs.bucket_script_agg —
+    arithmetic on the bucket frame, not the docs)."""
+    from .aggs import bucket_script_agg
+
+    return bucket_script_agg(
+        read_fixture(spark, sf_dir, "events"),
+        "event_type", "value",
+        F.col("value") * (F.col("user_id") % 10),
+    )
+
+
+register(
+    "agg_bucket_script",
+    _q_bucket_script,
+    """
+SELECT event_type, CAST(count(*) AS BIGINT) AS doc_count,
+       round(sum(value), 4) AS sum_v,
+       round(CASE WHEN sum(value) <> 0
+                  THEN sum(value * (user_id % 10)) / sum(value) END, 4)
+         AS script_v
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+)
+
+
 # Deliberate contract ordering: CORRECTNESS_r01 recorded exactly the first 50
 # registered queries, so the driver appears to cap its check at 50. The first
 # 50 names below are all oracle-bearing and cover every operator family once
@@ -4030,6 +4223,8 @@ _PRIORITY = [
     "agg_bucket_sort", "agg_max_bucket",
     "pack_sequences", "decontam_ngram_overlap", "sample_stratified",
     "sample_remix",
+    "search_match_bool_prefix", "bm25_combined_fields", "search_ids",
+    "agg_stats_bucket", "agg_bucket_script",
     # --- rows-only (no ANSI-SQL twin by nature — xxhash64-based sketches and
     # the stubbed media decode have no DuckDB equivalent; pytest-verified)
     "dedup_minhash_lsh", "dedup_simhash", "text_language_id",
