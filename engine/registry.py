@@ -4145,6 +4145,214 @@ FROM events GROUP BY event_type ORDER BY event_type
 )
 
 
+# --- batch 4: filtered kNN, terms lookup, runtime fields, collapse
+# inner_hits, significant_text ------------------------------------------------
+
+
+def _q_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES kNN search with a metadata filter [public: ES knn `filter` docs]:
+    PRE-filter semantics — the k nearest among docs PASSING the filter (not
+    post-filtering a global top-k, which can return < k). The filter is a
+    codegen predicate pushed below the distance arithmetic; the LSH/IVF
+    scale paths compose the same way (filter before the bucket probe)."""
+    from .ann import brute_force_topk
+
+    emb = read_fixture(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    casted = emb.filter(F.col("label") % 3 == 0).withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return brute_force_topk(casted, [float(x) for x in q], k=10)
+
+
+register(
+    "ann_filtered_topk",
+    _q_ann_filtered,
+    """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id, round(
+    list_sum(list_transform(range(1,65),
+        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+  / (sqrt(list_sum(list_transform(range(1,65), i -> CAST(e.embedding[i] AS DOUBLE)**2)))
+   * sqrt(list_sum(list_transform(range(1,65), i -> CAST(q.qv[i] AS DOUBLE)**2)))), 4)
+  AS cosine
+FROM embeddings e CROSS JOIN q
+WHERE e.label % 3 = 0
+ORDER BY cosine DESC, vec_id ASC LIMIT 10
+""",
+)
+
+
+def _q_terms_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `terms` lookup query [public: ES terms lookup docs]: the filter
+    values come from ANOTHER document's field at query time (here: all docs
+    whose `source` equals doc 42's source). The looked-up value set is one
+    doc's field — broadcast to a semi-join; filter context, score 1.0."""
+    docs = read_fixture(spark, sf_dir, "documents")
+    lookup = docs.filter(F.col("doc_id") == 42).select("source")
+    return (
+        docs.join(F.broadcast(lookup), "source", "left_semi")
+        .select("doc_id", F.lit(1.0).alias("score"), "source")
+        .orderBy("doc_id")
+        .limit(20)
+    )
+
+
+register(
+    "search_terms_lookup",
+    _q_terms_lookup,
+    """
+SELECT doc_id, 1.0 AS score, source FROM documents
+WHERE source IN (SELECT source FROM documents WHERE doc_id = 42)
+ORDER BY doc_id LIMIT 20
+""",
+)
+
+
+def _q_runtime_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES runtime fields [public: ES runtime_mappings docs]: a field COMPUTED
+    at query time from stored fields (chars_per_token = n_chars / token
+    count), then filtered and sorted on like any mapped field. Pure codegen
+    over the scan — the runtime script becomes a Catalyst expression, so
+    predicate pushdown/pruning still apply to the stored columns."""
+    docs = read_fixture(spark, sf_dir, "documents")
+    cpt = F.col("n_chars") / F.size(F.split(F.col("text"), " "))
+    return (
+        docs.filter(F.col("lang") == "en")
+        .select("doc_id", F.round(cpt, 4).alias("chars_per_token"))
+        .orderBy(F.col("chars_per_token").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
+register(
+    "search_runtime_field",
+    _q_runtime_field,
+    """
+SELECT doc_id,
+       round(n_chars / CAST(len(string_split(text, ' ')) AS DOUBLE), 4)
+         AS chars_per_token
+FROM documents WHERE lang = 'en'
+ORDER BY chars_per_token DESC, doc_id ASC LIMIT 10
+""",
+)
+
+
+def _q_collapse_inner_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES field collapsing with inner_hits [public: ES collapse docs]: one
+    result GROUP per `source`, each carrying its top-2 scored docs (the
+    inner hits), groups ordered by their best score. Two windows over the
+    SCORED frame (match set ≪ corpus), never over the doc table."""
+    from pyspark.sql import Window
+
+    from .search import scored_docs
+
+    tf, ds, ts, n, avgdl = _built_corpus(spark, sf_dir)
+    scored = scored_docs(tf, ds, ts, n, avgdl, "scan fast", mode="or")
+    docs = read_fixture(spark, sf_dir, "documents").select("doc_id", "source")
+    hits = scored.select(
+        "doc_id", F.round(F.col("score"), 4).alias("score")
+    ).join(docs, "doc_id")
+    w_g = Window.partitionBy("source")
+    w_rn = w_g.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        hits.withColumn("rn", F.row_number().over(w_rn))
+        .withColumn("group_best", F.max("score").over(w_g))
+        .filter(F.col("rn") <= 2)
+        .select("source", "doc_id", "score", "rn", "group_best")
+        .orderBy(
+            F.col("group_best").desc(), F.col("source").asc(), F.col("rn").asc()
+        )
+    )
+
+
+register(
+    "search_collapse_inner_hits",
+    _q_collapse_inner_hits,
+    f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+scores AS (
+  SELECT tf.doc_id,
+         round(sum( ln(1 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / stats.avgdl)) ), 4) AS score
+  FROM tf
+  JOIN (SELECT term, count(*) AS df FROM tf GROUP BY 1) df USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats
+  WHERE tf.term IN ('scan', 'fast')
+  GROUP BY tf.doc_id
+),
+hits AS (
+  SELECT d.source, s.doc_id, s.score,
+         row_number() OVER (PARTITION BY d.source
+                            ORDER BY s.score DESC, s.doc_id ASC) AS rn,
+         max(s.score) OVER (PARTITION BY d.source) AS group_best
+  FROM scores s JOIN documents d USING (doc_id)
+)
+SELECT source, doc_id, score, rn, group_best FROM hits WHERE rn <= 2
+ORDER BY group_best DESC, source ASC, rn ASC
+""",
+)
+
+
+def _q_significant_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `significant_text` [public: ES significant_text docs]: significant
+    terms where the FOREGROUND is a query's match set (docs containing
+    'merge') and analysis runs over the text field itself — JLH score
+    against the full-corpus background. Same two-aggregate shape as
+    significant_terms; the fg doc set comes from the tf frame (a semi-join),
+    not a stored field filter."""
+    tf, ds, ts, n, avgdl = _built_corpus(spark, sf_dir)
+    fg_ids = tf.filter(F.col("term") == "merge").select("doc_id").distinct()
+    fg_n = fg_ids.count()
+    fg_df = (
+        tf.join(F.broadcast(fg_ids), "doc_id")
+        .groupBy("term")
+        .agg(F.count("*").alias("fg_df"))
+    )
+    return (
+        fg_df.join(ts.select("term", "df"), "term")
+        .select(
+            "term",
+            F.round(
+                (F.col("fg_df") / F.lit(float(fg_n)) - F.col("df") / F.lit(float(n)))
+                * (F.col("fg_df") / F.lit(float(fg_n)))
+                / (F.col("df") / F.lit(float(n))),
+                4,
+            ).alias("jlh"),
+        )
+        .orderBy(F.col("jlh").desc(), F.col("term").asc())
+        .limit(10)
+    )
+
+
+register(
+    "agg_significant_text",
+    _q_significant_text,
+    """
+WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1,2),
+bg AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+fgids AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'merge'),
+fgn AS (SELECT count(*) AS fg_n FROM fgids),
+fg AS (SELECT term, count(*) AS fg_df FROM tf JOIN fgids USING (doc_id) GROUP BY 1)
+SELECT fg.term,
+       round( (fg.fg_df / CAST(fgn.fg_n AS DOUBLE) - bg.df / CAST(n.n_docs AS DOUBLE))
+            * (fg.fg_df / CAST(fgn.fg_n AS DOUBLE)) / (bg.df / CAST(n.n_docs AS DOUBLE)), 4)
+       AS jlh
+FROM fg JOIN bg USING (term) CROSS JOIN n CROSS JOIN fgn
+ORDER BY jlh DESC, term ASC
+LIMIT 10
+""",
+)
+
+
 # Deliberate contract ordering: CORRECTNESS_r01 recorded exactly the first 50
 # registered queries, so the driver appears to cap its check at 50. The first
 # 50 names below are all oracle-bearing and cover every operator family once
@@ -4225,6 +4433,8 @@ _PRIORITY = [
     "sample_remix",
     "search_match_bool_prefix", "bm25_combined_fields", "search_ids",
     "agg_stats_bucket", "agg_bucket_script",
+    "ann_filtered_topk", "search_terms_lookup", "search_runtime_field",
+    "search_collapse_inner_hits", "agg_significant_text",
     # --- rows-only (no ANSI-SQL twin by nature — xxhash64-based sketches and
     # the stubbed media decode have no DuckDB equivalent; pytest-verified)
     "dedup_minhash_lsh", "dedup_simhash", "text_language_id",
