@@ -14,8 +14,8 @@ emit per-pack slices without ever materializing the token stream.
 
 Scale design: the global prefix sum is NOT a single-partition window (that
 serializes the corpus through one task — the N→4N scaling killer). Dense
-doc_ids (refine.assign_doc_ids guarantees 0..N-1) make contiguous RANGE
-buckets a pure function of doc_id, so:
+doc_ids (refine.assign_doc_ids guarantees 0..N-1) make contiguous buckets a
+pure function of doc_id, so:
 
   1. one hash aggregate → per-bucket token totals (tiny: n_buckets rows);
   2. driver-side running sum over the sorted buckets → per-bucket offset
@@ -23,7 +23,11 @@ buckets a pure function of doc_id, so:
   3. within-bucket cumulative sum, window partitioned BY BUCKET (parallel).
 
 Every stage is parallel; the only serial work is the n_buckets-row scan.
-"""
+The default bucketing is FIXED-WIDTH (doc_id // bucket_width — monotone, so
+bucket offsets + within-bucket cumsum == the global prefix sum) and needs no
+row count: the whole job is two passes over the (doc_id, n_tokens) frame,
+which is persisted between them. Passing `n_docs` switches to range buckets
+(doc_id·B/N), byte-identical output either way (tested)."""
 
 from __future__ import annotations
 
@@ -31,6 +35,14 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 PACK_BUCKETS = 1024
+# default fixed bucket width: 8k docs/bucket → ~125k buckets per 10^9 docs
+# (driver-side offset scan stays tiny) with ample window parallelism
+PACK_BUCKET_WIDTH = 8192
+
+_SCHEMA = (
+    "doc_id long, n_tokens long, tok_start long, "
+    "pack_first long, pack_last long"
+)
 
 
 def pack_documents(
@@ -40,6 +52,7 @@ def pack_documents(
     id_col: str = "doc_id",
     n_docs: int | None = None,
     n_buckets: int = PACK_BUCKETS,
+    bucket_width: int = PACK_BUCKET_WIDTH,
 ) -> DataFrame:
     """Per-doc packing spans for concat-and-chunk at `seq_len` tokens.
 
@@ -48,29 +61,32 @@ def pack_documents(
     order). Whitespace token counts — swap the counter expression for a BPE
     estimate (textops.token_counts) without touching the prefix-sum scheme.
 
-    Requires dense doc_ids 0..N-1 (refine.assign_doc_ids invariant); n_docs
-    defaults to a count() pass."""
-    if n_docs is None:
-        n_docs = docs.count()
-    if n_docs == 0:
-        return docs.sparkSession.createDataFrame(
-            [],
-            "doc_id long, n_tokens long, tok_start long, "
-            "pack_first long, pack_last long",
+    Requires dense doc_ids 0..N-1 (refine.assign_doc_ids invariant). With
+    `n_docs` given, buckets are contiguous ranges doc_id·B/N; by default
+    (fixed-width doc_id // bucket_width) no count pass is needed. The
+    intermediate (doc_id, n_tokens) frame is persisted across the two
+    passes; it is unpersisted lazily by Spark's cache eviction (tiny: three
+    longs per doc)."""
+    if n_docs is not None and n_docs > 0:
+        n_b = max(1, min(n_buckets, n_docs))
+        bucket = (F.col(id_col) * n_b / F.lit(n_docs)).cast("long")
+    else:
+        bucket = (F.col(id_col) / F.lit(max(1, bucket_width))).cast("long")
+    t = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tokens"),
         )
-    n_buckets = max(1, min(n_buckets, n_docs))
-    # contiguous ranges: bucket = doc_id * B // N is monotone in doc_id, so
-    # bucket offsets + within-bucket cumsum == the global prefix sum
-    bucket = (F.col(id_col) * n_buckets / F.lit(n_docs)).cast("long")
-    t = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tokens"),
-    ).withColumn("_b", bucket)
-
+        .withColumn("_b", bucket)
+        .persist()
+    )
     per_bucket = {
         r["_b"]: r["s"]
         for r in t.groupBy("_b").agg(F.sum("n_tokens").alias("s")).collect()
     }
+    if not per_bucket:  # empty input — schema-stable empty result
+        t.unpersist()
+        return docs.sparkSession.createDataFrame([], _SCHEMA)
     offsets, acc = {}, 0
     for b in sorted(per_bucket):
         offsets[b] = acc

@@ -249,7 +249,11 @@ class _Compiler:
             return self._node(ast.node)
         if isinstance(ast, _Neg):
             inner = self._node(ast.atom)
-            return None if inner is None else _NegMark(inner)
+            if inner is None:
+                return None
+            if isinstance(inner, _NegMark):
+                return inner.node  # double negation cancels: --x == x
+            return _NegMark(inner)
         if isinstance(ast, _Op):
             pos, neg = [], []
             for o in ast.operands:
@@ -260,7 +264,14 @@ class _Compiler:
                     n.node if isinstance(n, _NegMark) else n
                 )
             if not pos:
-                return None if not neg else _NegMark(neg[0])
+                if not neg:
+                    return None
+                # pure-negative group: EVERY exclusion must survive. must_not
+                # excludes docs matching ANY entry, so N negations fold into
+                # one OR-subtree (Lucene SimpleQueryParser marks each '-'
+                # clause MUST_NOT regardless of the default operator).
+                inner = neg[0] if len(neg) == 1 else Bool(should=tuple(neg), min_should=1)
+                return _NegMark(inner)
             if ast.op == "and":
                 return Bool(must=tuple(pos), must_not=tuple(neg))
             return Bool(should=tuple(pos), must_not=tuple(neg), min_should=1)

@@ -104,9 +104,12 @@ def _bm25_oracle(
     tokenized, so `' '||text||' ' LIKE '% <phrase> %'` is exact adjacency.
     offset: page-2+ twin of the engine's search_after cursor (OFFSET k is
     rank-equivalent to resuming after page 1's last (score, doc_id) tuple).
-    terms[0] may carry an expansion spec instead of a literal term:
-    'LIKE:<pattern>' (ES prefix/wildcard rewrite) or 'FUZZY:<term>:<d>'
-    (edit-distance ≤ d expansion over the vocabulary, ES fuzzy rewrite)."""
+    Any entry may carry an expansion spec instead of a literal term:
+    'LIKE:<pattern>' (ES prefix/wildcard rewrite), 'FUZZY:<term>:<d>'
+    (edit-distance ≤ d expansion), or 'RE:<anchored regex>'; specs and
+    literals may mix, OR-combined. Specs are only valid with OR semantics —
+    n_matched counts matched VOCABULARY terms, not satisfied clauses, so an
+    AND / min_should_match count over expansions would be wrong."""
     must_not = must_not or []
     # Each entry is a literal term or an expansion spec ('LIKE:<pattern>'
     # prefix/wildcard, 'FUZZY:<term>:<d>', 'RE:<anchored regex>'); specs and
@@ -123,6 +126,11 @@ def _bm25_oracle(
             preds.append(f"regexp_full_match(tf.term, '{t[3:]}')")
         else:
             lits.append(t)
+    if len(lits) != len(terms) and (mode == "and" or min_should_match > 1):
+        raise ValueError(
+            "expansion specs are OR-only: n_matched counts vocabulary terms, "
+            "not clauses, so 'and'/min_should_match would mis-filter"
+        )
     if lits:
         preds.insert(0, "tf.term IN (%s)" % ", ".join(f"'{t}'" for t in lits))
     term_pred = "(" + " OR ".join(preds) + ")"
@@ -565,8 +573,9 @@ register(
 def _expand_terms(ts, pattern_sql: str) -> list[str]:
     """D2 dictionary scan: vocabulary terms matching a SQL LIKE pattern —
     the ES prefix/wildcard rewrite (expand, then score as a disjunction;
-    [public: ES multi-term query rewrite]). The dictionary is V rows, so
-    this is a tiny scan + collect."""
+    [public: ES multi-term query rewrite]). Works on any frame with a
+    `term` column (corpus term_stats or an index's term_dict). The
+    dictionary is V rows, so this is a tiny scan + collect."""
     return [r["term"] for r in ts.filter(F.col("term").like(pattern_sql)).collect()]
 
 
@@ -574,10 +583,7 @@ def _q_prefix(pattern_sql: str, k: int, indexed: bool) -> Callable:
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         if indexed:
             idx = _indexed(spark, sf_dir)
-            terms = [
-                r["term"]
-                for r in idx.term_dict.filter(F.col("term").like(pattern_sql)).collect()
-            ]
+            terms = _expand_terms(idx.term_dict, pattern_sql)
             return idx.search(" ".join(sorted(terms)), k=k, mode="or", algo="wand")
         tf, ds, ts, n, avgdl = _built_corpus(spark, sf_dir)
         terms = _expand_terms(ts, pattern_sql)
@@ -3656,7 +3662,10 @@ p AS (SELECT tf.doc_id, tf.term,
         * tf.tf / (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / stats.avgdl)) AS partial
       FROM tf JOIN dfc USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
       WHERE tf.term LIKE 's%' OR tf.term = 'table'),
-pre AS (SELECT doc_id, sum(partial) AS s FROM p WHERE term LIKE 's%' GROUP BY doc_id),
+-- mirror the engine's max_expansions=50 ascending-term cap (dictionary_expand)
+exp AS (SELECT DISTINCT term FROM tf WHERE term LIKE 's%' ORDER BY term LIMIT 50),
+pre AS (SELECT doc_id, sum(partial) AS s FROM p
+        WHERE term IN (SELECT term FROM exp) GROUP BY doc_id),
 t AS (SELECT doc_id, partial AS s FROM p WHERE term = 'table')
 SELECT t.doc_id, round(pre.s + t.s, 4) AS score
 FROM pre JOIN t USING (doc_id)
@@ -3965,10 +3974,7 @@ def _q_match_bool_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     multi-term rewrite: dictionary seek expands the prefix (V-row scan),
     then one WAND disjunction scores literal + expanded terms together."""
     idx = _indexed(spark, sf_dir)
-    expanded = [
-        r["term"]
-        for r in idx.term_dict.filter(F.col("term").like("sca%")).collect()
-    ]
+    expanded = _expand_terms(idx.term_dict, "sca%")
     terms = sorted(set(["table"]) | set(expanded))
     return idx.search(" ".join(terms), k=10, mode="or", algo="wand")
 

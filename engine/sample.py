@@ -70,9 +70,12 @@ def remix_rates(
     if total == 0:
         return {s: 0 for s in targets}
     shares = {s: counts.get(s, 0) / total for s in targets}
-    scale = min(
+    ratios = [
         shares[s] / t for s, t in targets.items() if t > 0 and shares[s] > 0
-    )
+    ]
+    if not ratios:  # no target stratum present in the corpus → keep nothing
+        return {s: 0 for s in targets}
+    scale = min(ratios)
     out = {}
     for s, t in targets.items():
         if shares.get(s, 0) <= 0 or t <= 0:

@@ -21,18 +21,23 @@ def test_filtered_knn_is_prefilter_not_postfilter(spark, sf_dir):
 
     pre = brute_force_topk(casted.filter(F.col("label") % 3 == 0), qv, k=10).collect()
     assert len(pre) == 10
-    assert all(r.vec_id % 1 == 0 for r in pre)
-    post = [
-        r for r in brute_force_topk(casted, qv, k=10).collect()
-    ]
-    post_ids = {r.vec_id for r in post}
     pre_ids = {r.vec_id for r in pre}
-    # the filter excludes some global top-10 members → sets differ
-    labels = {
+    # EVERY pre-filter hit passes the filter
+    pre_labels = {
+        r.vec_id: r.label
+        for r in emb.filter(F.col("vec_id").isin([*pre_ids])).collect()
+    }
+    assert all(lbl % 3 == 0 for lbl in pre_labels.values())
+    post_ids = {
+        r.vec_id for r in brute_force_topk(casted, qv, k=10).collect()
+    }
+    post_labels = {
         r.vec_id: r.label
         for r in emb.filter(F.col("vec_id").isin([*post_ids])).collect()
     }
-    if any(labels[v] % 3 != 0 for v in post_ids):
+    # whenever the global top-10 contains filter-failing vectors, the
+    # pre-filter result must differ (post-filtering would return < k)
+    if any(lbl % 3 != 0 for lbl in post_labels.values()):
         assert pre_ids != post_ids
 
 

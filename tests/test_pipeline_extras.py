@@ -37,14 +37,22 @@ def test_pack_matches_serial_prefix_sum(spark, sf_dir):
         acc += nt
 
 
-def test_pack_bucket_count_invariance(spark, sf_dir):
-    """The range-bucket decomposition is an implementation detail: any
-    n_buckets gives the identical global prefix sum."""
+def test_pack_bucket_scheme_invariance(spark, sf_dir):
+    """The bucket decomposition is an implementation detail: any range
+    bucket count AND the default fixed-width path give the identical global
+    prefix sum."""
     docs = read_fixture(spark, sf_dir, "documents")
-    a = pack_documents(docs, seq_len=128, n_buckets=1).orderBy("doc_id").collect()
-    b = pack_documents(docs, seq_len=128, n_buckets=7).orderBy("doc_id").collect()
-    c = pack_documents(docs, seq_len=128, n_buckets=1024).orderBy("doc_id").collect()
-    assert [tuple(r) for r in a] == [tuple(r) for r in b] == [tuple(r) for r in c]
+    n = docs.count()
+    a = pack_documents(docs, seq_len=128, n_docs=n, n_buckets=1).orderBy("doc_id").collect()
+    b = pack_documents(docs, seq_len=128, n_docs=n, n_buckets=7).orderBy("doc_id").collect()
+    c = pack_documents(docs, seq_len=128).orderBy("doc_id").collect()  # fixed width
+    d = pack_documents(docs, seq_len=128, bucket_width=64).orderBy("doc_id").collect()
+    assert (
+        [tuple(r) for r in a]
+        == [tuple(r) for r in b]
+        == [tuple(r) for r in c]
+        == [tuple(r) for r in d]
+    )
 
 
 def test_packing_stats(spark, sf_dir):
@@ -63,7 +71,13 @@ def test_packing_stats(spark, sf_dir):
 
 def test_pack_empty(spark):
     empty = spark.createDataFrame([], "doc_id long, text string")
-    assert pack_documents(empty, seq_len=64, n_docs=0).count() == 0
+    assert pack_documents(empty, seq_len=64).count() == 0
+
+
+def test_remix_rates_no_target_stratum_present():
+    from engine.sample import remix_rates
+
+    assert remix_rates({"en": 100}, {"xx": 1.0}) == {"xx": 0}
 
 
 # --- decontamination -------------------------------------------------------

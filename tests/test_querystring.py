@@ -75,6 +75,27 @@ class TestGrammar:
         with pytest.raises(ValueError):
             parse_simple_query_string("   ")
 
+    def test_pure_negative_subgroup_keeps_every_exclusion(self):
+        # '(-a -b) + c' must exclude docs matching a OR b — a regression
+        # here silently dropped '-b'
+        tree, _ = _compile("(-a -b) + c")
+        assert tree == Bool(
+            must=(Term("c"),),
+            must_not=(Bool(should=(Term("a"), Term("b")), min_should=1),),
+        )
+
+    def test_pure_negative_single_subgroup_unwrapped(self):
+        tree, _ = _compile("(-a) + c")
+        assert tree == Bool(must=(Term("c"),), must_not=(Term("a"),))
+
+    def test_double_negation_cancels(self):
+        tree, _ = _compile("a --b")
+        assert tree == Bool(should=(Term("a"), Term("b")), min_should=1)
+
+    def test_lone_double_negation_is_positive(self):
+        tree, _ = _compile("--b")
+        assert tree == Term("b")
+
     def test_unbalanced_paren_rejected(self):
         with pytest.raises(ValueError):
             _compile("(a + b")
