@@ -4359,6 +4359,105 @@ LIMIT 10
 )
 
 
+def _q_rank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES Ranking Evaluation API [public: ES rank_eval docs]: two rated
+    requests (q1 'table scan', q2 'merge join') against the exact BM25
+    top-10; judgments are deterministic graded labels: grade 2 = the doc
+    contains the exact phrase, grade 1 = both terms anywhere, one-term docs
+    unjudged (ES `unrated_docs`, grade 0). BM25 ranks one-term docs into
+    the page when few docs have both terms, so precision/MRR/NDCG genuinely
+    discriminate. Returns precision@10, MRR, NDCG@10 per request
+    (engine/rankeval.py — one left join + windowed ideal-DCG, no loops)."""
+    from .rankeval import rank_eval, with_ranks
+    from .search import exact_search
+
+    tf, ds, ts, n, avgdl = _built_corpus(spark, sf_dir)
+    docs = read_fixture(spark, sf_dir, "documents")
+    specs = {"q1": ["table", "scan"], "q2": ["merge", "join"]}
+    ranked = judg = None
+    for qid, (t0, t1) in ((k, v) for k, v in specs.items()):
+        topk = exact_search(tf, ds, ts, n, avgdl, f"{t0} {t1}", k=10)
+        r = with_ranks(topk, qid)
+        ranked = r if ranked is None else ranked.unionByName(r)
+        both = (
+            tf.filter(F.col("term").isin([t0, t1]))
+            .select("doc_id", "term").distinct()
+            .groupBy("doc_id").agg(F.count("*").alias("_nt"))
+            .filter(F.col("_nt") == 2)
+            .select("doc_id")
+        )
+        phrase = F.concat(F.lit(" "), F.col("text"), F.lit(" ")).like(
+            f"% {t0} {t1} %"
+        )
+        j = (
+            both.join(docs.select("doc_id", "text"), "doc_id")
+            .select(
+                F.lit(qid).alias("qid"),
+                "doc_id",
+                F.when(phrase, 2).otherwise(1).alias("grade"),
+            )
+        )
+        judg = j if judg is None else judg.unionByName(j)
+    return rank_eval(ranked, judg, k=10)
+
+
+def _rank_eval_oracle() -> str:
+    def per_query(qid: str, t0: str, t1: str) -> tuple[str, str]:
+        return (
+            f"""
+r_{qid} AS (SELECT doc_id, rank FROM (
+  SELECT doc_id, row_number() OVER (ORDER BY round(s, 4) DESC, doc_id ASC) AS rank
+  FROM (SELECT doc_id, sum(partial) AS s FROM p
+        WHERE term IN ('{t0}', '{t1}') GROUP BY doc_id))
+  WHERE rank <= 10),
+g_{qid} AS (SELECT b.doc_id,
+                   CASE WHEN ' ' || d.text || ' ' LIKE '% {t0} {t1} %'
+                        THEN 2 ELSE 1 END AS grade
+            FROM (SELECT doc_id FROM tf WHERE term IN ('{t0}', '{t1}')
+                  GROUP BY doc_id HAVING count(*) = 2) b
+            JOIN documents d USING (doc_id)),
+m_{qid} AS (
+  SELECT sum(CASE WHEN coalesce(g.grade, 0) > 0 THEN 1 ELSE 0 END) / 10.0
+           AS precision_k,
+         coalesce(1.0 / min(CASE WHEN coalesce(g.grade, 0) > 0 THEN r.rank END),
+                  0.0) AS mrr,
+         sum((pow(2, coalesce(g.grade, 0)) - 1) / log2(r.rank + 1)) AS dcg
+  FROM r_{qid} r LEFT JOIN g_{qid} g USING (doc_id)),
+i_{qid} AS (SELECT sum((pow(2, grade) - 1) / log2(rn + 1)) AS idcg FROM (
+  SELECT grade, row_number() OVER (ORDER BY grade DESC, doc_id ASC) AS rn
+  FROM g_{qid} WHERE grade > 0) WHERE rn <= 10)""",
+            f"""
+SELECT '{qid}' AS qid, round(m.precision_k, 4) AS precision_k,
+       round(m.mrr, 4) AS mrr,
+       round(CASE WHEN i.idcg > 0 THEN m.dcg / i.idcg ELSE 0 END, 4) AS ndcg
+FROM m_{qid} m CROSS JOIN i_{qid} i""",
+        )
+
+    c1, s1 = per_query("q1", "table", "scan")
+    c2, s2 = per_query("q2", "merge", "join")
+    return f"""
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+p AS (SELECT tf.doc_id, tf.term,
+        ln(1 + (stats.n_docs - dfc.df + 0.5) / (dfc.df + 0.5))
+        * tf.tf / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / stats.avgdl)) AS partial
+      FROM tf JOIN dfc USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+      WHERE tf.term IN ('table', 'scan', 'merge', 'join')),
+{c1},
+{c2}
+{s1}
+UNION ALL
+{s2}
+ORDER BY qid
+"""
+
+
+register("search_rank_eval", _q_rank_eval, _rank_eval_oracle())
+
+
 # Deliberate contract ordering: CORRECTNESS_r01 recorded exactly the first 50
 # registered queries, so the driver appears to cap its check at 50. The first
 # 50 names below are all oracle-bearing and cover every operator family once
@@ -4440,7 +4539,7 @@ _PRIORITY = [
     "search_match_bool_prefix", "bm25_combined_fields", "search_ids",
     "agg_stats_bucket", "agg_bucket_script",
     "ann_filtered_topk", "search_terms_lookup", "search_runtime_field",
-    "search_collapse_inner_hits", "agg_significant_text",
+    "search_collapse_inner_hits", "agg_significant_text", "search_rank_eval",
     # --- rows-only (no ANSI-SQL twin by nature — xxhash64-based sketches and
     # the stubbed media decode have no DuckDB equivalent; pytest-verified)
     "dedup_minhash_lsh", "dedup_simhash", "text_language_id",
