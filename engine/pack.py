@@ -113,6 +113,52 @@ def pack_documents(
     )
 
 
+def write_training_shards(
+    docs: DataFrame,
+    packed: DataFrame,
+    path: str,
+    seq_len: int,
+    packs_per_shard: int = 4096,
+    mode: str = "overwrite",
+) -> DataFrame:
+    """Export the packed corpus as training shards: parquet partitioned by
+    `shard` (= pack_first // packs_per_shard, contiguous pack ranges), rows
+    sorted by doc_id within each shard so a loader streams the token stream
+    in order with zero shuffling at read time [public: WebDataset/Megatron
+    shard layout conventions].
+
+    Every row carries the packing span columns (tok_start, pack_first,
+    pack_last) next to the text, so a per-shard reader reconstructs exact
+    sequence boundaries — including docs straddling into the NEXT shard's
+    first pack — without any global state. One column-pruned join, one
+    partitioned write; shard count scales as total_tokens/(seq_len ×
+    packs_per_shard), keeping output files O(100 MB) at any corpus size.
+
+    Returns the per-shard manifest (shard, n_docs, n_tokens, first/last
+    pack) — tiny, suitable for a driver-side training-job planner."""
+    from .io import write_table
+
+    joined = packed.join(docs, "doc_id").withColumn(
+        "shard", (F.col("pack_first") / packs_per_shard).cast("long")
+    )
+    write_table(
+        joined.repartition("shard").sortWithinPartitions("doc_id"),
+        path,
+        mode=mode,
+        partition_by=["shard"],
+    )
+    return (
+        joined.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.min("pack_first").alias("first_pack"),
+            F.max("pack_last").alias("last_pack"),
+        )
+        .orderBy("shard")
+    )
+
+
 def packing_stats(packed: DataFrame, seq_len: int) -> DataFrame:
     """One-row summary of a pack_documents frame: total tokens, number of
     full sequences produced, and how many docs straddle a boundary (the

@@ -80,6 +80,32 @@ def test_remix_rates_no_target_stratum_present():
     assert remix_rates({"en": 100}, {"xx": 1.0}) == {"xx": 0}
 
 
+def test_write_training_shards_roundtrip(spark, sf_dir, tmp_path):
+    from engine.pack import write_training_shards
+
+    docs = read_fixture(spark, sf_dir, "documents")
+    packed = pack_documents(docs, seq_len=64)
+    out = str(tmp_path / "shards")
+    manifest = write_training_shards(
+        docs, packed, out, seq_len=64, packs_per_shard=8
+    ).collect()
+    assert len(manifest) > 1  # small packs_per_shard → multiple shards
+    back = spark.read.parquet(out)
+    # lossless: every doc present exactly once with its span columns
+    assert back.count() == docs.count()
+    assert {"doc_id", "text", "tok_start", "pack_first", "pack_last", "shard"} <= set(
+        back.columns
+    )
+    # shard = pack_first // packs_per_shard for every row
+    bad = back.filter(
+        F.col("shard") != (F.col("pack_first") / 8).cast("long")
+    ).count()
+    assert bad == 0
+    # manifest totals agree with the packed frame
+    total = sum(r["n_tokens"] for r in manifest)
+    assert total == sum(r["n_tokens"] for r in packed.collect())
+
+
 # --- decontamination -------------------------------------------------------
 
 
