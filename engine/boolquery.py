@@ -89,7 +89,19 @@ class DocSet:
     name: str
 
 
-Node = Term | Bool | DisMax | ConstantScore | Boosting | DocSet
+@dataclass(frozen=True)
+class Boost:
+    """Score multiplier on a subtree — the `clause^N` boost of the Lucene
+    query_string grammar / the `boost` parameter of every ES query clause.
+    Match semantics are the child's; only the score scales. Exact path only
+    (a boost > 1 breaks the Σ-of-leaf-partials WAND bound, so is_pure_bool
+    stays False and the tree routes through score_tree)."""
+
+    node: "Node"
+    factor: float = 1.0
+
+
+Node = Term | Bool | DisMax | ConstantScore | Boosting | DocSet | Boost
 
 
 def term(s: str) -> Term:
@@ -128,6 +140,8 @@ def collect_leaves(node: Node, negated: bool = False) -> tuple[set[str], set[str
             # the negative side only scales score — its terms must be
             # readable (a cursor exists) but never drive candidates
             add(n.negative, True)
+        elif isinstance(n, Boost):
+            add(n.node, under_not)
         elif isinstance(n, DocSet):
             pass  # membership leaf: no terms to read
         else:
@@ -230,6 +244,9 @@ def eval_tree(
             return False, 0.0
         neg_ok, _ = eval_tree(node.negative, matched, partial)
         return True, s * (node.negative_boost if neg_ok else 1.0)
+    if isinstance(node, Boost):
+        ok, s = eval_tree(node.node, matched, partial)
+        return ok, s * node.factor if ok else 0.0
     raise TypeError(f"unknown query node: {node!r}")
 
 
@@ -319,6 +336,10 @@ def _score_node(
                 * F.when(F.col("_neg").isNotNull(), F.lit(node.negative_boost))
                 .otherwise(F.lit(1.0))
             ).alias("score"),
+        )
+    if isinstance(node, Boost):
+        return _score_node(parts, node.node, docsets).select(
+            "doc_id", (F.col("score") * F.lit(float(node.factor))).alias("score")
         )
     raise TypeError(f"unknown query node: {node!r}")
 

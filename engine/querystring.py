@@ -337,3 +337,309 @@ def qs_search(
         tf, doc_stats, term_stats, n_docs, avgdl, tree,
         k=k, round_to=round_to, docsets=docsets or None,
     )
+
+
+# ---------------------------------------------------------------------------
+# full Lucene `query_string` grammar (SURVEY.md §2.D: D44) — the power-user
+# superset of simple_query_string [public: ES query_string docs; Lucene
+# classic QueryParser]: AND/OR/NOT (and &&/||/!) keyword operators,
+# `field:value` filters over document metadata columns, `clause^N` score
+# boosts, and `"..."~N` sloppy phrases. Compiled onto the same boolquery
+# tree; the extras map to DocSet filter leaves (fields), Boost nodes
+# (^N), and slop-carrying phrase DocSets.
+#
+# Pinned divergences (deterministic, documented):
+#   * precedence OR < AND < NOT, juxtaposition = default operator — the
+#     Lucene classic parser's actual behavior is famously NOT boolean-
+#     algebraic (it keeps a running modifier state); this engine pins the
+#     algebraic reading every ES client assumes;
+#   * `field:value` is filter-context (matches, scores 0) — Lucene scores
+#     constant 1·boost for it; filter-context is the ES best practice and
+#     keeps metadata predicates out of the relevance sum;
+#   * `+` requires its clause within an OR group (must) exactly like ES.
+
+
+_QS_TOKEN_RE = re.compile(
+    r"""\s*(?:
+        (?P<phrase>"[^"]*"(?:~\d+)?(?:\^\d+(?:\.\d+)?)?)
+      | (?P<lparen>\()
+      | (?P<rparen>\))
+      | (?P<andop>AND\b|&&)
+      | (?P<orop>OR\b|\|\|)
+      | (?P<notop>NOT\b|!)
+      | (?P<plus>\+)
+      | (?P<minus>-)
+      | (?P<word>[^\s()"!+\-][^\s()"]*)
+    )""",
+    re.VERBOSE,
+)
+
+
+@dataclass(frozen=True)
+class _FieldTerm:
+    """`field:value` — metadata filter leaf (filter context)."""
+
+    field: str
+    value: str
+
+
+@dataclass(frozen=True)
+class _Boosted:
+    atom: "object"
+    factor: float
+
+
+@dataclass(frozen=True)
+class _SlopPhrase:
+    text: str
+    slop: int
+
+
+@dataclass(frozen=True)
+class _Must:
+    """`+atom` inside an OR group: required, still scores."""
+
+    atom: "object"
+
+
+_FIELD_RE = re.compile(r"^([A-Za-z_][A-Za-z0-9_]*):(.+)$")
+_BOOST_RE = re.compile(r"^(.+)\^(\d+(?:\.\d+)?)$")
+_PHRASE_RE = re.compile(r'^"([^"]*)"(?:~(\d+))?(?:\^(\d+(?:\.\d+)?))?$')
+
+
+def _lex_qs(q: str) -> list[tuple[str, str]]:
+    out, i = [], 0
+    while i < len(q):
+        m = _QS_TOKEN_RE.match(q, i)
+        if not m or m.end() == i:
+            if q[i:].strip():
+                raise ValueError(f"query_string: cannot lex at {q[i:]!r}")
+            break
+        i = m.end()
+        kind = m.lastgroup
+        out.append((kind, m.group(kind)))
+    return out
+
+
+class _QSParser:
+    """Precedence climbing: OR < AND; NOT/-/! and + are clause prefixes.
+    Juxtaposition (bare whitespace between clauses) applies the default
+    operator at its own precedence level, exactly like the simple parser."""
+
+    _ATOM_STARTS = ("phrase", "lparen", "minus", "notop", "plus", "word")
+
+    def __init__(self, tokens: list[tuple[str, str]], default_operator: str):
+        if default_operator not in ("or", "and"):
+            raise ValueError(f"default_operator must be or/and: {default_operator}")
+        self.toks = tokens
+        self.pos = 0
+        self.default = default_operator
+
+    def peek(self):
+        return self.toks[self.pos] if self.pos < len(self.toks) else (None, None)
+
+    def next(self):
+        t = self.peek()
+        self.pos += 1
+        return t
+
+    def parse(self):
+        node = self.or_expr()
+        if self.peek()[0] is not None:
+            raise ValueError(f"query_string: unexpected token {self.peek()!r}")
+        return node
+
+    def or_expr(self):
+        ops = [self.and_expr()]
+        while True:
+            kind, _ = self.peek()
+            if kind == "orop":
+                self.next()
+                ops.append(self.and_expr())
+            elif self.default == "or" and kind in self._ATOM_STARTS:
+                ops.append(self.and_expr())
+            else:
+                break
+        return ops[0] if len(ops) == 1 else _Op("or", tuple(ops))
+
+    def and_expr(self):
+        ops = [self.atom()]
+        while True:
+            kind, _ = self.peek()
+            if kind == "andop":
+                self.next()
+                ops.append(self.atom())
+            elif self.default == "and" and kind in self._ATOM_STARTS:
+                ops.append(self.atom())
+            else:
+                break
+        return ops[0] if len(ops) == 1 else _Op("and", tuple(ops))
+
+    def atom(self):
+        kind, text = self.next()
+        if kind in ("minus", "notop"):
+            return _Neg(self.atom())
+        if kind == "plus":
+            return _Must(self.atom())
+        if kind == "phrase":
+            m = _PHRASE_RE.match(text)
+            node = _SlopPhrase(m.group(1), int(m.group(2) or 0))
+            if m.group(3):
+                node = _Boosted(node, float(m.group(3)))
+            return node
+        if kind == "word":
+            return self._word(text)
+        if kind == "lparen":
+            inner = self.or_expr()
+            if self.next()[0] != "rparen":
+                raise ValueError("query_string: unbalanced parenthesis")
+            # group boost: `( ... )^2` lexes the ^2 as a following word
+            nk, nt = self.peek()
+            if nk == "word" and nt.startswith("^"):
+                bm = re.match(r"^\^(\d+(?:\.\d+)?)$", nt)
+                if bm:
+                    self.next()
+                    return _Boosted(_Group(inner), float(bm.group(1)))
+            return _Group(inner)
+        raise ValueError(f"query_string: unexpected token {(kind, text)!r}")
+
+    def _word(self, text: str):
+        bm = _BOOST_RE.match(text)
+        boost = None
+        if bm:
+            text, boost = bm.group(1), float(bm.group(2))
+        fm = _FIELD_RE.match(text)
+        if fm:
+            node: object = _FieldTerm(fm.group(1), fm.group(2))
+        elif text.endswith("*") and len(text) > 1:
+            node = _Prefix(text[:-1])
+        else:
+            node = _Word(text)
+        return _Boosted(node, boost) if boost is not None else node
+
+
+def parse_query_string(q: str, default_operator: str = "or"):
+    """Full query_string → parser AST (compile with _QSCompiler)."""
+    toks = _lex_qs(q)
+    if not toks:
+        raise ValueError("empty query_string")
+    return _QSParser(toks, default_operator).parse()
+
+
+class _QSCompiler(_Compiler):
+    """Extends the simple compiler with field filters (DocSet leaves,
+    resolved against metadata columns), boosts, slop phrases, and `+`
+    must-marking inside OR groups."""
+
+    def __init__(self, expand, default_operator: str, text_field: str = "text"):
+        super().__init__(expand, default_operator)
+        self.text_field = text_field
+        self.fields: dict[str, tuple[str, str]] = {}  # DocSet name -> (col, value)
+        self.slop: dict[str, int] = {}  # phrase DocSet name -> slop
+
+    def _node(self, ast):
+        from .boolquery import Bool, Boost, DocSet, Term
+
+        if isinstance(ast, _FieldTerm):
+            if ast.field == self.text_field:
+                return super()._node(_Word(ast.value))
+            name = f"field_{len(self.fields)}"
+            self.fields[name] = (ast.field, ast.value)
+            return DocSet(name)
+        if isinstance(ast, _SlopPhrase):
+            toks = tokenize(ast.text)
+            if not toks:
+                return None
+            if len(toks) == 1:
+                return Term(toks[0])
+            name = f"phrase_{len(self.phrases)}"
+            self.phrases[name] = toks
+            self.slop[name] = ast.slop
+            return Bool(must=tuple(Term(t) for t in toks), filter=(DocSet(name),))
+        if isinstance(ast, _Boosted):
+            inner = self._node(ast.atom)
+            if inner is None:
+                return None
+            if isinstance(inner, _NegMark):
+                return inner  # boosting an excluded clause is a no-op
+            return Boost(inner, ast.factor)
+        if isinstance(ast, _Must):
+            # only meaningful inside _Op('or', ...), handled there; a bare
+            # `+atom` at the top is just the atom
+            return self._node(ast.atom)
+        if isinstance(ast, _Op) and ast.op == "or":
+            must, pos, neg = [], [], []
+            for o in ast.operands:
+                is_must = isinstance(o, _Must)
+                n = self._node(o.atom if is_must else o)
+                if n is None:
+                    continue
+                if isinstance(n, _NegMark):
+                    neg.append(n.node)
+                elif is_must:
+                    must.append(n)
+                else:
+                    pos.append(n)
+            if not must and not pos:
+                if not neg:
+                    return None
+                inner = (
+                    neg[0] if len(neg) == 1 else Bool(should=tuple(neg), min_should=1)
+                )
+                return _NegMark(inner)
+            if not pos:
+                return Bool(must=tuple(must), must_not=tuple(neg))
+            # ES: with must present, should min defaults to 0
+            return Bool(
+                must=tuple(must),
+                should=tuple(pos),
+                must_not=tuple(neg),
+                min_should=0 if must else 1,
+            )
+        return super()._node(ast)
+
+
+def full_qs_search(
+    tf: DataFrame,
+    doc_stats: DataFrame,
+    term_stats: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    query: str,
+    docs: DataFrame | None = None,
+    tf_positions: DataFrame | None = None,
+    k: int = 10,
+    default_operator: str = "or",
+    max_expansions: int = 50,
+    round_to: int | None = 4,
+) -> DataFrame:
+    """Parse + compile + score a full query_string → top-k (doc_id, score).
+
+    `docs` supplies the metadata columns for `field:value` filters (each
+    becomes a column-pruned doc-id side resolved as a DocSet leaf — at scale
+    this is a scan predicate over the doc store, pushed to parquet).
+    `tf_positions` is required for multi-term phrases."""
+    from .boolquery import tree_search
+    from .search import phrase_filter
+
+    ast = parse_query_string(query, default_operator)
+    comp = _QSCompiler(
+        lambda p: dictionary_expand(term_stats, p, max_expansions),
+        default_operator,
+    )
+    tree = comp.compile(ast)
+    docsets: dict[str, DataFrame] = {}
+    for name, terms in comp.phrases.items():
+        if tf_positions is None:
+            raise ValueError("phrase query requires tf_positions")
+        docsets[name] = phrase_filter(
+            tf_positions, terms, slop=comp.slop.get(name, 0)
+        ).select("doc_id")
+    for name, (col, value) in comp.fields.items():
+        if docs is None:
+            raise ValueError(f"field filter {col}:{value} requires the docs frame")
+        docsets[name] = docs.filter(F.col(col) == value).select("doc_id")
+    return tree_search(
+        tf, doc_stats, term_stats, n_docs, avgdl, tree,
+        k=k, round_to=round_to, docsets=docsets or None,
+    )

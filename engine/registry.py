@@ -3674,6 +3674,43 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
 )
 
 
+def _q_query_string_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Lucene query_string grammar: 'lang:en AND (merge^2 OR
+    "sort merge") NOT dup' — a metadata field filter (filter-context DocSet
+    over the doc store), a ^2 term boost (Boost node), a strict phrase, and
+    a NOT exclusion (querystring.full_qs_search → boolquery.tree_search)."""
+    from .querystring import full_qs_search
+
+    tf, ds, ts, n, avgdl = _built_corpus(spark, sf_dir)
+    return full_qs_search(
+        tf, ds, ts, n, avgdl,
+        'lang:en AND (merge^2 OR "sort merge") NOT dup',
+        docs=read_fixture(spark, sf_dir, "documents"),
+        tf_positions=_tf_positions(spark, sf_dir), k=10,
+    )
+
+
+register(
+    "search_query_string_full",
+    _q_query_string_full,
+    _TREE_TERMS_CTE(k1=BM25_K1, b=BM25_B, terms="'merge','sort','dup'")
+    + """
+, ph AS (SELECT a.doc_id, a.partial + b.partial AS s
+         FROM (SELECT doc_id, partial FROM p WHERE term = 'sort') a
+         JOIN (SELECT doc_id, partial FROM p WHERE term = 'merge') b USING (doc_id)
+         JOIN documents d ON d.doc_id = a.doc_id
+         WHERE ' ' || d.text || ' ' LIKE '% sort merge %')
+, bm AS (SELECT doc_id, 2 * partial AS s FROM p WHERE term = 'merge')
+, g AS (SELECT doc_id, sum(s) AS s
+        FROM (SELECT * FROM bm UNION ALL SELECT * FROM ph) GROUP BY doc_id)
+SELECT g.doc_id, round(g.s, 4) AS score
+FROM g JOIN documents d ON d.doc_id = g.doc_id AND d.lang = 'en'
+WHERE g.doc_id NOT IN (SELECT doc_id FROM p WHERE term = 'dup')
+ORDER BY score DESC, g.doc_id ASC LIMIT 10
+""",
+)
+
+
 # --- metric/pipeline aggregation tail (ES boxplot, MAD, string_stats,
 # top_metrics, bucket_sort, max_bucket [public ES aggs docs]) ----------------
 

@@ -167,3 +167,132 @@ class TestEndToEnd:
         tf, ds, ts, n, avgdl, _ = self._corpus(spark)
         with pytest.raises(ValueError):
             qs_search(tf, ds, ts, n, avgdl, '"sort merge"', k=10)
+
+
+# --- full query_string grammar (D44) ----------------------------------------
+
+from engine.boolquery import Boost, eval_tree
+from engine.querystring import _QSCompiler, full_qs_search, parse_query_string
+
+
+def _compile_qs(q, default_operator="or", expand=lambda p: [p + "x", p + "y"]):
+    ast = parse_query_string(q, default_operator)
+    comp = _QSCompiler(expand, default_operator)
+    return comp.compile(ast), comp
+
+
+class TestQueryStringGrammar:
+    def test_keywords_and_precedence(self):
+        tree, _ = _compile_qs("a AND b OR c")
+        assert tree == Bool(
+            should=(Bool(must=(Term("a"), Term("b")), must_not=()), Term("c")),
+            min_should=1,
+        )
+
+    def test_not_keyword_and_bang(self):
+        for q in ("a NOT b", "a !b", "a -b"):
+            tree, _ = _compile_qs(q)
+            assert tree == Bool(
+                should=(Term("a"),), must_not=(Term("b"),), min_should=1
+            ), q
+
+    def test_lowercase_and_is_a_term(self):
+        tree, _ = _compile_qs("a and b")
+        assert tree == Bool(
+            should=(Term("a"), Term("and"), Term("b")), min_should=1
+        )
+
+    def test_field_term_becomes_docset(self):
+        tree, comp = _compile_qs("lang:en AND b")
+        assert isinstance(tree.must[0], DocSet)
+        assert comp.fields[tree.must[0].name] == ("lang", "en")
+
+    def test_text_field_prefix_is_plain_word(self):
+        tree, comp = _compile_qs("text:merge")
+        assert tree == Term("merge")
+        assert comp.fields == {}
+
+    def test_term_boost(self):
+        tree, _ = _compile_qs("merge^2")
+        assert tree == Boost(Term("merge"), 2.0)
+        assert eval_tree(tree, {"merge": True}, {"merge": 1.5}) == (True, 3.0)
+
+    def test_group_boost(self):
+        tree, _ = _compile_qs("(a AND b)^2 OR c")
+        assert tree == Bool(
+            should=(Boost(Bool(must=(Term("a"), Term("b")), must_not=()), 2.0),
+                    Term("c")),
+            min_should=1,
+        )
+
+    def test_phrase_slop_and_boost(self):
+        tree, comp = _compile_qs('"a b"~2^3')
+        assert isinstance(tree, Boost) and tree.factor == 3.0
+        name = tree.node.filter[0].name
+        assert comp.phrases[name] == ["a", "b"] and comp.slop[name] == 2
+
+    def test_plus_marks_must_in_or_group(self):
+        tree, _ = _compile_qs("+table join -dup")
+        assert tree == Bool(
+            must=(Term("table"),),
+            should=(Term("join"),),
+            must_not=(Term("dup"),),
+            min_should=0,
+        )
+
+    def test_hyphenated_word_is_one_token_stream(self):
+        # leading '-' negates; an interior '-' stays in the word and the
+        # analyzer decides (covid-19 -> ['covid', '19'] under UAX#29)
+        tree, _ = _compile_qs("covid-19", default_operator="and")
+        assert tree == Bool(must=(Term("covid"), Term("19")))
+
+    def test_pure_negative_rejected(self):
+        with pytest.raises(ValueError):
+            _compile_qs("NOT a")
+
+    def test_unbalanced_paren_rejected(self):
+        with pytest.raises(ValueError):
+            _compile_qs("(a AND b")
+
+
+class TestQueryStringEndToEnd(TestEndToEnd):
+    def _docs_meta(self, spark):
+        return spark.createDataFrame(
+            [(1, "en"), (2, "en"), (3, "de"), (4, "en"), (5, "en")],
+            "doc_id long, lang string",
+        )
+
+    def test_field_filter_restricts_matches(self, spark):
+        tf, ds, ts, n, avgdl, tfp = self._corpus(spark)
+        got = full_qs_search(
+            tf, ds, ts, n, avgdl, 'lang:en AND "sort merge"',
+            docs=self._docs_meta(spark), tf_positions=tfp, k=10,
+        ).collect()
+        assert {r.doc_id for r in got} == {2}  # 3 matches the phrase but is de
+
+    def test_boost_scales_score_only(self, spark):
+        tf, ds, ts, n, avgdl, tfp = self._corpus(spark)
+        plain = full_qs_search(tf, ds, ts, n, avgdl, "merge", k=10).collect()
+        boosted = full_qs_search(tf, ds, ts, n, avgdl, "merge^2", k=10).collect()
+        assert {r.doc_id for r in plain} == {r.doc_id for r in boosted}
+        p = {r.doc_id: r.score for r in plain}
+        for r in boosted:
+            assert r.score == pytest.approx(2 * p[r.doc_id], abs=2e-4)
+
+    def test_slop_phrase_matches_reversed_within_gap(self, spark):
+        tf, ds, ts, n, avgdl, tfp = self._corpus(spark)
+        strict = full_qs_search(
+            tf, ds, ts, n, avgdl, '"merge join"', tf_positions=tfp, k=10
+        ).collect()
+        sloppy = full_qs_search(
+            tf, ds, ts, n, avgdl, '"merge join"~1', tf_positions=tfp, k=10
+        ).collect()
+        # doc 2: 'sort merge join table' strict-adjacent; slop=1 also admits
+        # one-gap ordered matches (none here beyond doc 2's)
+        assert {r.doc_id for r in strict} == {2}
+        assert {r.doc_id for r in sloppy} >= {2}
+
+    def test_field_filter_without_docs_raises(self, spark):
+        tf, ds, ts, n, avgdl, _ = self._corpus(spark)
+        with pytest.raises(ValueError):
+            full_qs_search(tf, ds, ts, n, avgdl, "lang:en AND merge", k=10)
