@@ -103,3 +103,41 @@ def geotile_grid_agg(ev: DataFrame, zoom: int = 4) -> DataFrame:
         .orderBy(F.col("doc_count").desc(), F.col("tile").asc())
         .limit(20)
     )
+
+
+def geo_bounds_agg(ev: DataFrame, group_by: str = "event_type") -> DataFrame:
+    """ES geo_bounds aggregation [public: ES geo_bounds docs]: the smallest
+    lat/lon bounding box enclosing every point, per group — top_left =
+    (max lat, min lon), bottom_right = (min lat, max lon). One hash
+    aggregate over the coordinate columns; at 100 TB this is a map-side
+    combining min/max, no different from any stats agg. (Dateline-crossing
+    minimal boxes — ES wrap_longitude — need circular statistics the fixture
+    can't express; pinned to the flat box, documented.)"""
+    return (
+        with_synthetic_coords(ev)
+        .groupBy(group_by)
+        .agg(
+            F.max("lat").alias("top_lat"),
+            F.min("lon").alias("left_lon"),
+            F.min("lat").alias("bottom_lat"),
+            F.max("lon").alias("right_lon"),
+        )
+        .orderBy(group_by)
+    )
+
+
+def geo_centroid_agg(ev: DataFrame, group_by: str = "event_type") -> DataFrame:
+    """ES geo_centroid aggregation [public: ES geo_centroid docs]: the
+    arithmetic mean location per group, plus the point count — ES's own
+    definition is the running average over lat/lon (not the spherical
+    centroid), so a plain avg matches it exactly. One hash aggregate."""
+    return (
+        with_synthetic_coords(ev)
+        .groupBy(group_by)
+        .agg(
+            F.round(F.avg("lat"), 4).alias("centroid_lat"),
+            F.round(F.avg("lon"), 4).alias("centroid_lon"),
+            F.count("*").alias("doc_count"),
+        )
+        .orderBy(group_by)
+    )

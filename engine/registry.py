@@ -4495,6 +4495,115 @@ ORDER BY qid
 register("search_rank_eval", _q_rank_eval, _rank_eval_oracle())
 
 
+# --- geo bounds/centroid aggs + pipeline corpus ops (round 3) ----------------
+
+
+def _q_geo_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES geo_bounds: per event_type, the enclosing lat/lon bounding box
+    (geo.geo_bounds_agg — one min/max hash aggregate, map-side combining)."""
+    from .geo import geo_bounds_agg
+
+    return geo_bounds_agg(_ev(spark, sf_dir))
+
+
+register(
+    "agg_geo_bounds",
+    _q_geo_bounds,
+    """
+SELECT event_type,
+       max(CAST(user_id % 179 - 89 AS DOUBLE) + 0.5) AS top_lat,
+       min(CAST(event_id % 359 - 179 AS DOUBLE) + 0.5) AS left_lon,
+       min(CAST(user_id % 179 - 89 AS DOUBLE) + 0.5) AS bottom_lat,
+       max(CAST(event_id % 359 - 179 AS DOUBLE) + 0.5) AS right_lon
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+)
+
+
+def _q_geo_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES geo_centroid: per event_type, the running-average location + point
+    count (geo.geo_centroid_agg — ES defines the centroid as the arithmetic
+    lat/lon mean, so one avg hash aggregate matches exactly)."""
+    from .geo import geo_centroid_agg
+
+    return geo_centroid_agg(_ev(spark, sf_dir))
+
+
+register(
+    "agg_geo_centroid",
+    _q_geo_centroid,
+    """
+SELECT event_type,
+       round(avg(CAST(user_id % 179 - 89 AS DOUBLE) + 0.5), 4) AS centroid_lat,
+       round(avg(CAST(event_id % 359 - 179 AS DOUBLE) + 0.5), 4) AS centroid_lon,
+       count(*) AS doc_count
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+)
+
+
+def _q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/RefinedWeb-style corpus line dedup: drop every 3-token "line"
+    appearing in ≥5 documents (boilerplate), reassemble survivors in order
+    (textops.remove_boilerplate_lines — line-df hash agg, broadcast anti-join
+    of the tiny hot set, reassembly agg)."""
+    from .textops import remove_boilerplate_lines
+
+    docs = _docs(spark, sf_dir)
+    return remove_boilerplate_lines(docs, line_tokens=3, min_df=5).orderBy("doc_id")
+
+
+register(
+    "text_line_dedup",
+    _q_line_dedup,
+    """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+                    generate_subscripts(string_split(text, ' '), 1) AS pos
+             FROM documents),
+chunks AS (SELECT doc_id, (pos - 1) // 3 AS line_no,
+                  string_agg(term, ' ' ORDER BY pos) AS line
+           FROM tok GROUP BY 1, 2),
+hot AS (SELECT line FROM (SELECT line, count(DISTINCT doc_id) AS df
+                          FROM chunks GROUP BY 1) WHERE df >= 5),
+kept AS (SELECT doc_id, line_no, line FROM chunks
+         WHERE line NOT IN (SELECT line FROM hot)),
+agg AS (SELECT doc_id, string_agg(line, ' ' ORDER BY line_no) AS kept_text,
+               CAST(count(*) AS BIGINT) AS n_kept FROM kept GROUP BY 1),
+tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines FROM chunks GROUP BY 1)
+SELECT t.doc_id, COALESCE(a.kept_text, '') AS kept_text,
+       COALESCE(a.n_kept, 0) AS n_kept,
+       t.n_lines - COALESCE(a.n_kept, 0) AS n_dropped
+FROM tot t LEFT JOIN agg a ON a.doc_id = t.doc_id ORDER BY t.doc_id
+""",
+)
+
+
+def _q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card corpus report: per (lang, source) stratum — docs, total
+    and mean tokens, mean chars, token share of the corpus
+    (textops.corpus_report — one hash aggregate + a broadcast 1-row total)."""
+    from .textops import corpus_report
+
+    return corpus_report(_docs(spark, sf_dir))
+
+
+register(
+    "corpus_report",
+    _q_corpus_report,
+    """
+WITH per AS (SELECT lang, source, count(*) AS n_docs,
+                    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+                    round(avg(len(string_split(text, ' '))), 4) AS mean_tokens,
+                    round(avg(length(text)), 4) AS mean_chars
+             FROM documents GROUP BY 1, 2)
+SELECT lang, source, n_docs, n_tokens, mean_tokens, mean_chars,
+       round(n_tokens / (SELECT CAST(sum(n_tokens) AS DOUBLE) FROM per), 4)
+         AS token_share
+FROM per ORDER BY lang, source
+""",
+)
+
+
 # Deliberate contract ordering: CORRECTNESS_r01 recorded exactly the first 50
 # registered queries, so the driver appears to cap its check at 50. The first
 # 50 names below are all oracle-bearing and cover every operator family once

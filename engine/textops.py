@@ -191,3 +191,96 @@ def repetition_score(docs: DataFrame, text_col: str = "text", min_tokens: int = 
         docs.filter(n >= min_tokens)
         .select("doc_id", n_tri.alias("n_trigrams"), dup_frac.alias("dup_trigram_frac"))
     )
+
+
+def remove_boilerplate_lines(
+    docs: DataFrame,
+    text_col: str = "text",
+    line_tokens: int = 3,
+    min_df: int = 5,
+) -> DataFrame:
+    """Corpus-level line deduplication (LLM-data-pipeline op) [public: CCNet
+    paragraph-hash dedup, Wenzek et al. 2020; RefinedWeb/FineWeb line-level
+    boilerplate removal]: drop every "line" whose document frequency across
+    the corpus reaches `min_df` — repeated navigation/footer/boilerplate
+    text — and reassemble each document from its surviving lines in order.
+
+    The driver fixtures carry no newlines, so a "line" is pinned as a
+    NON-OVERLAPPING window of `line_tokens` consecutive tokens (remainder
+    window kept) — the operator under test is the corpus-frequency dedup
+    shape, not the line splitter; a real web corpus swaps the chunker for
+    split('\\n').
+
+    Scale design: explode docs to (doc_id, line_no, line) → one hash
+    aggregate for per-line document frequency (map-side combining) → the hot
+    set (df ≥ min_df) is TINY by construction (only text repeated across
+    ≥ min_df docs) so it broadcasts into an anti-join → one hash aggregate
+    reassembles survivors. At 100 TB: two shuffles (line df, doc reassembly),
+    both combinable; lines would hash to int64 first (xxhash64) to shrink
+    the exchanges — strings kept here for oracle parity."""
+    toks = F.split(F.col(text_col), " ")
+    n_chunks = F.ceil(F.size(toks) / F.lit(line_tokens)).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(
+            F.slice(toks, i * line_tokens + 1, line_tokens), " "
+        ),
+    )
+    exploded = docs.select(
+        "doc_id", F.posexplode(lines).alias("line_no", "line")
+    )
+    hot = (
+        exploded.groupBy("line")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= min_df)
+        .select("line")
+    )
+    kept = exploded.join(F.broadcast(hot), "line", "left_anti")
+    reassembled = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("line_no", "line"))),
+                lambda s: s["line"],
+            ),
+            " ",
+        ).alias("kept_text"),
+        F.count("*").cast("bigint").alias("n_kept"),
+    )
+    totals = docs.select("doc_id", n_chunks.cast("bigint").alias("n_lines"))
+    return (
+        totals.join(reassembled, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("kept_text", F.lit("")).alias("kept_text"),
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+            (F.col("n_lines") - F.coalesce("n_kept", F.lit(0)))
+            .cast("bigint")
+            .alias("n_dropped"),
+        )
+    )
+
+
+def corpus_report(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Dataset-card summary (LLM-data-pipeline op) [public: datasheets /
+    dataset-card reporting practice, Gebru et al. 2021; Dolma/FineWeb corpus
+    reports]: per (lang, source) stratum — document count, total/mean token
+    count, mean characters, and the share of corpus tokens the stratum
+    holds. ONE pass: a single hash aggregate with map-side combine plus a
+    broadcast of the one-row grand total; at 100 TB this is the cheapest
+    query in the pipeline (two numbers per input split per stratum)."""
+    toks = F.size(F.split(F.col(text_col), " ")).cast("bigint")
+    per = docs.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(toks).alias("n_tokens"),
+        F.round(F.avg(toks), 4).alias("mean_tokens"),
+        F.round(F.avg(F.length(F.col(text_col))), 4).alias("mean_chars"),
+    )
+    total = per.agg(F.sum("n_tokens").alias("_t"))
+    return (
+        per.crossJoin(F.broadcast(total))
+        .select(
+            "lang", "source", "n_docs", "n_tokens", "mean_tokens", "mean_chars",
+            F.round(F.col("n_tokens") / F.col("_t"), 4).alias("token_share"),
+        )
+        .orderBy("lang", "source")
+    )

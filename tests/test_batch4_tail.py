@@ -87,3 +87,36 @@ def test_significant_text_foreground_is_query_match_set(spark, sf_dir):
     assert "merge" in terms
     jlh = {r.term: r.jlh for r in rows}
     assert jlh["merge"] == max(jlh.values())
+
+
+# --- geo_bounds / geo_centroid (round 3) -------------------------------------
+
+
+def test_geo_bounds_box_encloses_every_point(spark, sf_dir):
+    from engine.geo import geo_bounds_agg, with_synthetic_coords
+    from engine.io import read_fixture
+
+    ev = read_fixture(spark, sf_dir, "events")
+    boxes = {r.event_type: r for r in geo_bounds_agg(ev).collect()}
+    pts = with_synthetic_coords(ev).select("event_type", "lat", "lon").collect()
+    assert pts
+    for p in pts:
+        b = boxes[p.event_type]
+        assert b.bottom_lat <= p.lat <= b.top_lat
+        assert b.left_lon <= p.lon <= b.right_lon
+
+
+def test_geo_centroid_matches_mean(spark, sf_dir):
+    from engine.geo import geo_centroid_agg, with_synthetic_coords
+    from engine.io import read_fixture
+
+    ev = read_fixture(spark, sf_dir, "events")
+    got = {r.event_type: r for r in geo_centroid_agg(ev).collect()}
+    pdf = with_synthetic_coords(ev).select("event_type", "lat", "lon").toPandas()
+    g = pdf.groupby("event_type")
+    import pytest as _pt
+
+    for et, grp in g:
+        assert got[et].centroid_lat == _pt.approx(grp.lat.mean(), abs=2e-4)
+        assert got[et].centroid_lon == _pt.approx(grp.lon.mean(), abs=2e-4)
+        assert got[et].doc_count == len(grp)

@@ -128,3 +128,53 @@ def test_bucket_sort_offset(spark):
     )
     rows = bucket_sort_agg(df, "grp", "v", from_=1, size=2).collect()
     assert [r.grp for r in rows] == ["c", "a"]
+
+
+# --- corpus line dedup + dataset-card report (round 3) -----------------------
+
+from engine.textops import corpus_report, remove_boilerplate_lines  # noqa: E402
+
+
+def test_line_dedup_drops_only_hot_lines(spark):
+    # 'a b c' appears in 3 docs (>= min_df 3); every other line is unique
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c x y z"),
+            (2, "a b c p q r"),
+            (3, "a b c"),
+            (4, "u v w"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in remove_boilerplate_lines(docs, line_tokens=3, min_df=3).collect()
+    }
+    assert out[1].kept_text == "x y z" and out[1].n_dropped == 1
+    assert out[2].kept_text == "p q r" and out[2].n_dropped == 1
+    assert out[3].kept_text == "" and out[3].n_kept == 0 and out[3].n_dropped == 1
+    assert out[4].kept_text == "u v w" and out[4].n_dropped == 0
+
+
+def test_line_dedup_remainder_window_and_order(spark):
+    # 5 tokens at width 2 -> lines 'a b', 'c d', 'e' (remainder kept);
+    # reassembly preserves original order
+    docs = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    r = remove_boilerplate_lines(docs, line_tokens=2, min_df=2).collect()[0]
+    assert r.kept_text == "a b c d e" and r.n_kept == 3 and r.n_dropped == 0
+
+
+def test_line_dedup_df_is_per_document_not_per_occurrence(spark):
+    # the same line twice in ONE doc counts df=1 -> survives min_df=2
+    docs = spark.createDataFrame([(1, "a b a b")], "doc_id long, text string")
+    r = remove_boilerplate_lines(docs, line_tokens=2, min_df=2).collect()[0]
+    assert r.n_dropped == 0 and r.kept_text == "a b a b"
+
+
+def test_corpus_report_shares_sum_to_one(spark, sf_dir):
+    docs = read_fixture(spark, sf_dir, "documents")
+    rows = corpus_report(docs).collect()
+    assert abs(sum(r.token_share for r in rows) - 1.0) < 1e-2  # rounding
+    assert sum(r.n_docs for r in rows) == docs.count()
+    for r in rows:
+        assert r.mean_tokens > 0 and r.mean_chars > r.mean_tokens  # spaces
