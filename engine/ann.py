@@ -279,3 +279,155 @@ def load_ivf_topk(
         .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — Jégou, Douze & Schmid 2011 "Product
+# Quantization for Nearest Neighbor Search" [public]; the FAISS IVFPQ
+# compression path. Vectors are L2-normalized, split into M subspaces, and
+# each subvector is replaced by the id of its nearest per-subspace k-means
+# centroid: d·4 bytes → M codes (dim 64, M=8, ks=16 → 64× smaller). Queries
+# score against the codes with an asymmetric distance computation (ADC):
+# a tiny M×ks inner-product table is built driver-side from the raw query,
+# and each database vector's approximate cosine is Σ_m table[m][code_m] —
+# a pure array-expression lookup, whole-stage codegen, NO vector math in
+# the scan. At 100 TB this is the decisive lever: the scan touches M bytes
+# per vector instead of 256, and the table broadcast is O(M·ks) doubles.
+#
+# Every training choice is pinned deterministic so a DuckDB oracle can
+# recompute the identical codebooks from the parquet alone: train on the
+# first `sample` vec_ids, seeds = the first ks subvectors, fixed iteration
+# count, L2 assignment, empty clusters keep their previous centroid.
+
+
+def train_pq_codebooks(
+    emb: DataFrame,
+    dim: int,
+    m: int = 8,
+    ks: int = 16,
+    iters: int = 3,
+    sample: int = 2048,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """(m, ks, dim//m) codebooks via per-subspace Lloyd k-means on a bounded
+    driver-side sample (same shape as IVF's train_centroids: the sample is
+    tiny and deterministic; the expensive parts — encode and scan — stay
+    distributed)."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    rows = (
+        emb.orderBy(id_col).limit(sample).select(vec_col).collect()
+    )
+    x = np.array([r[0] for r in rows], dtype=np.float64)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    dsub = dim // m
+    books = np.zeros((m, ks, dsub))
+    for mi in range(m):
+        sub = x[:, mi * dsub : (mi + 1) * dsub]
+        cent = sub[:ks].copy()
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)  # ties → lowest id, matches arg_min
+            for j in range(ks):
+                pts = sub[assign == j]
+                if len(pts):
+                    cent[j] = pts.mean(axis=0)
+        books[mi] = cent
+    return books
+
+
+def encode_pq(
+    emb: DataFrame,
+    codebooks: np.ndarray,
+    vec_col: str = "embedding",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """Attach the M-byte PQ code array — one Arrow-batched pass, NumPy
+    argmin inner loop (the only per-vector float math left; after this the
+    raw vectors never need to be read again for candidate generation)."""
+    m, ks, dsub = codebooks.shape
+    books = codebooks  # closed over; broadcast with the task binary
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def code(s: pd.Series) -> pd.Series:
+        x = np.stack(s.map(lambda v: np.asarray(v, dtype=np.float64)).to_numpy())
+        x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        out = np.zeros((len(x), m), dtype=np.int32)
+        for mi in range(m):
+            sub = x[:, mi * dsub : (mi + 1) * dsub]
+            d2 = ((sub[:, None, :] - books[mi][None, :, :]) ** 2).sum(axis=2)
+            out[:, mi] = d2.argmin(axis=1)
+        return pd.Series(list(out))
+
+    return emb.withColumn(code_col, code(F.col(vec_col)))
+
+
+def pq_topk(
+    coded: DataFrame,
+    codebooks: np.ndarray,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    code_col: str = "pq_code",
+    round_to: int | None = 4,
+) -> DataFrame:
+    """ADC top-k: approximate cosine = Σ_m ip_table[m][code_m], where the
+    table holds inner products between the normalized query's subvectors and
+    the codebook centroids. The scan is zip_with + element_at over a literal
+    M×ks table — whole-stage codegen, then TakeOrdered. Returns
+    (vec_id, adc_score); compose with an exact-cosine rerank of the top
+    candidates when refined scores are needed (FAISS refine stage)."""
+    m, ks, dsub = codebooks.shape
+    q = _norm(query_vec)
+    tab = np.array(
+        [codebooks[mi] @ q[mi * dsub : (mi + 1) * dsub] for mi in range(m)]
+    )  # (m, ks)
+    tab_lit = F.array(
+        *[F.array(*[F.lit(float(v)) for v in row]) for row in tab]
+    )
+    adc = F.aggregate(
+        F.zip_with(
+            F.col(code_col),
+            tab_lit,
+            lambda c, row: F.element_at(row, c + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    score = F.round(adc, round_to) if round_to is not None else adc
+    return (
+        coded.select(F.col(id_col), score.alias("adc_score"))
+        .orderBy(F.col("adc_score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def pq_refined_topk(
+    coded: DataFrame,
+    codebooks: np.ndarray,
+    query_vec: list[float],
+    k: int = 10,
+    rerank: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """FAISS-style refine stage: ADC selects `rerank` candidates from the
+    codes alone, then ONLY those rows' raw vectors are read for an exact
+    cosine top-k. At scale the candidate set is k-scale tiny, so the rerank
+    join broadcasts and the raw-vector column is fetched for ~rerank rows
+    instead of the corpus — the scan cost stays M bytes/vector."""
+    cand = pq_topk(
+        coded, codebooks, query_vec, k=rerank, id_col=id_col, code_col=code_col
+    )
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    return (
+        coded.join(F.broadcast(cand.select(id_col)), id_col)
+        .select(
+            F.col(id_col),
+            F.round(cosine_expr(F.col(vec_col), q), 4).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -387,3 +387,53 @@ def tree_search(
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
         .limit(k)
     )
+
+
+def msearch_trees(
+    tf: DataFrame,
+    doc_stats: DataFrame,
+    term_stats: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    specs: dict[str, Node],
+    k: int = 10,
+    round_to: int | None = 4,
+    docsets: dict[str, DataFrame] | None = None,
+) -> DataFrame:
+    """ES `_msearch`: N heterogeneous queries answered in ONE pass [public:
+    ES multi-search API]. The union of every query's leaf terms prunes a
+    SINGLE tf scan into one shared per-(doc, term) partial frame; each
+    query then composes its own join/aggregate shape over that frame and
+    contributes its top-k under a qid label. At scale this turns N scans
+    into one — the exact-path analog of the batched WAND path
+    (searcher.search_batch), with the same amortization argument.
+
+    Returns (qid, doc_id, score) ordered by qid, score DESC, doc_id ASC."""
+    all_terms: set[str] = set()
+    for tree in specs.values():
+        pos, neg = collect_leaves(tree)
+        all_terms |= pos | neg
+    if not all_terms:
+        return tf.sparkSession.createDataFrame(
+            [], "qid string, doc_id long, score double"
+        )
+    parts = score_terms(
+        tf, doc_stats, term_stats, n_docs, avgdl, sorted(all_terms)
+    )
+    out: DataFrame | None = None
+    for qid in sorted(specs):
+        scored = _score_node(parts, specs[qid], docsets)
+        score_col = (
+            F.round(F.col("score"), round_to)
+            if round_to is not None
+            else F.col("score")
+        )
+        top = (
+            scored.select(
+                F.lit(qid).alias("qid"), "doc_id", score_col.alias("score")
+            )
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(k)
+        )
+        out = top if out is None else out.unionByName(top)
+    return out.orderBy("qid", F.col("score").desc(), F.col("doc_id").asc())

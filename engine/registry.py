@@ -4604,6 +4604,132 @@ FROM per ORDER BY lang, source
 )
 
 
+def _q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011 / FAISS IVFPQ refine):
+    64-dim vectors → 16 sub-quantizers × 16 centroids (4 bytes of codes per
+    vector, 16× compression), ADC candidate scan as a pure zip_with/
+    element_at table lookup, top-50 candidates exact-cosine reranked to 10
+    (ann.train_pq_codebooks / encode_pq / pq_refined_topk)."""
+    from .ann import encode_pq, pq_refined_topk, train_pq_codebooks
+
+    emb = read_fixture(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    books = train_pq_codebooks(emb, dim=64, m=16, ks=16, iters=3, sample=2048)
+    coded = encode_pq(emb, books)
+    return pq_refined_topk(coded, books, [float(x) for x in q], k=10, rerank=50)
+
+
+def _ann_pq_oracle(
+    m=16, ks=16, iters=3, k=10, rerank=50, sample=2048, dim=64
+) -> str:
+    """DuckDB twin of _q_ann_pq — an INDEPENDENT SQL reimplementation of the
+    whole PQ pipeline, per-subspace k-means included (same pinned recipe as
+    the IVF oracle: train on the first `sample` vec_ids, seeds = first ks
+    subvectors, fixed L2-Lloyd iteration count, empty clusters keep their
+    previous centroid), then the ADC table, the rounded-ADC candidate cut,
+    and the exact-cosine rerank. No engine state is inlined — both sides
+    derive everything from the parquet."""
+    dsub = dim // m
+    sl = f"[(s.m * {dsub} + 1):((s.m + 1) * {dsub})]"
+    l2 = (
+        "list_dot_product(s.sv, s.sv) - 2 * list_dot_product(s.sv, c.sv)"
+        " + list_dot_product(c.sv, c.sv)"
+    )
+    parts = [f"""
+e AS (SELECT vec_id, embedding::DOUBLE[] AS raw FROM embeddings),
+x AS (SELECT vec_id,
+             list_transform(raw, t -> t / greatest(sqrt(list_dot_product(raw, raw)), 1e-12)) AS v
+      FROM e),
+tr AS (SELECT vec_id, v FROM x ORDER BY vec_id LIMIT {sample}),
+sub AS (SELECT t.vec_id, s.m, t.v{sl} AS sv
+        FROM tr t CROSS JOIN range({m}) s(m)),
+c0 AS (SELECT m, j, sv FROM (
+         SELECT m, vec_id, sv,
+                row_number() OVER (PARTITION BY m ORDER BY vec_id) - 1 AS j
+         FROM sub)
+       WHERE j < {ks})"""]
+    prev = "c0"
+    for it in range(1, iters + 1):
+        parts.append(f"""
+a{it} AS (SELECT s.vec_id, s.m, arg_min(c.j, {l2}) AS j
+          FROM sub s JOIN {prev} c USING (m) GROUP BY s.vec_id, s.m),
+m{it} AS (SELECT a.m, a.j, u.pos, avg(u.val) AS mv
+          FROM a{it} a JOIN (SELECT vec_id, m, unnest(sv) AS val,
+                                    generate_subscripts(sv, 1) AS pos FROM sub) u
+               USING (vec_id, m)
+          GROUP BY a.m, a.j, u.pos),
+n{it} AS (SELECT m, j, list(mv ORDER BY pos) AS mvec FROM m{it} GROUP BY m, j),
+c{it} AS (SELECT p.m, p.j, CASE WHEN n.j IS NULL THEN p.sv ELSE n.mvec END AS sv
+          FROM {prev} p LEFT JOIN n{it} n USING (m, j))""")
+        prev = f"c{it}"
+    parts.append(f"""
+allsub AS (SELECT t.vec_id, s.m, t.v{sl} AS sv
+           FROM x t CROSS JOIN range({m}) s(m)),
+codes AS (SELECT s.vec_id, s.m, arg_min(c.j, {l2}) AS j
+          FROM allsub s JOIN {prev} c USING (m) GROUP BY s.vec_id, s.m),
+qsub AS (SELECT s.m, t.v{sl} AS sv
+         FROM (SELECT v FROM x WHERE vec_id = 0) t CROSS JOIN range({m}) s(m)),
+tab AS (SELECT c.m, c.j, list_dot_product(q.sv, c.sv) AS ip
+        FROM {prev} c JOIN qsub q USING (m)),
+adc AS (SELECT cd.vec_id, round(sum(t.ip), 4) AS adc_score
+        FROM codes cd JOIN tab t USING (m, j) GROUP BY cd.vec_id),
+cand AS (SELECT vec_id FROM adc ORDER BY adc_score DESC, vec_id ASC LIMIT {rerank})
+SELECT e.vec_id AS vec_id,
+       round(list_dot_product(e.raw, q.raw) /
+             (sqrt(list_dot_product(e.raw, e.raw)) * sqrt(list_dot_product(q.raw, q.raw))), 4) AS cosine
+FROM cand JOIN e USING (vec_id)
+CROSS JOIN (SELECT raw FROM e WHERE vec_id = 0) q
+ORDER BY cosine DESC, e.vec_id ASC
+LIMIT {k}""")
+    return "WITH " + ",".join(parts)
+
+
+register("ann_pq_topk", _q_ann_pq, _ann_pq_oracle())
+
+
+def _q_msearch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES _msearch: three heterogeneous queries (AND, OR, must_not) in one
+    request — one shared pruned tf scan feeds every query's compose
+    (boolquery.msearch_trees; the exact-path analog of the batched WAND
+    path's N-scans→1 amortization)."""
+    from .boolquery import Bool, Term, msearch_trees
+
+    tf, ds, ts, n, avgdl = _built_corpus(spark, sf_dir)
+    specs = {
+        "q1": Bool(must=(Term("table"), Term("join"))),
+        "q2": Bool(should=(Term("sort"), Term("merge")), min_should=1),
+        "q3": Bool(must=(Term("scan"),), must_not=(Term("dup"),)),
+    }
+    return msearch_trees(tf, ds, ts, n, avgdl, specs, k=10)
+
+
+register(
+    "search_msearch",
+    _q_msearch,
+    _TREE_TERMS_CTE(k1=BM25_K1, b=BM25_B,
+                    terms="'table','join','sort','merge','scan','dup'")
+    + """
+, q1 AS (SELECT 'q1' AS qid, doc_id, round(s, 4) AS score FROM (
+    SELECT a.doc_id, a.partial + b.partial AS s
+    FROM (SELECT doc_id, partial FROM p WHERE term = 'table') a
+    JOIN (SELECT doc_id, partial FROM p WHERE term = 'join') b USING (doc_id))
+  ORDER BY score DESC, doc_id ASC LIMIT 10)
+, q2 AS (SELECT 'q2' AS qid, doc_id, round(sum(partial), 4) AS score FROM p
+         WHERE term IN ('sort', 'merge') GROUP BY doc_id
+         ORDER BY score DESC, doc_id ASC LIMIT 10)
+, q3 AS (SELECT 'q3' AS qid, doc_id, round(partial, 4) AS score FROM p
+         WHERE term = 'scan'
+           AND doc_id NOT IN (SELECT doc_id FROM p WHERE term = 'dup')
+         ORDER BY score DESC, doc_id ASC LIMIT 10)
+SELECT qid, doc_id, score
+FROM (SELECT * FROM q1 UNION ALL SELECT * FROM q2 UNION ALL SELECT * FROM q3)
+ORDER BY qid, score DESC, doc_id ASC
+""",
+)
+
+
 # Deliberate contract ordering: CORRECTNESS_r01 recorded exactly the first 50
 # registered queries, so the driver appears to cap its check at 50. The first
 # 50 names below are all oracle-bearing and cover every operator family once

@@ -185,3 +185,37 @@ def test_search_tree_respects_tombstones(spark, index, exact):
     excl = spark.createDataFrame([(base[0][0],)], "doc_id long")
     after = _collect(index.search_tree(tree, k=5, round_to=4, exclude=excl))
     assert base[0][0] not in [d for d, _ in after]
+
+
+# --- msearch (round 3) --------------------------------------------------------
+
+
+def test_msearch_equals_per_query_tree_search(exact):
+    from engine.boolquery import msearch_trees, tree_search
+
+    tf, ds, ts, n, avgdl = exact
+    specs = {
+        "q1": Bool(must=(Term("table"), Term("join"))),
+        "q2": Bool(should=(Term("sort"), Term("merge")), min_should=1),
+        "q3": Bool(must=(Term("scan"),), must_not=(Term("dup"),)),
+    }
+    batched = msearch_trees(tf, ds, ts, n, avgdl, specs, k=10).collect()
+    assert len(batched) > 0
+    by_qid = {}
+    for r in batched:
+        by_qid.setdefault(r.qid, []).append((r.doc_id, r.score))
+    for qid, tree in specs.items():
+        single = [
+            (r.doc_id, r.score)
+            for r in tree_search(tf, ds, ts, n, avgdl, tree, k=10).collect()
+        ]
+        assert by_qid.get(qid, []) == single, qid
+
+
+def test_msearch_empty_specs(exact):
+    from engine.boolquery import msearch_trees
+
+    tf, ds, ts, n, avgdl = exact
+    out = msearch_trees(tf, ds, ts, n, avgdl, {}, k=10)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["qid", "doc_id", "score"]
