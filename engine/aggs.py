@@ -617,3 +617,32 @@ def max_bucket_agg(df: DataFrame, ts_col: str, unit: str = "month") -> DataFrame
         F.count("*").alias("doc_count")
     )
     return hist.orderBy(F.col("doc_count").desc(), F.col("bucket").asc()).limit(1)
+
+
+def children_agg(
+    parents: DataFrame,
+    children: DataFrame,
+    join_key: str,
+    bucket_col: str,
+    value_col: str,
+) -> DataFrame:
+    """ES `children` aggregation [public: ES children agg docs]: bucket the
+    PARENT documents, then compute metrics over each bucket's CHILD
+    documents (join-field analytics). Scale shape: the child side reduces to
+    one row per join key FIRST (map-side-combining hash aggregate — the
+    fan-in happens before any join), then joins the parent attributes and
+    re-aggregates per bucket; children never fan out across the join."""
+    child_per_key = children.groupBy(join_key).agg(
+        F.count("*").alias("_cnt"), F.sum(value_col).alias("_sum")
+    )
+    return (
+        parents.select(join_key, bucket_col)
+        .join(child_per_key, join_key, "left")
+        .groupBy(bucket_col)
+        .agg(
+            F.count("*").alias("parent_count"),
+            F.sum(F.coalesce("_cnt", F.lit(0))).cast("bigint").alias("child_count"),
+            F.round(F.sum(F.coalesce("_sum", F.lit(0.0))), 4).alias("child_sum"),
+        )
+        .orderBy(bucket_col)
+    )

@@ -105,3 +105,27 @@ def remix_to_target(
         stratified_sample(docs, strata_col, rates, denom, hash_expr, id_col),
         rates,
     )
+
+
+def training_shuffle(
+    docs: DataFrame,
+    key_col: str = "doc_id",
+    n_shards: int | None = None,
+) -> DataFrame:
+    """Deterministic global shuffle for training-example order (LLM-data-
+    pipeline op) [public: fixed-seed shuffling in GPT/T5/Dolma pipeline
+    descriptions]: every document gets a content-derived `shuffle_key`
+    (the same portable multiplicative hash the sampler pins, so the order
+    is reproducible across runs, partitions, and cluster sizes — never
+    rand()). Passing `n_shards` also assigns `shard = shuffle_key mod
+    n_shards` for a shard-then-sort-within layout: at scale the writer
+    range-partitions on (shard, shuffle_key) and sorts within partitions —
+    a total order WITHOUT any single-partition window; readers stream
+    shards independently."""
+    key = portable_hash_expr(key_col)
+    out = docs.withColumn("shuffle_key", key)
+    if n_shards is not None:
+        out = out.withColumn(
+            "shard", (F.col("shuffle_key") % n_shards).cast("int")
+        )
+    return out

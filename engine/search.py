@@ -489,3 +489,70 @@ def pinned_topk(
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
         .limit(k)
     )
+
+
+def intervals_all_of(
+    tf_with_pos: DataFrame,
+    terms: list[str],
+    max_gaps: int = 0,
+    ordered: bool = False,
+) -> DataFrame:
+    """ES/Lucene `intervals` query, `all_of` source [public: ES intervals
+    query docs; Lucene intervals]: docs containing a minimal window that
+    holds EVERY term with at most `max_gaps` non-matching positions inside
+    it (window width − k); `ordered` additionally requires the terms to
+    appear in list order. Subsumes span_near (k=2) and generalizes phrase
+    (ordered, max_gaps=0).
+
+    Supports k=2 or 3 via nested position-array transforms — pure per-row
+    expressions over the C2 position lists, so the only exchange is the
+    doc_id-equi join of k term-pruned tf slices (each filter-pushed to the
+    scan; position arrays are bounded by dl, the combo work is O(dl^k) on
+    arrays that never leave the row). Larger k wants the classic k-way
+    merged-list minimal-window sweep, which needs per-row state — raise
+    rather than silently degrade. Returns (doc_id, min_gaps)."""
+    k = len(terms)
+    if k not in (2, 3):
+        raise ValueError(f"intervals_all_of supports 2 or 3 terms, got {k}")
+    j: DataFrame | None = None
+    for i, t in enumerate(terms):
+        s = tf_with_pos.filter(F.col("term") == t).select(
+            "doc_id", F.col("positions").alias(f"_p{i}")
+        )
+        j = s if j is None else j.join(s, "doc_id")
+    if k == 2:
+        if ordered:
+            gap = lambda a, b: F.when(a < b, b - a - 1)  # noqa: E731
+        else:
+            gap = lambda a, b: F.abs(b - a) - 1  # noqa: E731
+        combos = F.flatten(
+            F.transform(
+                F.col("_p0"),
+                lambda a: F.transform(F.col("_p1"), lambda b: gap(a, b)),
+            )
+        )
+    else:
+        if ordered:
+            gap3 = lambda a, b, c: F.when((a < b) & (b < c), c - a - 2)  # noqa: E731
+        else:
+            gap3 = (  # noqa: E731
+                lambda a, b, c: F.greatest(a, b, c) - F.least(a, b, c) - 2
+            )
+        combos = F.flatten(
+            F.flatten(
+                F.transform(
+                    F.col("_p0"),
+                    lambda a: F.transform(
+                        F.col("_p1"),
+                        lambda b: F.transform(
+                            F.col("_p2"), lambda c: gap3(a, b, c)
+                        ),
+                    ),
+                )
+            )
+        )
+    min_gaps = F.array_min(F.filter(combos, lambda g: g.isNotNull()))
+    return (
+        j.select("doc_id", min_gaps.cast("long").alias("min_gaps"))
+        .filter(F.col("min_gaps").isNotNull() & (F.col("min_gaps") <= max_gaps))
+    )

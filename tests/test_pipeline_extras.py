@@ -244,3 +244,38 @@ def test_sample_plan_is_shuffle_free(spark, sf_dir):
     kept = stratified_sample(docs, "lang", {"en": 50, "zh": 100})
     plan = kept._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# --- deterministic training shuffle (round 3) ---------------------------------
+
+
+def test_training_shuffle_parallelism_invariant(spark, sf_dir):
+    from engine.sample import training_shuffle
+
+    docs = read_fixture(spark, sf_dir, "documents")
+    a = training_shuffle(docs, n_shards=8).select(
+        "doc_id", "shuffle_key", "shard"
+    )
+    b = training_shuffle(docs.repartition(17), n_shards=8).select(
+        "doc_id", "shuffle_key", "shard"
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    rows = a.collect()
+    assert all(0 <= r.shard < 8 for r in rows)
+    assert all(r.shuffle_key == ((r.doc_id % (1 << 20)) * 2654435761 + 12345) % (1 << 32) for r in rows)
+
+
+def test_children_agg_zero_child_bucket(spark):
+    from engine.aggs import children_agg
+
+    parents = spark.createDataFrame(
+        [(1, "A"), (2, "A"), (3, "B")], "custkey long, seg string"
+    )
+    children = spark.createDataFrame(
+        [(1, 10.0), (1, 5.0), (2, 1.0)], "custkey long, price double"
+    )
+    out = {r.seg: r for r in children_agg(parents, children, "custkey", "seg", "price").collect()}
+    assert out["A"].parent_count == 2 and out["A"].child_count == 3
+    assert out["A"].child_sum == 16.0
+    assert out["B"].parent_count == 1 and out["B"].child_count == 0
+    assert out["B"].child_sum == 0.0

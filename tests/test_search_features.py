@@ -237,3 +237,77 @@ class TestPinned:
         scored = spark.createDataFrame([(1, 5.0)], "doc_id long, score double")
         rows = pinned_topk(scored, [99], k=3).collect()
         assert [r.doc_id for r in rows] == [99, 1]
+
+
+# --- intervals all_of (round 3) -----------------------------------------------
+
+
+class TestIntervals:
+    def _tfp(self, spark, rows):
+        data = []
+        for doc_id, text in rows:
+            toks = text.split()
+            seen = {}
+            for i, t in enumerate(toks):
+                seen.setdefault(t, []).append(i)
+            for t, ps in seen.items():
+                data.append((doc_id, t, len(ps), ps))
+        return spark.createDataFrame(
+            data, "doc_id long, term string, tf long, positions array<int>"
+        )
+
+    def test_unordered_minimal_window(self, spark):
+        from engine.search import intervals_all_of
+
+        tfp = self._tfp(
+            spark,
+            [
+                (1, "a x b x x c"),   # window a..c width 6, gaps 3
+                (2, "c b a"),         # any order, gaps 0
+                (3, "a x x x x x b x x c"),  # gaps 7
+                (4, "a b"),           # missing c -> no match
+            ],
+        )
+        got = {
+            r.doc_id: r.min_gaps
+            for r in intervals_all_of(tfp, ["a", "b", "c"], max_gaps=3).collect()
+        }
+        assert got == {1: 3, 2: 0}
+
+    def test_ordered_requires_list_order(self, spark):
+        from engine.search import intervals_all_of
+
+        tfp = self._tfp(spark, [(1, "c b a"), (2, "a b c")])
+        got = {
+            r.doc_id: r.min_gaps
+            for r in intervals_all_of(
+                tfp, ["a", "b", "c"], max_gaps=0, ordered=True
+            ).collect()
+        }
+        assert got == {2: 0}
+
+    def test_two_term_unordered_matches_span_near(self, spark, sf_dir):
+        from engine.corpus import tf_table, tokens, with_tokens
+        from engine.io import read_fixture
+        from engine.search import intervals_all_of, span_near_filter
+
+        d = read_fixture(spark, sf_dir, "documents")
+        tfp = tf_table(tokens(with_tokens(d)), with_positions=True)
+        a = {
+            (r.doc_id, r.min_gaps)
+            for r in intervals_all_of(tfp, ["table", "scan"], max_gaps=3).collect()
+        }
+        b = {
+            (r.doc_id, int(r.min_gap))
+            for r in span_near_filter(tfp, "table", "scan", slop=3).collect()
+        }
+        assert a == b and a
+
+    def test_k4_raises(self, spark):
+        from engine.search import intervals_all_of
+
+        tfp = self._tfp(spark, [(1, "a b c d")])
+        import pytest as _pt
+
+        with _pt.raises(ValueError):
+            intervals_all_of(tfp, ["a", "b", "c", "d"])
