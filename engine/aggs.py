@@ -646,3 +646,92 @@ def children_agg(
         )
         .orderBy(bucket_col)
     )
+
+
+def parent_agg(
+    parents: DataFrame,
+    children: DataFrame,
+    join_key: str,
+    child_bucket_col: str,
+    parent_value_col: str,
+) -> DataFrame:
+    """ES `parent` aggregation [public: ES parent agg docs] — the inverse of
+    children_agg: bucket by a CHILD field, then compute metrics over the
+    distinct PARENT documents reachable from each bucket. Scale shape: the
+    child side collapses to distinct (bucket, key) pairs FIRST (hash
+    distinct with map-side combine — one row per parent per bucket, however
+    many children it has), then an equi-join picks up parent attributes;
+    parents are never replicated per child row."""
+    keys = children.select(child_bucket_col, join_key).distinct()
+    return (
+        keys.join(parents.select(join_key, parent_value_col), join_key)
+        .groupBy(child_bucket_col)
+        .agg(
+            F.count("*").alias("parent_count"),
+            F.round(F.avg(parent_value_col), 4).alias("parent_avg"),
+        )
+        .orderBy(child_bucket_col)
+    )
+
+
+def categorize_text_agg(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_tokens: int = 3,
+    top: int = 10,
+) -> DataFrame:
+    """ES `categorize_text` aggregation [public: ES categorize_text docs],
+    deterministic core: collapse semi-structured messages into categories by
+    keying on the first `n_tokens` purely-alphabetic tokens (numbers, ids,
+    and mixed tokens are the variable parts ES's categorizer drops). Pure
+    per-row array expressions + ONE hash aggregate — no shuffle before the
+    category key exists, so the reduce is on |categories|, not |docs|."""
+    toks = F.split(F.col(text_col), " ")
+    sig = F.concat_ws(
+        " ", F.slice(F.filter(toks, lambda t: t.rlike("^[a-z]+$")), 1, n_tokens)
+    )
+    return (
+        docs.select(sig.alias("category"))
+        .filter(F.col("category") != "")
+        .groupBy("category")
+        .agg(F.count("*").alias("doc_count"))
+        .orderBy(F.col("doc_count").desc(), F.col("category").asc())
+        .limit(top)
+    )
+
+
+def frequent_pairs_agg(
+    tf: DataFrame,
+    term_stats: DataFrame,
+    min_df: int = 20,
+    max_df: int = 100,
+    min_support: int = 10,
+    top: int = 20,
+) -> DataFrame:
+    """ES `frequent_item_sets` aggregation [public: ES frequent_item_sets
+    docs; Agrawal & Srikant Apriori], 2-item-set form over document terms.
+    Apriori pruning IS the scale story: a pair can only reach `min_support`
+    if both members do, so the vocabulary is cut to df ∈ [min_df, max_df]
+    BEFORE any pair is generated (broadcast semi-join of the tiny vocab);
+    the per-doc self-join then blows up on ≤ |vocab ∩ doc| items, never dl,
+    and the max_df cap bounds the join fan-out exactly like the hot-shingle
+    cap in n-gram dedup."""
+    vocab = term_stats.filter(
+        (F.col("df") >= min_df) & (F.col("df") <= max_df)
+    ).select("term")
+    items = (
+        tf.join(F.broadcast(vocab), "term", "left_semi")
+        .select("doc_id", "term")
+        .distinct()
+    )
+    a = items.withColumnRenamed("term", "term_a")
+    b = items.withColumnRenamed("term", "term_b")
+    return (
+        a.join(b, "doc_id")
+        .filter(F.col("term_a") < F.col("term_b"))
+        .groupBy("term_a", "term_b")
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= min_support)
+        .orderBy(F.col("support").desc(), F.col("term_a").asc(), F.col("term_b").asc())
+        .limit(top)
+    )

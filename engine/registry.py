@@ -4924,3 +4924,233 @@ def oracle_sql() -> dict[str, str]:
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Flagship query: AND-conjunction BM25 top-10 over documents."""
     return _QUERIES["bm25_and"](spark, sf_dir)
+
+
+def _q_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval, ES `rrf` retriever: BM25 lexical top-50 for
+    'window stream' fused with cosine-kNN top-50 for the vec_id-0 query
+    embedding (search.rrf_fuse — each retriever's distributed top-window is
+    computed upstream; the fuse is coordinator-sized, never corpus-sized)."""
+    from .ann import brute_force_topk
+    from .search import rrf_fuse
+
+    tf, ds, ts, n, avgdl = _built_corpus(spark, sf_dir)
+    lexical = exact_search(tf, ds, ts, n, avgdl, "window stream", k=50, mode="or")
+    emb = read_fixture(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    knn = (
+        brute_force_topk(
+            emb.withColumn("embedding", F.col("embedding").cast("array<double>")),
+            [float(x) for x in qv],
+            k=50,
+        )
+        .withColumnRenamed("vec_id", "doc_id")
+        .withColumnRenamed("cosine", "score")
+    )
+    return rrf_fuse([lexical, knn], k=10, rank_constant=60)
+
+
+register(
+    "search_rrf_hybrid",
+    _q_rrf_hybrid,
+    f"""
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+bm_scores AS (
+  SELECT tf.doc_id,
+         round(sum( ln(1 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / stats.avgdl)) ), 4) AS score
+  FROM tf
+  JOIN (SELECT term, count(*) AS df FROM tf GROUP BY 1) df USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats
+  WHERE tf.term IN ('window', 'stream')
+  GROUP BY tf.doc_id
+),
+bm AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r
+  FROM bm_scores ORDER BY score DESC, doc_id ASC LIMIT 50
+),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+kn_scores AS (
+  SELECT e.vec_id AS doc_id, round(
+      list_sum(list_transform(range(1,65),
+          i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+    / (sqrt(list_sum(list_transform(range(1,65), i -> CAST(e.embedding[i] AS DOUBLE)**2)))
+     * sqrt(list_sum(list_transform(range(1,65), i -> CAST(q.qv[i] AS DOUBLE)**2)))), 4)
+    AS score
+  FROM embeddings e CROSS JOIN q
+),
+kn AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r
+  FROM kn_scores ORDER BY score DESC, doc_id ASC LIMIT 50
+),
+u AS (
+  SELECT doc_id, 1.0 / (60 + r) AS c FROM bm
+  UNION ALL
+  SELECT doc_id, 1.0 / (60 + r) AS c FROM kn
+)
+SELECT doc_id, round(sum(c), 4) AS rrf_score
+FROM u GROUP BY doc_id
+ORDER BY rrf_score DESC, doc_id ASC LIMIT 10
+""",
+)
+
+
+def _q_parent_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES parent agg: order children bucketed by priority, distinct parent
+    customers counted + acctbal averaged per bucket (aggs.parent_agg —
+    child side collapses to distinct (bucket, key) before the join)."""
+    from .aggs import parent_agg
+
+    cust = read_fixture(spark, sf_dir, "customer").withColumnRenamed(
+        "c_custkey", "custkey"
+    )
+    orders = read_fixture(spark, sf_dir, "orders").withColumnRenamed(
+        "o_custkey", "custkey"
+    )
+    return parent_agg(cust, orders, "custkey", "o_orderpriority", "c_acctbal")
+
+
+register(
+    "agg_parent",
+    _q_parent_agg,
+    """
+WITH keys AS (SELECT DISTINCT o_orderpriority, o_custkey FROM orders)
+SELECT k.o_orderpriority, count(*) AS parent_count,
+       round(avg(c.c_acctbal), 4) AS parent_avg
+FROM keys k JOIN customer c ON c.c_custkey = k.o_custkey
+GROUP BY k.o_orderpriority ORDER BY k.o_orderpriority
+""",
+)
+
+
+def _q_categorize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES categorize_text: top-10 message categories keyed on the first 3
+    purely-alphabetic tokens (aggs.categorize_text_agg — per-row key
+    derivation, one hash agg on |categories|)."""
+    from .aggs import categorize_text_agg
+
+    return categorize_text_agg(_docs(spark, sf_dir), n_tokens=3, top=10)
+
+
+register(
+    "agg_categorize_text",
+    _q_categorize_text,
+    r"""
+SELECT category, CAST(count(*) AS BIGINT) AS doc_count FROM (
+  SELECT array_to_string(
+           list_filter(string_split(text, ' '),
+                       t -> regexp_full_match(t, '[a-z]+'))[1:3], ' ') AS category
+  FROM documents)
+WHERE category <> ''
+GROUP BY category ORDER BY doc_count DESC, category ASC LIMIT 10
+""",
+)
+
+
+def _q_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES frequent_item_sets (2-item sets over terms): co-occurring term
+    pairs with support >= 10 from the df-[20,100] vocabulary
+    (aggs.frequent_pairs_agg — Apriori df pruning bounds the pair join)."""
+    from .aggs import frequent_pairs_agg
+
+    tf, _, ts, _, _ = _built_corpus(spark, sf_dir)
+    return frequent_pairs_agg(
+        tf, ts, min_df=20, max_df=100, min_support=10, top=20
+    )
+
+
+register(
+    "agg_frequent_pairs",
+    _q_frequent_pairs,
+    """
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dfv AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+vocab AS (SELECT term FROM dfv WHERE df BETWEEN 20 AND 100),
+items AS (SELECT DISTINCT doc_id, term FROM tf WHERE term IN (SELECT term FROM vocab))
+SELECT a.term AS term_a, b.term AS term_b, CAST(count(*) AS BIGINT) AS support
+FROM items a JOIN items b ON a.doc_id = b.doc_id AND a.term < b.term
+GROUP BY 1, 2 HAVING count(*) >= 10
+ORDER BY support DESC, term_a ASC, term_b ASC LIMIT 20
+""",
+)
+
+
+def _q_span_not(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES span_not: 'scan' occurrences with no 'slow' within +/-2 positions
+    (search.span_not_filter — left join of two term-pruned tf slices)."""
+    from .search import span_not_filter
+
+    tfp = _tf_positions(spark, sf_dir)
+    return span_not_filter(tfp, "scan", "slow", pre=2, post=2).orderBy("doc_id")
+
+
+register(
+    "search_span_not",
+    _q_span_not,
+    _TOK_POS_CTE
+    + """
+SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_spans
+FROM tok a
+WHERE a.term = 'scan' AND NOT EXISTS (
+  SELECT 1 FROM tok b
+  WHERE b.doc_id = a.doc_id AND b.term = 'slow'
+    AND b.pos BETWEEN a.pos - 2 AND a.pos + 2)
+GROUP BY a.doc_id ORDER BY a.doc_id
+""",
+)
+
+
+def _q_count_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES _count API: number of docs matching 'scan AND filter' — the
+    match set reduces map-side (groupBy doc_id with countDistinct term),
+    the final count is a single-row aggregate; no doc payload moves."""
+    tf, _, _, _, _ = _built_corpus(spark, sf_dir)
+    matched = (
+        tf.filter(F.col("term").isin("scan", "filter"))
+        .groupBy("doc_id")
+        .agg(F.countDistinct("term").alias("m"))
+        .filter(F.col("m") == 2)
+    )
+    return matched.agg(F.count("*").cast("bigint").alias("total"))
+
+
+register(
+    "search_count",
+    _q_count_api,
+    """
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+SELECT CAST(count(*) AS BIGINT) AS total FROM (
+  SELECT doc_id FROM toks WHERE term IN ('scan', 'filter')
+  GROUP BY doc_id HAVING count(DISTINCT term) = 2)
+""",
+)
+
+
+def _q_terms_enum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES _terms_enum API: index terms with prefix 'sc' + doc counts, first
+    20 in term order — served straight from the cached term dictionary
+    (C4 term_stats), a prefix-pruned scan of |V|, never the corpus."""
+    _, _, ts, _, _ = _built_corpus(spark, sf_dir)
+    return (
+        ts.filter(F.col("term").startswith("sc"))
+        .select("term", F.col("df").cast("bigint").alias("df"))
+        .orderBy("term")
+        .limit(20)
+    )
+
+
+register(
+    "search_terms_enum",
+    _q_terms_enum,
+    """
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2)
+SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf
+WHERE term LIKE 'sc%' GROUP BY term ORDER BY term LIMIT 20
+""",
+)

@@ -556,3 +556,77 @@ def intervals_all_of(
         j.select("doc_id", min_gaps.cast("long").alias("min_gaps"))
         .filter(F.col("min_gaps").isNotNull() & (F.col("min_gaps") <= max_gaps))
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 10,
+    rank_constant: int = 60,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """ES reciprocal-rank-fusion retriever [public: ES `rrf` retriever docs;
+    Cormack & Clarke SIGIR'09]: fuse N retrievers' rankings into one list by
+    rrf_score(d) = Σ_r 1/(rank_constant + rank_r(d)) over the retrievers
+    whose top-window list contains d, then take the global top-k.
+
+    Scale shape mirrors ES exactly: each input DataFrame is a retriever's
+    already-computed top-window list (TakeOrdered — bounded at
+    rank_window_size rows, distributed upstream), so the fuse itself is
+    coordinator-sized work: the per-retriever row_number windows and the
+    final union+groupBy run over ≤ Σ window_r rows regardless of corpus
+    size. Ranks are taken over (score desc, id asc) — callers must pass
+    rounded scores (exact_search/brute_force_topk round to 4) so rank order
+    is engine-stable. Returns (id_col, rrf_score)."""
+    from pyspark.sql import Window
+
+    fused: DataFrame | None = None
+    for r in rankings:
+        w = Window.orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+        contrib = r.select(
+            F.col(id_col),
+            (F.lit(1.0) / (F.lit(rank_constant) + F.row_number().over(w)))
+            .alias("_c"),
+        )
+        fused = contrib if fused is None else fused.unionByName(contrib)
+    assert fused is not None, "rrf_fuse needs at least one ranking"
+    return (
+        fused.groupBy(id_col)
+        .agg(F.round(F.sum("_c"), 4).alias("rrf_score"))
+        .orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def span_not_filter(
+    tf_with_pos: DataFrame,
+    include_term: str,
+    exclude_term: str,
+    pre: int = 0,
+    post: int = 0,
+) -> DataFrame:
+    """ES/Lucene `span_not` [public: ES span_not query docs]: match docs
+    where `include_term` has at least one occurrence with NO `exclude_term`
+    occurrence in the window [pos-pre, pos+post]. Same shape as span_near:
+    the check is a pure array expression over the C2 position lists, the
+    only exchange is a doc_id-equi LEFT join of two term-pruned tf slices
+    (a doc with zero exclude occurrences keeps every include position).
+    Returns (doc_id, n_spans) — the count of surviving occurrences."""
+    inc = tf_with_pos.filter(F.col("term") == include_term).select(
+        "doc_id", F.col("positions").alias("pi")
+    )
+    exc = tf_with_pos.filter(F.col("term") == exclude_term).select(
+        "doc_id", F.col("positions").alias("pe")
+    )
+    j = inc.join(exc, "doc_id", "left")
+    surviving = F.filter(
+        F.col("pi"),
+        lambda p: ~F.exists(
+            F.coalesce(F.col("pe"), F.array()),
+            lambda e: (e >= p - pre) & (e <= p + post),
+        ),
+    )
+    return (
+        j.select("doc_id", F.size(surviving).cast("long").alias("n_spans"))
+        .filter(F.col("n_spans") > 0)
+    )

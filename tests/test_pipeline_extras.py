@@ -279,3 +279,60 @@ def test_children_agg_zero_child_bucket(spark):
     assert out["A"].child_sum == 16.0
     assert out["B"].parent_count == 1 and out["B"].child_count == 0
     assert out["B"].child_sum == 0.0
+
+
+# --- parent / categorize_text / frequent pairs (round 3) ----------------------
+
+
+def test_parent_agg_dedups_parents(spark):
+    from engine.aggs import parent_agg
+
+    parents = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], "custkey long, bal double"
+    )
+    children = spark.createDataFrame(
+        [(1, "HI"), (1, "HI"), (1, "LO"), (2, "HI")], "custkey long, prio string"
+    )
+    out = {
+        r.prio: r
+        for r in parent_agg(parents, children, "custkey", "prio", "bal").collect()
+    }
+    # parent 1 has two HI children but counts once per bucket
+    assert out["HI"].parent_count == 2 and out["HI"].parent_avg == 15.0
+    assert out["LO"].parent_count == 1 and out["LO"].parent_avg == 10.0
+
+
+def test_categorize_text_drops_variable_tokens(spark):
+    from engine.aggs import categorize_text_agg
+
+    docs = spark.createDataFrame(
+        [
+            (1, "failed to connect node17 retry"),
+            (2, "failed to connect node99 retry"),
+            (3, "ok"),
+            (4, "123 456"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = categorize_text_agg(docs, n_tokens=3).collect()
+    got = {r.category: r.doc_count for r in rows}
+    assert got == {"failed to connect": 2, "ok": 1}
+
+
+def test_frequent_pairs_respects_support_and_vocab(spark):
+    from engine.aggs import frequent_pairs_agg
+
+    # docs: pair (a,b) co-occurs 3x; c too rare (df=1); d co-occurs with a 1x
+    tf = spark.createDataFrame(
+        [(1, "a", 1), (1, "b", 1), (2, "a", 1), (2, "b", 1),
+         (3, "a", 1), (3, "b", 1), (3, "d", 1), (4, "c", 1)],
+        "doc_id long, term string, tf long",
+    )
+    ts = spark.createDataFrame(
+        [("a", 3, 3), ("b", 3, 3), ("c", 1, 1), ("d", 1, 1)],
+        "term string, df long, cf long",
+    )
+    rows = frequent_pairs_agg(
+        tf, ts, min_df=2, max_df=10, min_support=2, top=5
+    ).collect()
+    assert [(r.term_a, r.term_b, r.support) for r in rows] == [("a", "b", 3)]

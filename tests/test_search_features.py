@@ -311,3 +311,77 @@ class TestIntervals:
 
         with _pt.raises(ValueError):
             intervals_all_of(tfp, ["a", "b", "c", "d"])
+
+
+# --- rrf hybrid + span_not (round 3) ------------------------------------------
+
+
+class TestRrf:
+    def test_rrf_scores_and_order(self, spark):
+        from engine.search import rrf_fuse
+
+        r1 = spark.createDataFrame(
+            [(1, 3.0), (2, 2.0), (3, 1.0)], "doc_id long, score double"
+        )
+        r2 = spark.createDataFrame(
+            [(3, 0.9), (1, 0.8)], "doc_id long, score double"
+        )
+        rows = rrf_fuse([r1, r2], k=10, rank_constant=60).collect()
+        got = {r.doc_id: r.rrf_score for r in rows}
+        assert got[1] == round(1 / 61 + 1 / 62, 4)
+        assert got[2] == round(1 / 62, 4)
+        assert got[3] == round(1 / 63 + 1 / 61, 4)
+        # doc 1 (rank 1 + rank 2) beats doc 3 (rank 3 + rank 1)
+        assert [r.doc_id for r in rows][0] == 1
+
+    def test_rrf_single_ranking_is_rank_identity(self, spark):
+        from engine.search import rrf_fuse
+
+        r1 = spark.createDataFrame(
+            [(5, 9.0), (6, 8.0), (7, 7.0)], "doc_id long, score double"
+        )
+        rows = rrf_fuse([r1], k=2).collect()
+        assert [r.doc_id for r in rows] == [5, 6]
+
+
+class TestSpanNot:
+    def _tfp(self, spark, rows):
+        data = []
+        for doc_id, text in rows:
+            toks = text.split()
+            seen = {}
+            for i, t in enumerate(toks):
+                seen.setdefault(t, []).append(i)
+            for t, ps in seen.items():
+                data.append((doc_id, t, len(ps), ps))
+        return spark.createDataFrame(
+            data, "doc_id long, term string, tf long, positions array<int>"
+        )
+
+    def test_excluded_window_drops_occurrence(self, spark):
+        from engine.search import span_not_filter
+
+        tfp = self._tfp(
+            spark,
+            [
+                (1, "a x x x b"),   # b at distance 4 > post=2 -> a survives
+                (2, "a x b"),      # b at distance 2 -> a excluded
+                (3, "a y a x b"),  # first a survives (b at 4), second a excluded
+                (4, "a"),          # no b at all -> survives
+            ],
+        )
+        got = {
+            r.doc_id: r.n_spans
+            for r in span_not_filter(tfp, "a", "b", pre=2, post=2).collect()
+        }
+        assert got == {1: 1, 3: 1, 4: 1}
+
+    def test_pre_only_window(self, spark):
+        from engine.search import span_not_filter
+
+        tfp = self._tfp(spark, [(1, "b x a"), (2, "a x b")])
+        got = {
+            r.doc_id: r.n_spans
+            for r in span_not_filter(tfp, "a", "b", pre=2, post=0).collect()
+        }
+        assert got == {2: 1}
