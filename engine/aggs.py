@@ -735,3 +735,65 @@ def frequent_pairs_agg(
         .orderBy(F.col("support").desc(), F.col("term_a").asc(), F.col("term_b").asc())
         .limit(top)
     )
+
+
+def cumulative_cardinality_agg(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    unit: str = "month",
+) -> DataFrame:
+    """ES `cumulative_cardinality` pipeline agg [public: ES docs]: distinct
+    keys seen up to and including each date-histogram bucket (net-new user
+    tracking). Exact, via the first-occurrence trick: cardinality-so-far ==
+    count of keys whose FIRST event falls in or before the bucket, so the
+    corpus-side work is two map-side-combining hash aggregates (per-key
+    min(ts); distinct buckets) and the running sum is a window over the
+    bucket frame only (|buckets| rows, never the corpus)."""
+    from pyspark.sql import Window
+
+    bucket = F.date_trunc(unit, F.col(ts_col))
+    buckets = df.select(bucket.alias("bucket")).distinct()
+    firsts = (
+        df.groupBy(key_col)
+        .agg(F.min(ts_col).alias("_first"))
+        .select(F.date_trunc(unit, "_first").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("_new"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        buckets.join(firsts, "bucket", "left")
+        .select(
+            "bucket",
+            F.sum(F.coalesce("_new", F.lit(0))).over(w).cast("bigint")
+            .alias("distinct_so_far"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def normalize_agg(
+    df: DataFrame,
+    bucket_col: str,
+    value_col: str,
+    method: str = "percent_of_sum",
+) -> DataFrame:
+    """ES `normalize` pipeline agg [public: ES docs], percent_of_sum method:
+    each bucket's metric rescaled to its share of the total. One hash
+    aggregate over the corpus; the total is a window over the bucket frame
+    (|buckets| rows) — no second scan, no driver round-trip."""
+    from pyspark.sql import Window
+
+    if method != "percent_of_sum":
+        raise ValueError(f"unsupported normalize method: {method}")
+    per = df.groupBy(bucket_col).agg(F.sum(value_col).alias("_s"))
+    total = F.sum("_s").over(Window.partitionBy())
+    return (
+        per.select(
+            bucket_col,
+            F.round(F.col("_s"), 4).alias("value_sum"),
+            F.round(100.0 * F.col("_s") / total, 4).alias("pct_of_sum"),
+        )
+        .orderBy(bucket_col)
+    )

@@ -4860,12 +4860,15 @@ _PRIORITY = [
     "rel_pricing_summary",
     # scalar function families
     "fn_json_extract", "fn_string",
-    # text-analysis pipeline (fingerprint demoted to 51+: the block above
-    # must hold EXACTLY 50 names for the driver's 50-query check; quality +
-    # token_counts keep the family represented)
-    "text_quality", "text_token_counts",
+    # text-analysis pipeline (fingerprint + token_counts demoted to 51+: the
+    # block above must hold EXACTLY 50 names for the driver's 50-query
+    # check; quality keeps the family represented)
+    "text_quality",
+    # hybrid retrieval flagship (round 3): BM25 + kNN fused via RRF
+    "search_rrf_hybrid",
     # --- 51+: demoted oracle near-duplicates (still checked if the driver
     # runs all; each 1-50 slot keeps one green representative per operator)
+    "text_token_counts",
     "bm25_wand_wildcard", "bm25_dis_max", "bm25_constant_score",
     "bm25_boosting", "bm25_wand_regexp", "bm25_regexp",
     "agg_rare_terms", "agg_multi_terms", "agg_percentile_ranks",
@@ -5152,5 +5155,54 @@ WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM docume
 tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2)
 SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf
 WHERE term LIKE 'sc%' GROUP BY term ORDER BY term LIMIT 20
+""",
+)
+
+
+def _q_cumulative_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES cumulative_cardinality: distinct users seen through each month of
+    the events stream (aggs.cumulative_cardinality_agg — exact via
+    first-occurrence counting; window only on the bucket frame)."""
+    from .aggs import cumulative_cardinality_agg
+
+    ev = read_fixture(spark, sf_dir, "events")
+    return cumulative_cardinality_agg(ev, "ts", "user_id", unit="month")
+
+
+register(
+    "agg_cumulative_cardinality",
+    _q_cumulative_cardinality,
+    """
+WITH buckets AS (SELECT DISTINCT CAST(date_trunc('month', ts) AS TIMESTAMP) AS bucket FROM events),
+firsts AS (
+  SELECT CAST(date_trunc('month', first_ts) AS TIMESTAMP) AS bucket, count(*) AS n
+  FROM (SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id)
+  GROUP BY 1)
+SELECT b.bucket,
+       CAST(sum(COALESCE(f.n, 0)) OVER (ORDER BY b.bucket) AS BIGINT)
+         AS distinct_so_far
+FROM buckets b LEFT JOIN firsts f ON b.bucket = f.bucket
+ORDER BY b.bucket
+""",
+)
+
+
+def _q_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES normalize (percent_of_sum): each event_type's share of total value
+    (aggs.normalize_agg — one hash agg + bucket-frame window)."""
+    from .aggs import normalize_agg
+
+    ev = read_fixture(spark, sf_dir, "events")
+    return normalize_agg(ev, "event_type", "value")
+
+
+register(
+    "agg_normalize",
+    _q_normalize,
+    """
+WITH per AS (SELECT event_type, sum(value) AS s FROM events GROUP BY event_type)
+SELECT event_type, round(s, 4) AS value_sum,
+       round(100.0 * s / sum(s) OVER (), 4) AS pct_of_sum
+FROM per ORDER BY event_type
 """,
 )

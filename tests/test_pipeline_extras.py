@@ -336,3 +336,32 @@ def test_frequent_pairs_respects_support_and_vocab(spark):
         tf, ts, min_df=2, max_df=10, min_support=2, top=5
     ).collect()
     assert [(r.term_a, r.term_b, r.support) for r in rows] == [("a", "b", 3)]
+
+
+def test_cumulative_cardinality_counts_first_occurrence_only(spark):
+    from engine.aggs import cumulative_cardinality_agg
+
+    ev = spark.createDataFrame(
+        [
+            (1, "2024-01-05 00:00:00"), (1, "2024-02-01 00:00:00"),
+            (2, "2024-01-20 00:00:00"), (3, "2024-03-10 00:00:00"),
+            (2, "2024-03-11 00:00:00"),
+        ],
+        "user_id long, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    rows = cumulative_cardinality_agg(ev, "ts", "user_id").collect()
+    got = [(r.bucket.month, r.distinct_so_far) for r in rows]
+    # Jan: users 1,2 new -> 2; Feb: none new -> still 2; Mar: user 3 -> 3
+    assert got == [(1, 2), (2, 2), (3, 3)]
+
+
+def test_normalize_pct_sums_to_100(spark):
+    from engine.aggs import normalize_agg
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 1.0), ("b", 6.0), ("c", 2.0)],
+        "k string, v double",
+    )
+    rows = normalize_agg(df, "k", "v").collect()
+    got = {r.k: (r.value_sum, r.pct_of_sum) for r in rows}
+    assert got == {"a": (2.0, 20.0), "b": (6.0, 60.0), "c": (2.0, 20.0)}
