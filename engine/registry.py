@@ -5206,3 +5206,92 @@ SELECT event_type, round(s, 4) AS value_sum,
 FROM per ORDER BY event_type
 """,
 )
+
+
+def _q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based domain mixing (alpha=0.5, target 250 docs): small
+    sources upweighted, big sources downsampled, deterministic hash keep
+    (sample.temperature_sample — |strata|-row count agg then pure-codegen
+    filter; rates use the portable SQL-reproducible floor arithmetic)."""
+    from .sample import portable_hash_expr, temperature_sample
+
+    docs = _docs(spark, sf_dir)
+    kept, _ = temperature_sample(
+        docs, "source", alpha=0.5, target_total=250,
+        hash_expr=portable_hash_expr("doc_id"),
+    )
+    return kept.select("doc_id", "source").orderBy("doc_id")
+
+
+register(
+    "sample_temperature",
+    _q_temperature_sample,
+    f"""
+WITH cnt AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+tot AS (SELECT sum(power(n, 0.5)) AS sp FROM cnt),
+rates AS (
+  SELECT source,
+         LEAST(1000, CAST(floor(1000 * LEAST(1.0,
+             250 * power(n, 0.5) / tot.sp / n) + 1e-9) AS BIGINT)) AS rate
+  FROM cnt CROSS JOIN tot)
+SELECT d.doc_id, d.source
+FROM documents d JOIN rates r ON d.source = r.source
+WHERE ({_PORTABLE_HASH_SQL}) % 1000 < r.rate
+ORDER BY d.doc_id
+""",
+)
+
+
+def _q_unigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality signal: per-doc unigram perplexity against the
+    corpus LM (textops.unigram_perplexity — one term-keyed join + one hash
+    agg; the KenLM upgrade swaps the LM table, not the plan)."""
+    from .textops import unigram_perplexity
+
+    tf, _, ts, _, _ = _built_corpus(spark, sf_dir)
+    total = ts.agg(F.sum("cf")).collect()[0][0]
+    return unigram_perplexity(tf, ts, float(total)).orderBy("doc_id")
+
+
+register(
+    "text_unigram_ppl",
+    _q_unigram_ppl,
+    """
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+cfs AS (SELECT term, CAST(sum(tf) AS DOUBLE) AS cf FROM tf GROUP BY term),
+tot AS (SELECT sum(cf) AS total FROM cfs)
+SELECT tf.doc_id,
+       round(exp(-sum(tf.tf * ln(cfs.cf / tot.total)) / sum(tf.tf)), 4) AS ppl
+FROM tf JOIN cfs USING (term) CROSS JOIN tot
+GROUP BY tf.doc_id ORDER BY tf.doc_id
+""",
+)
+
+
+def _q_agg_filtered_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES query + aggs in one request: terms agg on `source` over the match
+    set of term 'scan' — the agg context is the query's doc set (semi-join
+    of the term-pruned tf slice), not the whole index."""
+    tf, _, _, _, _ = _built_corpus(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    matched = tf.filter(F.col("term") == "scan").select("doc_id").distinct()
+    return (
+        docs.join(matched, "doc_id", "left_semi")
+        .groupBy("source")
+        .agg(F.count("*").alias("doc_count"))
+        .orderBy(F.col("doc_count").desc(), F.col("source").asc())
+    )
+
+
+register(
+    "agg_filtered_context",
+    _q_agg_filtered_context,
+    """
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+matched AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'scan')
+SELECT d.source, count(*) AS doc_count
+FROM documents d JOIN matched m ON d.doc_id = m.doc_id
+GROUP BY d.source ORDER BY doc_count DESC, d.source ASC
+""",
+)

@@ -129,3 +129,52 @@ def training_shuffle(
             "shard", (F.col("shuffle_key") % n_shards).cast("int")
         )
     return out
+
+
+def temperature_rates(
+    counts: dict[str, int],
+    alpha: float,
+    target_total: int,
+    denom: int = 1000,
+) -> dict[str, int]:
+    """Temperature-based domain mixing rates [public: multinomial sampling
+    with exponent α over domain sizes, as described for GPT-3 / mC4 / XLM-R
+    data mixing]: sampling weight w_s ∝ n_s^α (α<1 flattens the domain
+    distribution, upweighting small domains), expected kept docs per domain
+    k_s = target_total · w_s, keep rate = min(1, k_s / n_s). Integer
+    floor-with-epsilon per-denom rates, same reproducible-in-SQL arithmetic
+    as remix_rates (no upsampling: rates cap at denom)."""
+    if not counts or target_total <= 0:
+        return {s: 0 for s in counts}
+    sum_pow = sum(n**alpha for s, n in sorted(counts.items()) if n > 0)
+    out = {}
+    for s, n in counts.items():
+        if n <= 0 or sum_pow <= 0:
+            out[s] = 0
+        else:
+            keep = min(1.0, target_total * (n**alpha) / sum_pow / n)
+            out[s] = min(denom, math.floor(denom * keep + 1e-9))
+    return out
+
+
+def temperature_sample(
+    docs: DataFrame,
+    strata_col: str,
+    alpha: float,
+    target_total: int,
+    denom: int = 1000,
+    hash_expr: Column | None = None,
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, dict[str, int]]:
+    """Temperature-mix resample: one tiny count aggregate (|strata| rows) →
+    temperature_rates → the same pure-codegen stratified hash filter.
+    Returns (sampled frame, rates used)."""
+    counts = {
+        r[strata_col]: r["n"]
+        for r in docs.groupBy(strata_col).agg(F.count("*").alias("n")).collect()
+    }
+    rates = temperature_rates(counts, alpha, target_total, denom)
+    return (
+        stratified_sample(docs, strata_col, rates, denom, hash_expr, id_col),
+        rates,
+    )

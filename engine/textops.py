@@ -284,3 +284,31 @@ def corpus_report(docs: DataFrame, text_col: str = "text") -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+
+
+def unigram_perplexity(
+    tf: DataFrame,
+    term_stats: DataFrame,
+    total_tokens: float,
+) -> DataFrame:
+    """Per-document unigram language-model perplexity [public: CCNet uses
+    KenLM 5-gram perplexity for quality bucketing; the unigram LM is the
+    honest dependency-free core]: the LM is the corpus itself (p(t) =
+    cf(t) / total_tokens), doc score = exp(−Σ tf·ln p / Σ tf). Low ppl =
+    repetitive/common-word text, high ppl = rare-token soup — both tails
+    are filter candidates. Scale shape: ONE equi-join of the (doc,term) tf
+    frame with the term dictionary on its natural key + one map-side-
+    combining hash agg per doc; at web scale both sides are term-partitioned
+    so AQE plans a shuffle-free or single-exchange join. Returns
+    (doc_id, ppl)."""
+    joined = tf.join(term_stats.select("term", "cf"), "term")
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            (
+                -F.sum(F.col("tf") * F.log(F.col("cf") / F.lit(total_tokens)))
+                / F.sum("tf")
+            ).alias("_nll")
+        )
+        .select("doc_id", F.round(F.exp("_nll"), 4).alias("ppl"))
+    )

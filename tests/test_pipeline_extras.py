@@ -365,3 +365,49 @@ def test_normalize_pct_sums_to_100(spark):
     rows = normalize_agg(df, "k", "v").collect()
     got = {r.k: (r.value_sum, r.pct_of_sum) for r in rows}
     assert got == {"a": (2.0, 20.0), "b": (6.0, 60.0), "c": (2.0, 20.0)}
+
+
+def test_temperature_rates_flatten_domains():
+    from engine.sample import temperature_rates
+
+    # alpha=0 -> uniform weights: tiny domain kept whole, big one cut hard
+    r0 = temperature_rates({"big": 900, "small": 100}, alpha=0.0, target_total=200)
+    assert r0["small"] == 1000  # 100 expected from a 100-doc domain -> keep all
+    assert r0["big"] == 111     # floor(1000 * 100/900)
+    # alpha=1 -> proportional: both keep 20%
+    r1 = temperature_rates({"big": 900, "small": 100}, alpha=1.0, target_total=200)
+    assert r1 == {"big": 200, "small": 200}
+
+
+def test_temperature_sample_deterministic(spark, sf_dir):
+    from engine.sample import portable_hash_expr, temperature_sample
+
+    docs = read_fixture(spark, sf_dir, "documents")
+    a, rates = temperature_sample(
+        docs, "source", 0.5, 250, hash_expr=portable_hash_expr()
+    )
+    b, _ = temperature_sample(
+        docs.repartition(13), "source", 0.5, 250, hash_expr=portable_hash_expr()
+    )
+    assert sorted(r.doc_id for r in a.collect()) == sorted(
+        r.doc_id for r in b.collect()
+    )
+    assert all(0 <= v <= 1000 for v in rates.values())
+
+
+def test_unigram_perplexity_toy_corpus(spark):
+    import math
+
+    from engine.textops import unigram_perplexity
+
+    # corpus: 4 tokens total; p(a)=0.5, p(b)=0.25, p(c)=0.25
+    tf = spark.createDataFrame(
+        [(1, "a", 2), (2, "b", 1), (2, "c", 1)],
+        "doc_id long, term string, tf long",
+    )
+    ts = spark.createDataFrame(
+        [("a", 1, 2), ("b", 1, 1), ("c", 1, 1)], "term string, df long, cf long"
+    )
+    got = {r.doc_id: r.ppl for r in unigram_perplexity(tf, ts, 4.0).collect()}
+    assert got[1] == round(math.exp(-math.log(0.5)), 4) == 2.0
+    assert got[2] == round(math.exp(-(math.log(0.25) + math.log(0.25)) / 2), 4) == 4.0
