@@ -120,3 +120,36 @@ def test_terms_set_prunes_term_scan(spark, qs, sf_dir):
     p = _plan(spark, qs, "search_terms_set", sf_dir)
     assert "IN (sort,merge,join,hash)" in p, p  # filter precedes the aggs
     assert "BroadcastHashJoin" in p, p  # per-doc threshold side broadcasts
+
+
+def test_temperature_sample_shuffle_free_filter(spark, qs, sf_dir):
+    """The temperature-mix keep predicate is a pure codegen filter over the
+    scan: the only aggregate is the |strata|-row rate derivation (done
+    driver-side before the plan), so the sampled frame itself must contain
+    no Exchange below the final orderBy."""
+    from engine.io import read_fixture
+    from engine.sample import portable_hash_expr, temperature_sample
+
+    docs = read_fixture(spark, sf_dir, "documents")
+    kept, _ = temperature_sample(
+        docs, "source", 0.5, 250, hash_expr=portable_hash_expr()
+    )
+    p = kept._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p, p
+
+
+def test_frequent_pairs_vocab_semi_join_broadcasts(spark, qs, sf_dir):
+    """E41 Apriori pruning must show up physically: the df-bounded
+    vocabulary joins as a BROADCAST left-semi before any pair generation —
+    a shuffle semi-join here would mean the full tf frame moves to prune
+    a dictionary-sized list."""
+    p = _plan(spark, qs, "agg_frequent_pairs", sf_dir)
+    assert "BroadcastHashJoin" in p and "LeftSemi" in p, p
+
+
+def test_rrf_fuse_inputs_stay_topk(spark, qs, sf_dir):
+    """D56: both retriever sides of the RRF fuse must be TakeOrdered
+    (bounded top-window lists) — if either side lost its limit the fuse
+    would rank the whole corpus through a single-partition window."""
+    p = _plan(spark, qs, "search_rrf_hybrid", sf_dir)
+    assert p.count("TakeOrderedAndProject") >= 3, p  # 2 retrievers + final
