@@ -797,3 +797,29 @@ def normalize_agg(
         )
         .orderBy(bucket_col)
     )
+
+
+def percentiles_bucket_agg(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    percents: list[float] = (25.0, 50.0, 75.0),
+    unit: str = "month",
+) -> DataFrame:
+    """ES `percentiles_bucket` sibling pipeline agg [public: ES docs]:
+    percentiles of a metric ACROSS the parent histogram's buckets. The
+    corpus-side work is the parent hash aggregate; the percentile runs over
+    the bucket frame (|buckets| rows — exact linear interpolation, same
+    deterministic-vs-TDigest divergence documented for boxplot/E4).
+    Single-row output, one column per requested percent."""
+    hist = df.groupBy(F.date_trunc(unit, F.col(ts_col)).alias("bucket")).agg(
+        F.sum(value_col).alias("_m")
+    )
+    return hist.agg(
+        *[
+            F.round(F.percentile("_m", F.lit(p / 100.0)), 4).alias(
+                f"p{int(p)}"
+            )
+            for p in percents
+        ]
+    )

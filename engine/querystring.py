@@ -643,3 +643,20 @@ def full_qs_search(
         tf, doc_stats, term_stats, n_docs, avgdl, tree,
         k=k, round_to=round_to, docsets=docsets or None,
     )
+
+
+def render_search_template(template: str, params: dict[str, str]) -> str:
+    """ES search template rendering [public: ES search-template docs],
+    mustache-subset: `{{name}}` substitutes params[name]; a missing param
+    raises (ES renders empty — pinned stricter here so a typo'd template
+    fails loudly instead of silently matching nothing). The rendered string
+    feeds any query parser; rendering is driver-side O(|template|)."""
+    import re
+
+    def _sub(m: "re.Match[str]") -> str:
+        key = m.group(1).strip()
+        if key not in params:
+            raise KeyError(f"search template param missing: {key!r}")
+        return str(params[key])
+
+    return re.sub(r"\{\{([^{}]+)\}\}", _sub, template)

@@ -5295,3 +5295,74 @@ FROM documents d JOIN matched m ON d.doc_id = m.doc_id
 GROUP BY d.source ORDER BY doc_count DESC, d.source ASC
 """,
 )
+
+
+def _q_sparse_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES sparse_vector / text_expansion: query term→weight map dotted with
+    document term frequencies (search.sparse_vector_topk — term-pruned tf
+    scan + broadcast weight map + one hash agg)."""
+    from .search import sparse_vector_topk
+
+    tf, _, _, _, _ = _built_corpus(spark, sf_dir)
+    return sparse_vector_topk(
+        tf, {"sort": 2.0, "merge": 1.0, "join": 0.5}, k=10
+    )
+
+
+register(
+    "search_sparse_vector",
+    _q_sparse_vector,
+    """
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2)
+SELECT doc_id,
+       round(sum(tf * CASE term WHEN 'sort' THEN 2.0 WHEN 'merge' THEN 1.0
+                                WHEN 'join' THEN 0.5 END), 4) AS score
+FROM tf WHERE term IN ('join', 'merge', 'sort')
+GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 10
+""",
+)
+
+
+def _q_percentiles_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES percentiles_bucket: p25/p50/p75 of monthly value sums across the
+    date-histogram buckets (aggs.percentiles_bucket_agg — exact percentile
+    over the bucket frame only)."""
+    from .aggs import percentiles_bucket_agg
+
+    ev = read_fixture(spark, sf_dir, "events")
+    return percentiles_bucket_agg(ev, "ts", "value")
+
+
+register(
+    "agg_percentiles_bucket",
+    _q_percentiles_bucket,
+    """
+WITH hist AS (SELECT date_trunc('month', ts) AS b, sum(value) AS m
+              FROM events GROUP BY 1)
+SELECT round(quantile_cont(m, 0.25), 4) AS p25,
+       round(quantile_cont(m, 0.50), 4) AS p50,
+       round(quantile_cont(m, 0.75), 4) AS p75
+FROM hist
+""",
+)
+
+
+def _q_search_template(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES search template: '{{a}} {{b}}' rendered with params then run as an
+    AND match (querystring.render_search_template → the shared exact BM25
+    path; rendering is driver-side string work, the plan is unchanged)."""
+    from .querystring import render_search_template
+
+    rendered = render_search_template(
+        "{{a}} {{b}}", {"a": "sort", "b": "merge"}
+    )
+    tf, ds, ts, n, avgdl = _built_corpus(spark, sf_dir)
+    return exact_search(tf, ds, ts, n, avgdl, rendered, k=10, mode="and")
+
+
+register(
+    "search_template",
+    _q_search_template,
+    _bm25_oracle(["sort", "merge"], 10, "and"),
+)

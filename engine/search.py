@@ -630,3 +630,31 @@ def span_not_filter(
         j.select("doc_id", F.size(surviving).cast("long").alias("n_spans"))
         .filter(F.col("n_spans") > 0)
     )
+
+
+def sparse_vector_topk(
+    tf: DataFrame,
+    query_weights: dict[str, float],
+    k: int = 10,
+) -> DataFrame:
+    """ES `sparse_vector` / `text_expansion` query [public: ES sparse_vector
+    query docs — ELSER-style learned-sparse retrieval]: the query is a
+    term→weight map, the document side holds per-term weights, score =
+    Σ_t q_w(t) · d_w(t). Here the stored document weight is the raw term
+    frequency (the honest no-model stand-in; a learned expansion swaps the
+    weight column, not the plan). Plan shape identical to the BM25 exact
+    path: the query's term list prunes the tf scan (`term IN (...)`
+    pushdown), weights ride in via a broadcast k_terms-row map, one
+    map-side-combining hash agg per doc, TakeOrdered for top-k."""
+    terms = sorted(query_weights)
+    w = F.create_map(
+        *[F.lit(x) for t in terms for x in (t, float(query_weights[t]))]
+    )
+    return (
+        tf.filter(F.col("term").isin(terms))
+        .select("doc_id", (w[F.col("term")] * F.col("tf")).alias("_c"))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("_c"), 4).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )

@@ -411,3 +411,16 @@ def test_unigram_perplexity_toy_corpus(spark):
     got = {r.doc_id: r.ppl for r in unigram_perplexity(tf, ts, 4.0).collect()}
     assert got[1] == round(math.exp(-math.log(0.5)), 4) == 2.0
     assert got[2] == round(math.exp(-(math.log(0.25) + math.log(0.25)) / 2), 4) == 4.0
+
+
+def test_percentiles_bucket_exact_interpolation(spark):
+    from engine.aggs import percentiles_bucket_agg
+
+    ev = spark.createDataFrame(
+        [(f"2024-0{m}-01 00:00:00", float(v))
+         for m, v in [(1, 10), (2, 20), (3, 30), (4, 40)]],
+        "ts string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    row = percentiles_bucket_agg(ev, "ts", "value").collect()[0]
+    # bucket sums 10,20,30,40 -> p25=17.5, p50=25, p75=32.5 (linear interp)
+    assert (row.p25, row.p50, row.p75) == (17.5, 25.0, 32.5)

@@ -385,3 +385,36 @@ class TestSpanNot:
             for r in span_not_filter(tfp, "a", "b", pre=2, post=0).collect()
         }
         assert got == {2: 1}
+
+
+class TestSparseVector:
+    def test_dot_product_scoring(self, spark):
+        from engine.search import sparse_vector_topk
+
+        tf = spark.createDataFrame(
+            [(1, "a", 3), (1, "b", 1), (2, "a", 1), (2, "c", 5), (3, "d", 9)],
+            "doc_id long, term string, tf long",
+        )
+        rows = sparse_vector_topk(tf, {"a": 2.0, "b": 0.5}, k=10).collect()
+        got = {r.doc_id: r.score for r in rows}
+        # doc 1: 3*2 + 1*0.5 = 6.5; doc 2: 1*2 = 2; doc 3: no query term
+        assert got == {1: 6.5, 2: 2.0}
+        assert [r.doc_id for r in rows] == [1, 2]
+
+
+class TestSearchTemplate:
+    def test_renders_params(self):
+        from engine.querystring import render_search_template
+
+        assert (
+            render_search_template("{{a}} x {{ b }}", {"a": "p", "b": "q"})
+            == "p x q"
+        )
+
+    def test_missing_param_raises(self):
+        import pytest as _pt
+
+        from engine.querystring import render_search_template
+
+        with _pt.raises(KeyError):
+            render_search_template("{{nope}}", {})
