@@ -5366,3 +5366,28 @@ register(
     _q_search_template,
     _bm25_oracle(["sort", "merge"], 10, "and"),
 )
+
+
+def _q_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG chunking: 64-token windows, 16-token overlap, per-doc chunk ids
+    (textops.chunk_windows — per-row split/sequence/slice + posexplode,
+    shuffle-free)."""
+    from .textops import chunk_windows
+
+    return chunk_windows(_docs(spark, sf_dir), chunk_size=64, overlap=16)
+
+
+register(
+    "text_chunk_windows",
+    _q_chunk_windows,
+    """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+s AS (SELECT doc_id, toks,
+             unnest(range(0, greatest(len(toks) - 16, 1), 48)) AS start
+      FROM t)
+SELECT doc_id, CAST(start / 48 AS BIGINT) AS chunk_id,
+       CAST(len(toks[start + 1 : start + 64]) AS BIGINT) AS n_tokens,
+       array_to_string(toks[start + 1 : start + 64], ' ') AS chunk_text
+FROM s
+""",
+)

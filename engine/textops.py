@@ -312,3 +312,41 @@ def unigram_perplexity(
         )
         .select("doc_id", F.round(F.exp("_nll"), 4).alias("ppl"))
     )
+
+
+def chunk_windows(
+    docs: DataFrame,
+    chunk_size: int = 64,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sliding-window document chunking for retrieval pipelines (RAG
+    ingestion) [public: fixed-size token windows with overlap, as in
+    LangChain/LlamaIndex splitters and the DPR 100-word passage scheme]:
+    each doc yields windows of `chunk_size` tokens starting every
+    `chunk_size - overlap` tokens (start positions 0, stride, 2·stride, …
+    while start < max(n_tokens − overlap, 1); the last window may be
+    short). Pure per-row expressions — split, sequence, slice, one
+    posexplode — so chunking never shuffles; emitted chunks flow straight
+    into the embedding/indexing stage with (doc_id, chunk_id) lineage."""
+    if overlap >= chunk_size:
+        raise ValueError("overlap must be smaller than chunk_size")
+    stride = chunk_size - overlap
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    starts = F.sequence(
+        F.lit(0), F.greatest(n - overlap - 1, F.lit(0)), F.lit(stride)
+    )
+    chunks = F.transform(
+        starts, lambda s: F.slice(toks, s + 1, chunk_size)
+    )
+    return (
+        docs.select(F.col(id_col), F.posexplode(chunks).alias("chunk_id", "_c"))
+        .select(
+            id_col,
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.size("_c").cast("long").alias("n_tokens"),
+            F.concat_ws(" ", "_c").alias("chunk_text"),
+        )
+    )

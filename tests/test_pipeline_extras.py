@@ -424,3 +424,39 @@ def test_percentiles_bucket_exact_interpolation(spark):
     row = percentiles_bucket_agg(ev, "ts", "value").collect()[0]
     # bucket sums 10,20,30,40 -> p25=17.5, p50=25, p75=32.5 (linear interp)
     assert (row.p25, row.p50, row.p75) == (17.5, 25.0, 32.5)
+
+
+def test_chunk_windows_overlap_and_tail(spark):
+    from engine.textops import chunk_windows
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(str(i) for i in range(10))), (2, "a b")],
+        "doc_id long, text string",
+    )
+    rows = chunk_windows(docs, chunk_size=5, overlap=2).collect()
+    got = {(r.doc_id, r.chunk_id): (r.n_tokens, r.chunk_text) for r in rows}
+    # doc 1: starts 0,3,6 -> [0..4], [3..7], [6..9] (tail short)
+    assert got[(1, 0)] == (5, "0 1 2 3 4")
+    assert got[(1, 1)] == (5, "3 4 5 6 7")
+    assert got[(1, 2)] == (4, "6 7 8 9")
+    # doc 2 shorter than a chunk -> one window
+    assert got[(2, 0)] == (2, "a b")
+    assert len(got) == 4
+
+
+def test_chunk_windows_shuffle_free(spark, sf_dir):
+    from engine.textops import chunk_windows
+
+    docs = read_fixture(spark, sf_dir, "documents")
+    p = chunk_windows(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p, p
+
+
+def test_chunk_windows_rejects_bad_overlap(spark):
+    import pytest as _pt
+
+    from engine.textops import chunk_windows
+
+    docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with _pt.raises(ValueError):
+        chunk_windows(docs, chunk_size=4, overlap=4)
