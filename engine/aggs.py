@@ -715,14 +715,14 @@ def frequent_pairs_agg(
     BEFORE any pair is generated (broadcast semi-join of the tiny vocab);
     the per-doc self-join then blows up on ≤ |vocab ∩ doc| items, never dl,
     and the max_df cap bounds the join fan-out exactly like the hot-shingle
-    cap in n-gram dedup."""
+    cap in n-gram dedup. `tf` must be one row per (doc, term) — the
+    engine's tf frame is, by construction, so no defensive distinct (which
+    would add a full shuffle) is taken here."""
     vocab = term_stats.filter(
         (F.col("df") >= min_df) & (F.col("df") <= max_df)
     ).select("term")
-    items = (
-        tf.join(F.broadcast(vocab), "term", "left_semi")
-        .select("doc_id", "term")
-        .distinct()
+    items = tf.join(F.broadcast(vocab), "term", "left_semi").select(
+        "doc_id", "term"
     )
     a = items.withColumnRenamed("term", "term_a")
     b = items.withColumnRenamed("term", "term_b")

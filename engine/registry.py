@@ -3929,7 +3929,7 @@ GROUP BY doc_id ORDER BY doc_id
 )
 
 
-_PORTABLE_HASH_SQL = "((doc_id % 1048576) * 2654435761 + 12345) % 4294967296"
+_PORTABLE_HASH_SQL = "((doc_id % 67108864) * 2654435761 + 12345) % 4294967296"
 
 
 def _q_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4812,7 +4812,7 @@ register(
     _q_training_shuffle,
     f"""
 SELECT doc_id, {_PORTABLE_HASH_SQL} AS shuffle_key,
-       CAST({_PORTABLE_HASH_SQL} % 8 AS INTEGER) AS shard
+       CAST(({_PORTABLE_HASH_SQL}) * 8 // 4294967296 AS INTEGER) AS shard
 FROM documents ORDER BY shuffle_key, doc_id LIMIT 20
 """,
 )
@@ -5056,13 +5056,13 @@ GROUP BY category ORDER BY doc_count DESC, category ASC LIMIT 10
 
 def _q_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES frequent_item_sets (2-item sets over terms): co-occurring term
-    pairs with support >= 10 from the df-[20,100] vocabulary
+    pairs with support >= 10 from the df-[20,400] vocabulary
     (aggs.frequent_pairs_agg — Apriori df pruning bounds the pair join)."""
     from .aggs import frequent_pairs_agg
 
     tf, _, ts, _, _ = _built_corpus(spark, sf_dir)
     return frequent_pairs_agg(
-        tf, ts, min_df=20, max_df=100, min_support=10, top=20
+        tf, ts, min_df=20, max_df=400, min_support=10, top=20
     )
 
 
@@ -5073,7 +5073,7 @@ register(
 WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
 tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
 dfv AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-vocab AS (SELECT term FROM dfv WHERE df BETWEEN 20 AND 100),
+vocab AS (SELECT term FROM dfv WHERE df BETWEEN 20 AND 400),
 items AS (SELECT DISTINCT doc_id, term FROM tf WHERE term IN (SELECT term FROM vocab))
 SELECT a.term AS term_a, b.term AS term_b, CAST(count(*) AS BIGINT) AS support
 FROM items a JOIN items b ON a.doc_id = b.doc_id AND a.term < b.term
@@ -5160,22 +5160,22 @@ WHERE term LIKE 'sc%' GROUP BY term ORDER BY term LIMIT 20
 
 
 def _q_cumulative_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ES cumulative_cardinality: distinct users seen through each month of
+    """ES cumulative_cardinality: distinct users seen through each day of
     the events stream (aggs.cumulative_cardinality_agg — exact via
     first-occurrence counting; window only on the bucket frame)."""
     from .aggs import cumulative_cardinality_agg
 
     ev = read_fixture(spark, sf_dir, "events")
-    return cumulative_cardinality_agg(ev, "ts", "user_id", unit="month")
+    return cumulative_cardinality_agg(ev, "ts", "user_id", unit="day")
 
 
 register(
     "agg_cumulative_cardinality",
     _q_cumulative_cardinality,
     """
-WITH buckets AS (SELECT DISTINCT CAST(date_trunc('month', ts) AS TIMESTAMP) AS bucket FROM events),
+WITH buckets AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket FROM events),
 firsts AS (
-  SELECT CAST(date_trunc('month', first_ts) AS TIMESTAMP) AS bucket, count(*) AS n
+  SELECT CAST(date_trunc('day', first_ts) AS TIMESTAMP) AS bucket, count(*) AS n
   FROM (SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id)
   GROUP BY 1)
 SELECT b.bucket,
@@ -5316,8 +5316,8 @@ register(
 WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
 tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2)
 SELECT doc_id,
-       round(sum(tf * CASE term WHEN 'sort' THEN 2.0 WHEN 'merge' THEN 1.0
-                                WHEN 'join' THEN 0.5 END), 4) AS score
+       round(sum(tf * CAST(CASE term WHEN 'sort' THEN 2.0 WHEN 'merge' THEN 1.0
+                                WHEN 'join' THEN 0.5 END AS DOUBLE)), 4) AS score
 FROM tf WHERE term IN ('join', 'merge', 'sort')
 GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 10
 """,
@@ -5325,20 +5325,20 @@ GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 10
 
 
 def _q_percentiles_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ES percentiles_bucket: p25/p50/p75 of monthly value sums across the
+    """ES percentiles_bucket: p25/p50/p75 of daily value sums across the
     date-histogram buckets (aggs.percentiles_bucket_agg — exact percentile
     over the bucket frame only)."""
     from .aggs import percentiles_bucket_agg
 
     ev = read_fixture(spark, sf_dir, "events")
-    return percentiles_bucket_agg(ev, "ts", "value")
+    return percentiles_bucket_agg(ev, "ts", "value", unit="day")
 
 
 register(
     "agg_percentiles_bucket",
     _q_percentiles_bucket,
     """
-WITH hist AS (SELECT date_trunc('month', ts) AS b, sum(value) AS m
+WITH hist AS (SELECT date_trunc('day', ts) AS b, sum(value) AS m
               FROM events GROUP BY 1)
 SELECT round(quantile_cont(m, 0.25), 4) AS p25,
        round(quantile_cont(m, 0.50), 4) AS p50,

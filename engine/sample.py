@@ -24,16 +24,19 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# Knuth multiplicative constant; doc_id folded to 2^20 first so the product
-# stays far below 2^63 (Spark 4 ANSI mode raises on long overflow)
+# Knuth multiplicative constant; doc_id folded to 2^26 first so the product
+# stays far below 2^63 (Spark 4 ANSI mode raises on long overflow):
+# (2^26)·2654435761 ≈ 1.8e17 « 2^63. The fold is the hash's collision
+# horizon — ids 2^26 apart share a key — so it is deliberately the largest
+# power of two the overflow bound allows.
 _KNUTH = 2654435761
-_FOLD = 1 << 20
+_FOLD = 1 << 26
 _MOD = 1 << 32
 
 
 def portable_hash_expr(id_col: str = "doc_id") -> Column:
     """Deterministic hash expressible in ANSI SQL (same literal arithmetic
-    runs in DuckDB): ((id % 2^20) * 2654435761 + 12345) % 2^32."""
+    runs in DuckDB): ((id % 2^26) * 2654435761 + 12345) % 2^32."""
     return (
         (F.col(id_col) % F.lit(_FOLD)) * F.lit(_KNUTH) + F.lit(12345)
     ) % F.lit(_MOD)
@@ -117,16 +120,20 @@ def training_shuffle(
     descriptions]: every document gets a content-derived `shuffle_key`
     (the same portable multiplicative hash the sampler pins, so the order
     is reproducible across runs, partitions, and cluster sizes — never
-    rand()). Passing `n_shards` also assigns `shard = shuffle_key mod
-    n_shards` for a shard-then-sort-within layout: at scale the writer
-    range-partitions on (shard, shuffle_key) and sorts within partitions —
-    a total order WITHOUT any single-partition window; readers stream
-    shards independently."""
+    rand()). Passing `n_shards` also assigns a shard from the hash's HIGH
+    bits — `shard = floor(shuffle_key · n_shards / 2^32)` — because
+    multiplicative hashing mixes high bits, not low ones (`key mod n`
+    degenerates to round-robin over sequential ids). Shard-then-sort-within
+    layout: at scale the writer range-partitions on (shard, shuffle_key)
+    and sorts within partitions — a total order WITHOUT any
+    single-partition window; readers stream shards independently."""
     key = portable_hash_expr(key_col)
     out = docs.withColumn("shuffle_key", key)
     if n_shards is not None:
         out = out.withColumn(
-            "shard", (F.col("shuffle_key") % n_shards).cast("int")
+            "shard",
+            ((F.col("shuffle_key") * n_shards) / F.lit(_MOD))
+            .cast("long").cast("int"),
         )
     return out
 

@@ -514,6 +514,12 @@ def intervals_all_of(
     k = len(terms)
     if k not in (2, 3):
         raise ValueError(f"intervals_all_of supports 2 or 3 terms, got {k}")
+    if len(set(terms)) != k:
+        # duplicate terms would pair a position with itself (gap −1) and
+        # match docs with a single occurrence; the Lucene semantics need a
+        # same-term multi-occurrence matcher this row-expression form
+        # doesn't implement — refuse rather than silently mis-match
+        raise ValueError(f"intervals_all_of terms must be distinct: {terms}")
     j: DataFrame | None = None
     for i, t in enumerate(terms):
         s = tf_with_pos.filter(F.col("term") == t).select(

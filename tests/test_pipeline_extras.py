@@ -202,7 +202,7 @@ def test_portable_hash_matches_duckdb(spark):
         ).collect()
     ]
     d = duckdb.sql(
-        "SELECT i, ((i % 1048576) * 2654435761 + 12345) % 4294967296 "
+        "SELECT i, ((i % 67108864) * 2654435761 + 12345) % 4294967296 "
         "FROM range(1000) t(i) ORDER BY i"
     ).fetchall()
     assert sorted(s) == [(a, b) for a, b in d]
@@ -262,7 +262,14 @@ def test_training_shuffle_parallelism_invariant(spark, sf_dir):
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
     rows = a.collect()
     assert all(0 <= r.shard < 8 for r in rows)
-    assert all(r.shuffle_key == ((r.doc_id % (1 << 20)) * 2654435761 + 12345) % (1 << 32) for r in rows)
+    assert all(r.shuffle_key == ((r.doc_id % (1 << 26)) * 2654435761 + 12345) % (1 << 32) for r in rows)
+    assert all(r.shard == (r.shuffle_key * 8) // (1 << 32) for r in rows)
+    # high-bit sharding must NOT degenerate to round-robin over
+    # sequential ids (constant shard delta); the multiplicative hash's
+    # high bits walk a varying-stride Weyl sequence instead
+    seq = [r.shard for r in sorted(rows, key=lambda r: r.doc_id)]
+    deltas = {(b - a) % 8 for a, b in zip(seq[:-1], seq[1:])}
+    assert len(deltas) > 1, deltas
 
 
 def test_children_agg_zero_child_bucket(spark):

@@ -418,3 +418,17 @@ class TestSearchTemplate:
 
         with _pt.raises(KeyError):
             render_search_template("{{nope}}", {})
+
+
+def test_intervals_duplicate_terms_rejected(spark):
+    from engine.search import intervals_all_of
+
+    tfp = spark.createDataFrame(
+        [(1, "a", 1, [0])], "doc_id long, term string, tf long, positions array<int>"
+    )
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        intervals_all_of(tfp, ["a", "a"])
+    with _pt.raises(ValueError):
+        intervals_all_of(tfp, ["a", "a", "b"])
