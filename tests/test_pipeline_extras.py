@@ -467,3 +467,20 @@ def test_chunk_windows_rejects_bad_overlap(spark):
     docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
     with _pt.raises(ValueError):
         chunk_windows(docs, chunk_size=4, overlap=4)
+
+
+def test_write_shuffled_shards_roundtrip(spark, sf_dir, tmp_path):
+    from engine.sample import write_shuffled_shards
+
+    docs = read_fixture(spark, sf_dir, "documents")
+    out = str(tmp_path / "shuffled")
+    manifest = write_shuffled_shards(docs, out, n_shards=4)
+    m = {r.shard: r.n_docs for r in manifest.collect()}
+    assert sum(m.values()) == docs.count() and set(m) <= set(range(4))
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    # every row landed in the shard its shuffle_key dictates
+    bad = back.filter(
+        (F.col("shuffle_key") * 4 / F.lit(1 << 32)).cast("long") != F.col("shard")
+    ).count()
+    assert bad == 0
