@@ -360,6 +360,15 @@ def score_tree(
     pos, neg = collect_leaves(tree)
     terms = sorted(pos | neg)
     if not terms:
+        if docsets:
+            # filter-only query (e.g. a pure `field:value` query_string):
+            # no Term leaf needs partials, so _score_node walks the tree
+            # over the DocSet frames alone — matches score 0.0 (Lucene
+            # filter context), never silently-empty
+            empty = tf.sparkSession.createDataFrame(
+                [], "doc_id long, term string, partial double"
+            )
+            return _score_node(empty, tree, docsets)
         return tf.sparkSession.createDataFrame([], "doc_id long, score double")
     parts = score_terms(tf, doc_stats, term_stats, n_docs, avgdl, terms)
     return _score_node(parts, tree, docsets)

@@ -117,7 +117,6 @@ def write_training_shards(
     docs: DataFrame,
     packed: DataFrame,
     path: str,
-    seq_len: int,
     packs_per_shard: int = 4096,
     mode: str = "overwrite",
 ) -> DataFrame:
@@ -138,17 +137,19 @@ def write_training_shards(
     pack) — tiny, suitable for a driver-side training-job planner."""
     from .io import write_table
 
-    joined = packed.join(docs, "doc_id").withColumn(
-        "shard", (F.col("pack_first") / packs_per_shard).cast("long")
-    )
+    shard = (F.col("pack_first") / packs_per_shard).cast("long")
+    joined = packed.join(docs, "doc_id").withColumn("shard", shard)
     write_table(
         joined.repartition("shard").sortWithinPartitions("doc_id"),
         path,
         mode=mode,
         partition_by=["shard"],
     )
+    # manifest needs only packed-side columns — derive it from `packed`
+    # alone so the expensive packed⋈docs join runs exactly once (the write)
     return (
-        joined.groupBy("shard")
+        packed.withColumn("shard", shard)
+        .groupBy("shard")
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("n_tokens").alias("n_tokens"),

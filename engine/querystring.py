@@ -56,13 +56,17 @@ _TOKEN_RE = re.compile(
 )
 
 
-def _lex(q: str) -> list[tuple[str, str]]:
+def _lex(
+    q: str,
+    token_re: "re.Pattern[str]" = _TOKEN_RE,
+    label: str = "simple_query_string",
+) -> list[tuple[str, str]]:
     out, i = [], 0
     while i < len(q):
-        m = _TOKEN_RE.match(q, i)
+        m = token_re.match(q, i)
         if not m or m.end() == i:
             if q[i:].strip():
-                raise ValueError(f"simple_query_string: cannot lex at {q[i:]!r}")
+                raise ValueError(f"{label}: cannot lex at {q[i:]!r}")
             break
         i = m.end()
         kind = m.lastgroup
@@ -361,7 +365,8 @@ def qs_search(
 
 _QS_TOKEN_RE = re.compile(
     r"""\s*(?:
-        (?P<phrase>"[^"]*"(?:~\d+)?(?:\^\d+(?:\.\d+)?)?)
+        (?P<fieldphrase>[A-Za-z_][A-Za-z0-9_]*:"[^"]*"(?:~\d+)?(?:\^\d+(?:\.\d+)?)?)
+      | (?P<phrase>"[^"]*"(?:~\d+)?(?:\^\d+(?:\.\d+)?)?)
       | (?P<lparen>\()
       | (?P<rparen>\))
       | (?P<andop>AND\b|&&)
@@ -369,10 +374,13 @@ _QS_TOKEN_RE = re.compile(
       | (?P<notop>NOT\b|!)
       | (?P<plus>\+)
       | (?P<minus>-)
-      | (?P<word>[^\s()"!+\-][^\s()"]*)
+      | (?P<word>[^\s()"!+\-|&][^\s()"|&!]*)
     )""",
     re.VERBOSE,
 )
+# word's rest-class excludes | & ! so unspaced operators (a||b, a&&b, a!b)
+# lex as operators, never get swallowed into one word and silently replaced
+# by the default operator; a lone | or & is a lex error (strict, documented)
 
 
 @dataclass(frozen=True)
@@ -396,6 +404,17 @@ class _SlopPhrase:
 
 
 @dataclass(frozen=True)
+class _FieldPhrase:
+    """`field:"..."` — resolved at compile time: the analyzed text field
+    gets phrase semantics, any other field is an explicit error (phrase
+    positions only exist for analyzed text)."""
+
+    field: str
+    text: str
+    slop: int
+
+
+@dataclass(frozen=True)
 class _Must:
     """`+atom` inside an OR group: required, still scores."""
 
@@ -408,17 +427,7 @@ _PHRASE_RE = re.compile(r'^"([^"]*)"(?:~(\d+))?(?:\^(\d+(?:\.\d+)?))?$')
 
 
 def _lex_qs(q: str) -> list[tuple[str, str]]:
-    out, i = [], 0
-    while i < len(q):
-        m = _QS_TOKEN_RE.match(q, i)
-        if not m or m.end() == i:
-            if q[i:].strip():
-                raise ValueError(f"query_string: cannot lex at {q[i:]!r}")
-            break
-        i = m.end()
-        kind = m.lastgroup
-        out.append((kind, m.group(kind)))
-    return out
+    return _lex(q, token_re=_QS_TOKEN_RE, label="query_string")
 
 
 class _QSParser:
@@ -426,7 +435,9 @@ class _QSParser:
     Juxtaposition (bare whitespace between clauses) applies the default
     operator at its own precedence level, exactly like the simple parser."""
 
-    _ATOM_STARTS = ("phrase", "lparen", "minus", "notop", "plus", "word")
+    _ATOM_STARTS = (
+        "phrase", "fieldphrase", "lparen", "minus", "notop", "plus", "word"
+    )
 
     def __init__(self, tokens: list[tuple[str, str]], default_operator: str):
         if default_operator not in ("or", "and"):
@@ -487,6 +498,13 @@ class _QSParser:
             if m.group(3):
                 node = _Boosted(node, float(m.group(3)))
             return node
+        if kind == "fieldphrase":
+            field, rest = text.split(":", 1)
+            m = _PHRASE_RE.match(rest)
+            node = _FieldPhrase(field, m.group(1), int(m.group(2) or 0))
+            if m.group(3):
+                node = _Boosted(node, float(m.group(3)))
+            return node
         if kind == "word":
             return self._word(text)
         if kind == "lparen":
@@ -508,6 +526,10 @@ class _QSParser:
         boost = None
         if bm:
             text, boost = bm.group(1), float(bm.group(2))
+        if re.match(r"^[A-Za-z_][A-Za-z0-9_]*:$", text):
+            # `field:` with nothing attached — refuse loudly instead of
+            # silently searching for the literal token 'field'
+            raise ValueError(f"query_string: field {text!r} needs a value")
         fm = _FIELD_RE.match(text)
         if fm:
             node: object = _FieldTerm(fm.group(1), fm.group(2))
@@ -546,6 +568,14 @@ class _QSCompiler(_Compiler):
             name = f"field_{len(self.fields)}"
             self.fields[name] = (ast.field, ast.value)
             return DocSet(name)
+        if isinstance(ast, _FieldPhrase):
+            if ast.field != self.text_field:
+                raise ValueError(
+                    f"query_string: phrase on field {ast.field!r} unsupported "
+                    f"(positions only exist for the analyzed "
+                    f"{self.text_field!r} field)"
+                )
+            ast = _SlopPhrase(ast.text, ast.slop)
         if isinstance(ast, _SlopPhrase):
             toks = tokenize(ast.text)
             if not toks:

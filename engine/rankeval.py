@@ -39,8 +39,12 @@ def rank_eval(
                top-k output with a row_number attached).
     judgments: (qid, doc_id, grade) — graded relevance labels; hits absent
                from the judgment set count as grade 0."""
-    hits = ranked.join(judgments, ["qid", "doc_id"], "left").withColumn(
-        "grade", F.coalesce(F.col("grade"), F.lit(0))
+    # enforce @k even if the caller hands a deeper ranking (otherwise
+    # precision_k can exceed 1 and DCG sums past the cutoff)
+    hits = (
+        ranked.filter(F.col("rank") <= k)
+        .join(judgments, ["qid", "doc_id"], "left")
+        .withColumn("grade", F.coalesce(F.col("grade"), F.lit(0)))
     )
     per_q = hits.groupBy("qid").agg(
         (F.sum((F.col("grade") > 0).cast("int")) / F.lit(float(k))).alias(

@@ -4653,7 +4653,7 @@ c0 AS (SELECT m, j, sv FROM (
     prev = "c0"
     for it in range(1, iters + 1):
         parts.append(f"""
-a{it} AS (SELECT s.vec_id, s.m, arg_min(c.j, {l2}) AS j
+a{it} AS (SELECT s.vec_id, s.m, list(c.j ORDER BY {l2} ASC, c.j ASC)[1] AS j
           FROM sub s JOIN {prev} c USING (m) GROUP BY s.vec_id, s.m),
 m{it} AS (SELECT a.m, a.j, u.pos, avg(u.val) AS mv
           FROM a{it} a JOIN (SELECT vec_id, m, unnest(sv) AS val,
@@ -4667,7 +4667,7 @@ c{it} AS (SELECT p.m, p.j, CASE WHEN n.j IS NULL THEN p.sv ELSE n.mvec END AS sv
     parts.append(f"""
 allsub AS (SELECT t.vec_id, s.m, t.v{sl} AS sv
            FROM x t CROSS JOIN range({m}) s(m)),
-codes AS (SELECT s.vec_id, s.m, arg_min(c.j, {l2}) AS j
+codes AS (SELECT s.vec_id, s.m, list(c.j ORDER BY {l2} ASC, c.j ASC)[1] AS j
           FROM allsub s JOIN {prev} c USING (m) GROUP BY s.vec_id, s.m),
 qsub AS (SELECT s.m, t.v{sl} AS sv
          FROM (SELECT v FROM x WHERE vec_id = 0) t CROSS JOIN range({m}) s(m)),

@@ -87,7 +87,7 @@ def test_write_training_shards_roundtrip(spark, sf_dir, tmp_path):
     packed = pack_documents(docs, seq_len=64)
     out = str(tmp_path / "shards")
     manifest = write_training_shards(
-        docs, packed, out, seq_len=64, packs_per_shard=8
+        docs, packed, out, packs_per_shard=8
     ).collect()
     assert len(manifest) > 1  # small packs_per_shard → multiple shards
     back = spark.read.parquet(out)

@@ -296,3 +296,62 @@ class TestQueryStringEndToEnd(TestEndToEnd):
         tf, ds, ts, n, avgdl, _ = self._corpus(spark)
         with pytest.raises(ValueError):
             full_qs_search(tf, ds, ts, n, avgdl, "lang:en AND merge", k=10)
+
+
+class TestReviewFixes:
+    """Round-3 review findings: filter-only queries, fielded phrases,
+    unspaced operators, bare field:."""
+
+    def _corpus2(self, spark):
+        # reuse the shared corpus builder from TestEndToEnd
+        t = TestQueryStringEndToEnd()
+        return t._corpus(spark), t._docs_meta(spark)
+
+    def test_filter_only_query_returns_matches(self, spark):
+        (tf, ds, ts, n, avgdl, _), meta = self._corpus2(spark)
+        got = full_qs_search(
+            tf, ds, ts, n, avgdl, "lang:en", docs=meta, k=10
+        ).collect()
+        assert {r.doc_id for r in got} == {1, 2, 4, 5}
+        assert all(r.score == 0.0 for r in got)  # filter context
+
+    def test_filter_only_conjunction(self, spark):
+        (tf, ds, ts, n, avgdl, _), meta = self._corpus2(spark)
+        got = full_qs_search(
+            tf, ds, ts, n, avgdl, "lang:en AND NOT lang:de", docs=meta, k=10
+        ).collect()
+        assert {r.doc_id for r in got} == {1, 2, 4, 5}
+
+    def test_fielded_phrase_on_text_field(self, spark):
+        (tf, ds, ts, n, avgdl, tfp), meta = self._corpus2(spark)
+        fielded = full_qs_search(
+            tf, ds, ts, n, avgdl, 'text:"sort merge"',
+            docs=meta, tf_positions=tfp, k=10,
+        ).collect()
+        plain = full_qs_search(
+            tf, ds, ts, n, avgdl, '"sort merge"', tf_positions=tfp, k=10
+        ).collect()
+        assert {(r.doc_id, r.score) for r in fielded} == {
+            (r.doc_id, r.score) for r in plain
+        }
+
+    def test_fielded_phrase_on_metadata_field_raises(self, spark):
+        (tf, ds, ts, n, avgdl, tfp), meta = self._corpus2(spark)
+        with pytest.raises(ValueError):
+            full_qs_search(
+                tf, ds, ts, n, avgdl, 'lang:"en gb"',
+                docs=meta, tf_positions=tfp, k=10,
+            )
+
+    def test_unspaced_operators_lex_as_operators(self):
+        from engine.querystring import _lex_qs
+
+        kinds = [k for k, _ in _lex_qs("x||y&&z")]
+        assert kinds == ["word", "orop", "word", "andop", "word"]
+        # a!b: ! binds as NOT on the following atom
+        kinds2 = [k for k, _ in _lex_qs("a!b")]
+        assert kinds2 == ["word", "notop", "word"]
+
+    def test_bare_field_colon_raises(self):
+        with pytest.raises(ValueError):
+            parse_query_string("title:")

@@ -58,3 +58,19 @@ def test_with_ranks_orders_by_rounded_score_then_id(spark):
         (1, 1), (3, 2), (5, 3)
     ]
     assert all(r.qid == "qx" for r in rows)
+
+
+def test_rank_eval_enforces_k_on_deeper_rankings(spark):
+    # a 4-deep ranking with k=2: hits at ranks 3,4 must not count
+    ranked = spark.createDataFrame(
+        [("q", 1, 1), ("q", 2, 2), ("q", 3, 3), ("q", 4, 4)],
+        "qid string, doc_id long, rank int",
+    )
+    judg = spark.createDataFrame(
+        [("q", 1, 1), ("q", 3, 1), ("q", 4, 1)],
+        "qid string, doc_id long, grade int",
+    )
+    row = rank_eval(ranked, judg, k=2).collect()[0]
+    assert row.precision_k == pytest.approx(0.5)  # only rank-1 hit counts
+    assert row.precision_k <= 1.0
+    assert row.mrr == pytest.approx(1.0)
