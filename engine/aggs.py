@@ -823,3 +823,53 @@ def percentiles_bucket_agg(
             for p in percents
         ]
     )
+
+
+def date_histogram_filled(
+    df: DataFrame,
+    ts_col: str,
+    unit: str = "day",
+) -> DataFrame:
+    """ES date_histogram with min_doc_count=0 [public: ES date_histogram
+    docs]: emit EVERY bucket between the first and last observed, zero
+    counts included — rollup/chart consumers rely on the gapless axis.
+    The corpus-side work is the ordinary hash aggregate; the gap filling
+    is a sequence() explode over the bucket frame's [min, max] span
+    (|buckets| rows), then one left join back — never a corpus scan."""
+    bucket = F.date_trunc(unit, F.col(ts_col))
+    hist = df.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").alias("doc_count")
+    )
+    span = hist.agg(F.min("bucket").alias("mn"), F.max("bucket").alias("mx"))
+    all_buckets = span.select(
+        F.explode(
+            F.expr(f"sequence(mn, mx, interval 1 {unit})")
+        ).alias("bucket")
+    )
+    return (
+        all_buckets.join(hist, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("doc_count", F.lit(0)).cast("bigint").alias("doc_count"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def terms_agg_missing(
+    df: DataFrame,
+    col: str,
+    missing_label: str,
+    top: int = 10,
+) -> DataFrame:
+    """ES terms agg `missing` parameter [public: ES terms agg docs]: rows
+    with a null key are bucketed under an explicit label instead of being
+    dropped. One coalesce inside the same hash aggregate — free."""
+    return (
+        df.groupBy(
+            F.coalesce(F.col(col), F.lit(missing_label)).alias("key")
+        )
+        .agg(F.count("*").alias("doc_count"))
+        .orderBy(F.col("doc_count").desc(), F.col("key").asc())
+        .limit(top)
+    )

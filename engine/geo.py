@@ -141,3 +141,30 @@ def geo_centroid_agg(ev: DataFrame, group_by: str = "event_type") -> DataFrame:
         )
         .orderBy(group_by)
     )
+
+
+def geo_bounding_box_search(
+    ev: DataFrame,
+    top: float,
+    left: float,
+    bottom: float,
+    right: float,
+    k: int = 20,
+) -> DataFrame:
+    """ES geo_bounding_box query [public: ES geo_bounding_box docs]: points
+    inside the (top_left, bottom_right) rectangle, filter context. Pure
+    range predicates — at scale this pushes to the parquet scan (and under
+    a geohash/tile partitioning prunes whole partitions), strictly cheaper
+    than the haversine predicate. Flat lat/lon box, no dateline wrap —
+    documented divergence, same policy as geo_bounds (E36)."""
+    boxed = ev.filter(
+        (F.col("lat") <= top)
+        & (F.col("lat") >= bottom)
+        & (F.col("lon") >= left)
+        & (F.col("lon") <= right)
+    )
+    return (
+        boxed.select("event_id", "lat", "lon")
+        .orderBy("event_id")
+        .limit(k)
+    )

@@ -5391,3 +5391,83 @@ SELECT doc_id, CAST(start / 48 AS BIGINT) AS chunk_id,
 FROM s
 """,
 )
+
+
+from .geo import COORDS_SQL  # noqa: E402
+
+
+def _q_geo_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES geo_bounding_box: events inside a lat/lon rectangle (filter
+    context, geo.geo_bounding_box_search — pure range predicates, pushed
+    to the scan)."""
+    from .geo import geo_bounding_box_search, with_synthetic_coords
+
+    ev = with_synthetic_coords(read_fixture(spark, sf_dir, "events"))
+    return geo_bounding_box_search(
+        ev, top=45.0, left=-80.0, bottom=35.0, right=-60.0, k=20
+    )
+
+
+register(
+    "search_geo_bbox",
+    _q_geo_bbox,
+    f"""
+SELECT event_id, lat, lon FROM (SELECT event_id, {COORDS_SQL} FROM events)
+WHERE lat <= 45.0 AND lat >= 35.0 AND lon >= -80.0 AND lon <= -60.0
+ORDER BY event_id LIMIT 20
+""",
+)
+
+
+def _q_date_histogram_filled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES date_histogram min_doc_count=0: hourly purchase counts with EMPTY
+    hours emitted (47 real gaps at sf0.01 — the fill path is exercised, not
+    vacuous; aggs.date_histogram_filled)."""
+    from .aggs import date_histogram_filled
+
+    ev = read_fixture(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    return date_histogram_filled(ev, "ts", unit="hour")
+
+
+register(
+    "agg_date_histogram_filled",
+    _q_date_histogram_filled,
+    """
+WITH hist AS (
+  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+         count(*) AS doc_count
+  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+span AS (SELECT min(bucket) AS mn, max(bucket) AS mx FROM hist),
+allb AS (SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS bucket
+         FROM span)
+SELECT a.bucket, CAST(COALESCE(h.doc_count, 0) AS BIGINT) AS doc_count
+FROM allb a LEFT JOIN hist h ON a.bucket = h.bucket
+ORDER BY a.bucket
+""",
+)
+
+
+def _q_terms_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES terms agg `missing` param: null keys bucketed under an explicit
+    label (aggs.terms_agg_missing — the fixtures carry no nulls, so the
+    'error' type is nulled via nullif to exercise the operator; same
+    expression both sides)."""
+    from .aggs import terms_agg_missing
+
+    ev = read_fixture(spark, sf_dir, "events").withColumn(
+        "etype", F.expr("nullif(event_type, 'error')")
+    )
+    return terms_agg_missing(ev, "etype", "N/A", top=10)
+
+
+register(
+    "agg_terms_missing",
+    _q_terms_missing,
+    """
+SELECT COALESCE(nullif(event_type, 'error'), 'N/A') AS key,
+       count(*) AS doc_count
+FROM events GROUP BY 1 ORDER BY doc_count DESC, key ASC LIMIT 10
+""",
+)

@@ -484,3 +484,27 @@ def test_write_shuffled_shards_roundtrip(spark, sf_dir, tmp_path):
         (F.col("shuffle_key") * 4 / F.lit(1 << 32)).cast("long") != F.col("shard")
     ).count()
     assert bad == 0
+
+
+def test_date_histogram_filled_emits_empty_buckets(spark):
+    from engine.aggs import date_histogram_filled
+
+    ev = spark.createDataFrame(
+        [("2024-01-01 00:00:00",), ("2024-01-03 00:00:00",),
+         ("2024-01-03 01:00:00",)],
+        "ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    rows = date_histogram_filled(ev, "ts", unit="day").collect()
+    got = [(r.bucket.day, r.doc_count) for r in rows]
+    # Jan 2 has no events but must appear with 0
+    assert got == [(1, 1), (2, 0), (3, 2)]
+
+
+def test_terms_agg_missing_buckets_nulls(spark):
+    from engine.aggs import terms_agg_missing
+
+    df = spark.createDataFrame(
+        [("a",), (None,), ("a",), (None,), (None,)], "k string"
+    )
+    rows = terms_agg_missing(df, "k", "N/A").collect()
+    assert [(r.key, r.doc_count) for r in rows] == [("N/A", 3), ("a", 2)]
