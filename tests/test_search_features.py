@@ -432,3 +432,61 @@ def test_intervals_duplicate_terms_rejected(spark):
         intervals_all_of(tfp, ["a", "a"])
     with _pt.raises(ValueError):
         intervals_all_of(tfp, ["a", "a", "b"])
+
+
+class TestIntervalsProperty:
+    def test_matches_brute_force_reference(self, spark):
+        """Randomized (seeded) docs vs an O(n^3) python reference."""
+        import itertools
+        import random
+
+        from engine.search import intervals_all_of
+
+        rng = random.Random(13)
+        vocab = ["a", "b", "c", "x", "y"]
+        docs = [
+            (i, [rng.choice(vocab) for _ in range(rng.randint(3, 20))])
+            for i in range(60)
+        ]
+        data = []
+        for doc_id, toks in docs:
+            seen = {}
+            for p, t in enumerate(toks):
+                seen.setdefault(t, []).append(p)
+            for t, ps in seen.items():
+                data.append((doc_id, t, len(ps), ps))
+        tfp = spark.createDataFrame(
+            data, "doc_id long, term string, tf long, positions array<int>"
+        )
+        terms, max_gaps = ["a", "b", "c"], 2
+        got = {
+            r.doc_id: r.min_gaps
+            for r in intervals_all_of(tfp, terms, max_gaps=max_gaps).collect()
+        }
+        want = {}
+        for doc_id, toks in docs:
+            pos = {t: [p for p, x in enumerate(toks) if x == t] for t in terms}
+            if any(not pos[t] for t in terms):
+                continue
+            best = min(
+                max(c) - min(c) - 2
+                for c in itertools.product(*[pos[t] for t in terms])
+            )
+            if best <= max_gaps:
+                want[doc_id] = best
+        assert got == want and want  # non-vacuous
+
+
+class TestRrfProperties:
+    def test_input_order_invariant(self, spark):
+        from engine.search import rrf_fuse
+
+        r1 = spark.createDataFrame(
+            [(1, 3.0), (2, 2.0)], "doc_id long, score double"
+        )
+        r2 = spark.createDataFrame(
+            [(2, 0.9), (3, 0.8)], "doc_id long, score double"
+        )
+        a = sorted(map(tuple, rrf_fuse([r1, r2], k=10).collect()))
+        b = sorted(map(tuple, rrf_fuse([r2, r1], k=10).collect()))
+        assert a == b
