@@ -818,7 +818,8 @@ def percentiles_bucket_agg(
     return hist.agg(
         *[
             F.round(F.percentile("_m", F.lit(p / 100.0)), 4).alias(
-                f"p{int(p)}"
+                # p2.5 -> p2_5 (int() would mislabel it p2 and collide)
+                "p" + f"{p:g}".replace(".", "_")
             )
             for p in percents
         ]

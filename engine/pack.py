@@ -145,10 +145,14 @@ def write_training_shards(
         mode=mode,
         partition_by=["shard"],
     )
-    # manifest needs only packed-side columns — derive it from `packed`
-    # alone so the expensive packed⋈docs join runs exactly once (the write)
+    # manifest needs only packed-side columns, but must agree with the
+    # WRITTEN rows (the write's inner join drops packed ids absent from
+    # docs, e.g. a quality-filtered docs subset) — so semi-join against the
+    # id column only: a column-pruned scan, not the full-payload join the
+    # write already paid for
     return (
-        packed.withColumn("shard", shard)
+        packed.join(docs.select("doc_id"), "doc_id", "left_semi")
+        .withColumn("shard", shard)
         .groupBy("shard")
         .agg(
             F.count("*").alias("n_docs"),

@@ -374,13 +374,17 @@ _QS_TOKEN_RE = re.compile(
       | (?P<notop>NOT\b|!)
       | (?P<plus>\+)
       | (?P<minus>-)
-      | (?P<word>[^\s()"!+\-|&][^\s()"|&!]*)
+      | (?P<word>[^\s()"!+\-|&](?:[^\s()"|&!]|&(?!&)|\|(?!\|))*)
     )""",
     re.VERBOSE,
 )
-# word's rest-class excludes | & ! so unspaced operators (a||b, a&&b, a!b)
-# lex as operators, never get swallowed into one word and silently replaced
-# by the default operator; a lone | or & is a lex error (strict, documented)
+# word's rest-class excludes the OPERATOR spellings (&&, ||, !) so unspaced
+# operators (a||b, a&&b, a!b) lex as operators, never get swallowed into one
+# word and silently replaced by the default operator. A single & or | stays
+# a term character (AT&T, a|b-pipe names) via the (?!) lookaheads — only the
+# doubled forms are operators, matching Lucene's classic grammar. `!` is an
+# operator anywhere (Lucene NOT); a trailing `wow!` is a parse error there
+# too.
 
 
 @dataclass(frozen=True)
@@ -488,6 +492,8 @@ class _QSParser:
 
     def atom(self):
         kind, text = self.next()
+        if kind is None:
+            raise ValueError("query_string: dangling operator at end of input")
         if kind in ("minus", "notop"):
             return _Neg(self.atom())
         if kind == "plus":
@@ -564,6 +570,10 @@ class _QSCompiler(_Compiler):
 
         if isinstance(ast, _FieldTerm):
             if ast.field == self.text_field:
+                # text:dat* keeps prefix semantics (tokenize would strip
+                # the '*' and silently demote it to an exact term)
+                if ast.value.endswith("*") and len(ast.value) > 1:
+                    return self._node(_Prefix(ast.value[:-1]))
                 return super()._node(_Word(ast.value))
             name = f"field_{len(self.fields)}"
             self.fields[name] = (ast.field, ast.value)
@@ -681,7 +691,6 @@ def render_search_template(template: str, params: dict[str, str]) -> str:
     raises (ES renders empty — pinned stricter here so a typo'd template
     fails loudly instead of silently matching nothing). The rendered string
     feeds any query parser; rendering is driver-side O(|template|)."""
-    import re
 
     def _sub(m: "re.Match[str]") -> str:
         key = m.group(1).strip()

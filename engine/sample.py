@@ -153,6 +153,9 @@ def temperature_rates(
     as remix_rates (no upsampling: rates cap at denom)."""
     if not counts or target_total <= 0:
         return {s: 0 for s in counts}
+    # a NULL stratum keeps 0 (consistent with "missing strata keep 0" in
+    # stratified_sample) and must not poison the deterministic sort order
+    counts = {s: n for s, n in counts.items() if s is not None}
     sum_pow = sum(n**alpha for s, n in sorted(counts.items()) if n > 0)
     out = {}
     for s, n in counts.items():
@@ -212,8 +215,12 @@ def write_shuffled_shards(
         mode=mode,
         partition_by=["shard"],
     )
+    # manifest pass re-derives shard/shuffle_key from the id column alone —
+    # an explicitly column-pruned second scan (reads one column), not a
+    # second pass over the full rows the write just shipped
     return (
-        shuffled.groupBy("shard")
+        shuffled.select("shard", "shuffle_key")
+        .groupBy("shard")
         .agg(
             F.count("*").alias("n_docs"),
             F.min("shuffle_key").alias("min_key"),

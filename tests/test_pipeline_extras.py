@@ -508,3 +508,34 @@ def test_terms_agg_missing_buckets_nulls(spark):
     )
     rows = terms_agg_missing(df, "k", "N/A").collect()
     assert [(r.key, r.doc_count) for r in rows] == [("N/A", 3), ("a", 2)]
+
+
+def test_temperature_rates_null_stratum_kept_zero():
+    from engine.sample import temperature_rates
+
+    r = temperature_rates({"a": 100, None: 50}, alpha=0.5, target_total=50)
+    assert r.get("a", 0) > 0 and None not in r
+
+
+def test_percentiles_bucket_fractional_labels(spark):
+    from engine.aggs import percentiles_bucket_agg
+
+    ev = spark.createDataFrame(
+        [("2024-01-0%d 00:00:00" % d, 1.0) for d in range(1, 5)],
+        "ts string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = percentiles_bucket_agg(ev, "ts", "value", percents=[2.5, 25.0], unit="day")
+    assert out.columns == ["p2_5", "p25"]
+
+
+def test_pack_manifest_agrees_with_filtered_docs(spark, sf_dir, tmp_path):
+    from engine.pack import pack_documents, write_training_shards
+
+    docs = read_fixture(spark, sf_dir, "documents")
+    packed = pack_documents(docs, seq_len=64)
+    subset = docs.filter(F.col("doc_id") % 2 == 0)  # drop half AFTER packing
+    out = str(tmp_path / "shards_subset")
+    manifest = write_training_shards(subset, packed, out, packs_per_shard=8)
+    n_manifest = sum(r.n_docs for r in manifest.collect())
+    n_written = spark.read.parquet(out).count()
+    assert n_manifest == n_written == subset.count()

@@ -355,3 +355,27 @@ class TestReviewFixes:
     def test_bare_field_colon_raises(self):
         with pytest.raises(ValueError):
             parse_query_string("title:")
+
+
+class TestReviewFixes2:
+    def test_fielded_prefix_keeps_expansion(self, spark):
+        t = TestQueryStringEndToEnd()
+        tf, ds, ts, n, avgdl, tfp = t._corpus(spark)
+        fielded = full_qs_search(tf, ds, ts, n, avgdl, "text:mer*", k=10).collect()
+        bare = full_qs_search(tf, ds, ts, n, avgdl, "mer*", k=10).collect()
+        assert {(r.doc_id, r.score) for r in fielded} == {
+            (r.doc_id, r.score) for r in bare
+        } and fielded
+
+    def test_single_ampersand_and_pipe_stay_term_chars(self):
+        from engine.querystring import _lex_qs
+
+        assert [k for k, _ in _lex_qs("AT&T")] == ["word"]
+        assert _lex_qs("AT&T")[0][1] == "AT&T"
+        assert [k for k, _ in _lex_qs("a|b")] == ["word"]
+        # doubled forms still operators
+        assert [k for k, _ in _lex_qs("a&&b")] == ["word", "andop", "word"]
+
+    def test_dangling_operator_clear_error(self):
+        with pytest.raises(ValueError, match="dangling operator"):
+            parse_query_string("wow AND")
