@@ -5471,3 +5471,44 @@ SELECT COALESCE(nullif(event_type, 'error'), 'N/A') AS key,
 FROM events GROUP BY 1 ORDER BY doc_count DESC, key ASC LIMIT 10
 """,
 )
+
+
+def _q_eql_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES EQL: `sequence by user_id with maxspan=2h [view] [purchase]` —
+    purchases preceded by a view from the same user within 2 hours
+    (eql.eql_sequence — one key-partitioned window, no self-join)."""
+    from .eql import eql_sequence
+
+    ev = read_fixture(spark, sf_dir, "events")
+    return eql_sequence(
+        ev,
+        "user_id",
+        "ts",
+        F.col("event_type") == "view",
+        F.col("event_type") == "purchase",
+        maxspan_seconds=7200,
+    ).orderBy("user_id", "event_id")
+
+
+register(
+    "eql_sequence",
+    _q_eql_sequence,
+    """
+WITH rel AS (
+  SELECT user_id, event_id, ts,
+         event_type = 'view' AS is1, event_type = 'purchase' AS is2
+  FROM events WHERE event_type IN ('view', 'purchase')),
+m AS (
+  SELECT user_id, event_id, ts, is2,
+         max(CASE WHEN is1 THEN ts END) OVER (
+           PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last1
+  FROM rel)
+SELECT user_id, event_id, ts,
+       CAST(floor(epoch(ts) - epoch(last1)) AS BIGINT) AS gap_seconds
+FROM m
+WHERE is2 AND last1 IS NOT NULL
+  AND epoch(ts) - epoch(last1) BETWEEN 0 AND 7200
+ORDER BY user_id, event_id
+""",
+)

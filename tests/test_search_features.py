@@ -490,3 +490,50 @@ class TestRrfProperties:
         a = sorted(map(tuple, rrf_fuse([r1, r2], k=10).collect()))
         b = sorted(map(tuple, rrf_fuse([r2, r1], k=10).collect()))
         assert a == b
+
+
+class TestEqlSequence:
+    def test_two_step_within_span(self, spark):
+        from engine.eql import eql_sequence
+
+        ev = spark.createDataFrame(
+            [
+                (1, 10, "2024-01-01 10:00:00", "view"),
+                (1, 11, "2024-01-01 10:30:00", "purchase"),  # 1800s ok
+                (1, 12, "2024-01-01 14:00:00", "purchase"),  # >2h from view
+                (2, 20, "2024-01-01 09:00:00", "purchase"),  # no prior view
+                (3, 30, "2024-01-01 09:00:00", "view"),
+                (3, 31, "2024-01-01 09:10:00", "view"),      # latest view wins
+                (3, 32, "2024-01-01 09:20:00", "purchase"),
+            ],
+            "user_id long, event_id long, ts string, event_type string",
+        ).withColumn("ts", F.to_timestamp("ts"))
+        got = {
+            (r.user_id, r.event_id): r.gap_seconds
+            for r in eql_sequence(
+                ev, "user_id", "ts",
+                F.col("event_type") == "view",
+                F.col("event_type") == "purchase",
+                maxspan_seconds=7200,
+            ).collect()
+        }
+        assert got == {(1, 11): 1800, (3, 32): 600}
+
+    def test_non_consuming_one_view_heads_many(self, spark):
+        from engine.eql import eql_sequence
+
+        ev = spark.createDataFrame(
+            [
+                (1, 1, "2024-01-01 10:00:00", "view"),
+                (1, 2, "2024-01-01 10:01:00", "purchase"),
+                (1, 3, "2024-01-01 10:02:00", "purchase"),
+            ],
+            "user_id long, event_id long, ts string, event_type string",
+        ).withColumn("ts", F.to_timestamp("ts"))
+        rows = eql_sequence(
+            ev, "user_id", "ts",
+            F.col("event_type") == "view",
+            F.col("event_type") == "purchase",
+            maxspan_seconds=600,
+        ).collect()
+        assert len(rows) == 2  # EQL default: step-1 not consumed
