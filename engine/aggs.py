@@ -836,11 +836,14 @@ def date_histogram_filled(
     counts included — rollup/chart consumers rely on the gapless axis.
     The corpus-side work is the ordinary hash aggregate; the gap filling
     is a sequence() explode over the bucket frame's [min, max] span
-    (|buckets| rows), then one left join back — never a corpus scan."""
+    (|buckets| rows), then one left join back. The bucket frame is
+    cache()d because BOTH the span derivation and the join consume it —
+    without the cache each subtree would re-run the corpus aggregate
+    (ReuseExchange is not guaranteed under AQE)."""
     bucket = F.date_trunc(unit, F.col(ts_col))
     hist = df.groupBy(bucket.alias("bucket")).agg(
         F.count("*").alias("doc_count")
-    )
+    ).cache()
     span = hist.agg(F.min("bucket").alias("mn"), F.max("bucket").alias("mx"))
     all_buckets = span.select(
         F.explode(

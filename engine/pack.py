@@ -147,11 +147,11 @@ def write_training_shards(
     )
     # manifest needs only packed-side columns, but must agree with the
     # WRITTEN rows (the write's inner join drops packed ids absent from
-    # docs, e.g. a quality-filtered docs subset) — so semi-join against the
-    # id column only: a column-pruned scan, not the full-payload join the
-    # write already paid for
+    # docs and multiplies duplicated ones) — so the manifest replays the
+    # same INNER join against the id column only: a column-pruned scan,
+    # not the full-payload join the write already paid for
     return (
-        packed.join(docs.select("doc_id"), "doc_id", "left_semi")
+        packed.join(docs.select("doc_id"), "doc_id")
         .withColumn("shard", shard)
         .groupBy("shard")
         .agg(

@@ -374,17 +374,19 @@ _QS_TOKEN_RE = re.compile(
       | (?P<notop>NOT\b|!)
       | (?P<plus>\+)
       | (?P<minus>-)
-      | (?P<word>[^\s()"!+\-|&](?:[^\s()"|&!]|&(?!&)|\|(?!\|))*)
+      | (?P<word>(?:[^\s()"!+\-|&]|&(?!&)|\|(?!\|))(?:[^\s()"|&!]|&(?!&)|\|(?!\|))*)
     )""",
     re.VERBOSE,
 )
-# word's rest-class excludes the OPERATOR spellings (&&, ||, !) so unspaced
-# operators (a||b, a&&b, a!b) lex as operators, never get swallowed into one
-# word and silently replaced by the default operator. A single & or | stays
-# a term character (AT&T, a|b-pipe names) via the (?!) lookaheads — only the
-# doubled forms are operators, matching Lucene's classic grammar. `!` is an
-# operator anywhere (Lucene NOT); a trailing `wow!` is a parse error there
-# too.
+# word excludes only the OPERATOR spellings (&&, ||, !) so unspaced operators
+# (a||b, a&&b, a!b) lex as operators, never get swallowed into one word and
+# silently replaced by the default operator. A single & or | is a term
+# character in ANY position, leading included (&T, AT&T, a|b) via the (?!)
+# lookaheads — only the doubled forms are operators, matching Lucene's
+# classic grammar; the analyzer strips such punctuation downstream. `!` is
+# an operator anywhere (Lucene NOT); a trailing `wow!` is a parse error
+# there too. The andop/orop alternatives precede word, so a string STARTING
+# with && or || still lexes as an operator.
 
 
 @dataclass(frozen=True)
@@ -678,7 +680,13 @@ def full_qs_search(
     for name, (col, value) in comp.fields.items():
         if docs is None:
             raise ValueError(f"field filter {col}:{value} requires the docs frame")
-        docsets[name] = docs.filter(F.col(col) == value).select("doc_id")
+        if value.endswith("*") and len(value) > 1:
+            # metadata trailing-* = keyword prefix filter (Lucene wildcard
+            # on an unanalyzed field), not a literal '*' character match
+            pred = F.col(col).startswith(value[:-1])
+        else:
+            pred = F.col(col) == value
+        docsets[name] = docs.filter(pred).select("doc_id")
     return tree_search(
         tf, doc_stats, term_stats, n_docs, avgdl, tree,
         k=k, round_to=round_to, docsets=docsets or None,

@@ -5227,7 +5227,8 @@ register(
     "sample_temperature",
     _q_temperature_sample,
     f"""
-WITH cnt AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+WITH cnt AS (SELECT source, count(*) AS n FROM documents
+             WHERE source IS NOT NULL GROUP BY source),
 tot AS (SELECT sum(power(n, 0.5)) AS sp FROM cnt),
 rates AS (
   SELECT source,

@@ -151,11 +151,14 @@ def temperature_rates(
     k_s = target_total · w_s, keep rate = min(1, k_s / n_s). Integer
     floor-with-epsilon per-denom rates, same reproducible-in-SQL arithmetic
     as remix_rates (no upsampling: rates cap at denom)."""
+    # a NULL stratum keeps 0 (consistent with "missing strata keep 0" in
+    # stratified_sample) and must not poison the deterministic sort order —
+    # dropped BEFORE the early return so the returned dict never carries a
+    # None key; it is also excluded from sum_pow (the oracle mirrors this
+    # with WHERE <stratum> IS NOT NULL)
+    counts = {s: n for s, n in counts.items() if s is not None}
     if not counts or target_total <= 0:
         return {s: 0 for s in counts}
-    # a NULL stratum keeps 0 (consistent with "missing strata keep 0" in
-    # stratified_sample) and must not poison the deterministic sort order
-    counts = {s: n for s, n in counts.items() if s is not None}
     sum_pow = sum(n**alpha for s, n in sorted(counts.items()) if n > 0)
     out = {}
     for s, n in counts.items():

@@ -539,3 +539,25 @@ def test_pack_manifest_agrees_with_filtered_docs(spark, sf_dir, tmp_path):
     n_manifest = sum(r.n_docs for r in manifest.collect())
     n_written = spark.read.parquet(out).count()
     assert n_manifest == n_written == subset.count()
+
+
+def test_temperature_rates_null_only_and_zero_target():
+    from engine.sample import temperature_rates
+
+    # early return must also drop the None key
+    r = temperature_rates({"a": 100, None: 50}, alpha=0.5, target_total=0)
+    assert r == {"a": 0}
+    assert temperature_rates({None: 50}, alpha=0.5, target_total=10) == {}
+
+
+def test_pack_manifest_counts_duplicated_docs_like_the_write(spark, sf_dir, tmp_path):
+    from engine.pack import pack_documents, write_training_shards
+
+    docs = read_fixture(spark, sf_dir, "documents")
+    packed = pack_documents(docs, seq_len=64)
+    doubled = docs.unionByName(docs.limit(5))  # 5 duplicate doc_ids
+    out = str(tmp_path / "shards_dup")
+    manifest = write_training_shards(doubled, packed, out, packs_per_shard=8)
+    n_manifest = sum(r.n_docs for r in manifest.collect())
+    n_written = spark.read.parquet(out).count()
+    assert n_manifest == n_written == docs.count() + 5

@@ -379,3 +379,24 @@ class TestReviewFixes2:
     def test_dangling_operator_clear_error(self):
         with pytest.raises(ValueError, match="dangling operator"):
             parse_query_string("wow AND")
+
+
+class TestReviewFixes3:
+    def test_leading_single_amp_or_pipe_is_term_char(self):
+        from engine.querystring import _lex_qs
+
+        assert [t for _, t in _lex_qs("&T x")] == ["&T", "x"]
+        assert [t for _, t in _lex_qs("|x")] == ["|x"]
+        assert [k for k, _ in _lex_qs("&&x")] == ["andop", "word"]
+
+    def test_metadata_trailing_star_is_prefix_filter(self, spark):
+        t = TestQueryStringEndToEnd()
+        tf, ds, ts, n, avgdl, tfp = t._corpus(spark)
+        meta = spark.createDataFrame(
+            [(1, "web-a"), (2, "web-b"), (3, "mail"), (4, "web-a"), (5, "mail")],
+            "doc_id long, source string",
+        )
+        got = full_qs_search(
+            tf, ds, ts, n, avgdl, "source:web*", docs=meta, k=10
+        ).collect()
+        assert {r.doc_id for r in got} == {1, 2, 4}
