@@ -877,3 +877,28 @@ def terms_agg_missing(
         .orderBy(F.col("doc_count").desc(), F.col("key").asc())
         .limit(top)
     )
+
+
+def transform_pivot(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """ES transform (entity-centric pivot) [public: ES transforms docs]:
+    continuously-maintainable per-entity summary — event count, value
+    total/mean, first/last activity. ONE map-side-combining hash aggregate
+    keyed on the entity; at scale this is the canonical pivot ES transforms
+    checkpoint incrementally, and the streaming variant is the same
+    aggregate under `foreachBatch` (J6 machinery)."""
+    return (
+        df.groupBy(entity_col)
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(value_col), 4).alias("value_sum"),
+            F.round(F.avg(value_col), 4).alias("value_avg"),
+            F.min(ts_col).alias("first_seen"),
+            F.max(ts_col).alias("last_seen"),
+        )
+        .orderBy(entity_col)
+    )

@@ -5513,3 +5513,25 @@ WHERE is2 AND last1 IS NOT NULL
 ORDER BY user_id, event_id
 """,
 )
+
+
+def _q_transform_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES transform: entity-centric pivot of the events stream per user
+    (aggs.transform_pivot — one hash aggregate keyed on the entity)."""
+    from .aggs import transform_pivot
+
+    ev = read_fixture(spark, sf_dir, "events")
+    return transform_pivot(ev, "user_id", "ts", "value")
+
+
+register(
+    "transform_pivot",
+    _q_transform_pivot,
+    """
+SELECT user_id, count(*) AS n_events,
+       round(sum(value), 4) AS value_sum,
+       round(avg(value), 4) AS value_avg,
+       min(ts) AS first_seen, max(ts) AS last_seen
+FROM events GROUP BY user_id ORDER BY user_id
+""",
+)
