@@ -5535,3 +5535,52 @@ SELECT user_id, count(*) AS n_events,
 FROM events GROUP BY user_id ORDER BY user_id
 """,
 )
+
+
+def _q_eql_sequence3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES EQL 3-step: `sequence by user_id with maxspan=8h [view] [click]
+    [purchase]` (eql.eql_sequence3 — two stacked windows, one shuffle)."""
+    from .eql import eql_sequence3
+
+    ev = read_fixture(spark, sf_dir, "events")
+    return eql_sequence3(
+        ev,
+        "user_id",
+        "ts",
+        F.col("event_type") == "view",
+        F.col("event_type") == "click",
+        F.col("event_type") == "purchase",
+        maxspan_seconds=28800,
+    ).orderBy("user_id", "event_id")
+
+
+register(
+    "eql_sequence3",
+    _q_eql_sequence3,
+    """
+WITH rel AS (
+  SELECT user_id, event_id, ts, event_type FROM events
+  WHERE event_type IN ('view', 'click', 'purchase')),
+m1 AS (
+  SELECT *, max(CASE WHEN event_type = 'view' THEN ts END) OVER (
+      PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last1
+  FROM rel),
+m2 AS (
+  SELECT *, CASE WHEN event_type = 'click' AND last1 IS NOT NULL
+                  AND epoch(ts) - epoch(last1) BETWEEN 0 AND 28800
+             THEN ts END AS done2
+  FROM m1),
+m3 AS (
+  SELECT *, max(done2) OVER (
+      PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last2
+  FROM m2)
+SELECT user_id, event_id, ts,
+       CAST(floor(epoch(ts) - epoch(last2)) AS BIGINT) AS gap_seconds
+FROM m3
+WHERE event_type = 'purchase' AND last2 IS NOT NULL
+  AND epoch(ts) - epoch(last2) BETWEEN 0 AND 28800
+ORDER BY user_id, event_id
+""",
+)

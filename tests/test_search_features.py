@@ -537,3 +537,37 @@ class TestEqlSequence:
             maxspan_seconds=600,
         ).collect()
         assert len(rows) == 2  # EQL default: step-1 not consumed
+
+    def test_three_step_requires_full_chain(self, spark):
+        from engine.eql import eql_sequence3
+
+        ev = spark.createDataFrame(
+            [
+                # user 1: view -> click -> purchase, all within span
+                (1, 1, "2024-01-01 10:00:00", "view"),
+                (1, 2, "2024-01-01 10:10:00", "click"),
+                (1, 3, "2024-01-01 10:20:00", "purchase"),
+                # user 2: click -> purchase but NO prior view
+                (2, 4, "2024-01-01 10:00:00", "click"),
+                (2, 5, "2024-01-01 10:05:00", "purchase"),
+                # user 3: view -> purchase, click missing
+                (3, 6, "2024-01-01 10:00:00", "view"),
+                (3, 7, "2024-01-01 10:05:00", "purchase"),
+                # user 4: chain complete but step-2 gap exceeds span
+                (4, 8, "2024-01-01 08:00:00", "view"),
+                (4, 9, "2024-01-01 10:30:00", "click"),
+                (4, 10, "2024-01-01 10:40:00", "purchase"),
+            ],
+            "user_id long, event_id long, ts string, event_type string",
+        ).withColumn("ts", F.to_timestamp("ts"))
+        got = {
+            (r.user_id, r.event_id): r.gap_seconds
+            for r in eql_sequence3(
+                ev, "user_id", "ts",
+                F.col("event_type") == "view",
+                F.col("event_type") == "click",
+                F.col("event_type") == "purchase",
+                maxspan_seconds=3600,
+            ).collect()
+        }
+        assert got == {(1, 3): 600}
