@@ -25,17 +25,24 @@ def eql_sequence(
     step2: Column,
     maxspan_seconds: int,
     id_col: str = "event_id",
+    until: Column | None = None,
 ) -> DataFrame:
     """Ordered 2-step sequence per key within maxspan. Returns one row per
     step-2 event that completes a sequence: (key, step2 id, step2 ts,
     gap_seconds to the MOST RECENT qualifying step-1 event). A step-1 event
-    may head multiple sequences (EQL's default non-consuming semantics)."""
-    relevant = events.filter(step1 | step2).select(
+    may head multiple sequences (EQL's default non-consuming semantics).
+    `until` is EQL's terminator clause: an until-event EXPIRES all pending
+    step-1 state, so a step-2 only matches a step-1 with no until-event
+    between them — one more running-max register in the same window, no
+    extra shuffle."""
+    preds = (step1 | step2) if until is None else (step1 | step2 | until)
+    relevant = events.filter(preds).select(
         key_col,
         id_col,
         ts_col,
         step1.alias("_is1"),
         step2.alias("_is2"),
+        (until if until is not None else F.lit(False)).alias("_isu"),
     )
     w = (
         Window.partitionBy(key_col)
@@ -43,15 +50,19 @@ def eql_sequence(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     last1 = F.max(F.when(F.col("_is1"), F.col(ts_col))).over(w)
+    lastu = F.max(F.when(F.col("_isu"), F.col(ts_col))).over(w)
     # exact microsecond arithmetic (per-ts second-truncation would disagree
     # with a fractional-diff floor on sub-second gaps); session pins UTC
     us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
     gap_us = us(F.col(ts_col)) - us(F.col("_last1"))
+    alive = F.col("_lastu").isNull() | (F.col("_lastu") < F.col("_last1"))
     return (
         relevant.withColumn("_last1", last1)
+        .withColumn("_lastu", lastu)
         .filter(
             F.col("_is2")
             & F.col("_last1").isNotNull()
+            & alive
             & (gap_us <= maxspan_seconds * 1_000_000)
             & (gap_us >= 0)
         )
@@ -124,4 +135,68 @@ def eql_sequence3(
             F.floor(gap_us / F.lit(1_000_000.0)).cast("long")
             .alias("gap_seconds"),
         )
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap_seconds: int,
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Batch sessionization [public: standard gap-based session assignment;
+    the batch analog of Spark's streaming session_window (J3)]: events of a
+    key belong to the same session while consecutive gaps stay ≤
+    `gap_seconds`; a larger gap starts a new session. The classic
+    lag-then-cumulative-sum: one key-partitioned window computes the
+    is-new-session flag, a second running sum over the SAME window ordering
+    numbers the sessions — per-key state, one shuffle, no self-join.
+    Returns the input plus `session_id` (0-based per key)."""
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    prev = F.lag(F.col(ts_col)).over(w)
+    new_session = F.when(
+        prev.isNull()
+        | ((us(F.col(ts_col)) - us(prev)) > gap_seconds * 1_000_000),
+        1,
+    ).otherwise(0)
+    return events.withColumn(
+        "session_id",
+        (
+            F.sum(new_session).over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            )
+            - 1
+        ).cast("long"),
+    )
+
+
+def session_stats(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap_seconds: int,
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-key session summary over sessionize(): session count, mean events
+    per session, mean session duration (seconds). Two hash aggregates over
+    the already-shuffled sessionized frame — the window's partitioning is
+    reused by the first groupBy (same key prefix, no second exchange)."""
+    s = sessionize(events, key_col, ts_col, gap_seconds, id_col)
+    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    per_session = s.groupBy(key_col, "session_id").agg(
+        F.count("*").alias("_n"),
+        ((us(F.max(ts_col)) - us(F.min(ts_col))) / 1_000_000.0).alias("_dur"),
+    )
+    return (
+        per_session.groupBy(key_col)
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.round(F.avg("_n"), 4).alias("avg_events"),
+            F.round(F.avg("_dur"), 4).alias("avg_duration_s"),
+        )
+        .orderBy(key_col)
     )

@@ -5584,3 +5584,45 @@ WHERE event_type = 'purchase' AND last2 IS NOT NULL
 ORDER BY user_id, event_id
 """,
 )
+
+
+def _q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: per-user session count / events / duration at a
+    30-minute inactivity gap (eql.session_stats — lag + running-sum session
+    ids, one key shuffle; the batch analog of streaming session_window)."""
+    from .eql import session_stats
+
+    ev = read_fixture(spark, sf_dir, "events")
+    return session_stats(ev, "user_id", "ts", gap_seconds=1800)
+
+
+register(
+    "agg_session_stats",
+    _q_session_stats,
+    """
+WITH o AS (
+  SELECT user_id, event_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+           AS prev
+  FROM events),
+f AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN prev IS NULL OR epoch(ts) - epoch(prev) > 1800
+              THEN 1 ELSE 0 END AS new_s
+  FROM o),
+s AS (
+  SELECT user_id, event_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - 1 AS session_id
+  FROM f),
+per AS (
+  SELECT user_id, session_id, count(*) AS n,
+         epoch(max(ts)) - epoch(min(ts)) AS dur
+  FROM s GROUP BY user_id, session_id)
+SELECT user_id, count(*) AS n_sessions,
+       round(avg(n), 4) AS avg_events,
+       round(avg(dur), 4) AS avg_duration_s
+FROM per GROUP BY user_id ORDER BY user_id
+""",
+)

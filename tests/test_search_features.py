@@ -571,3 +571,68 @@ class TestEqlSequence:
             ).collect()
         }
         assert got == {(1, 3): 600}
+
+    def test_until_expires_pending_state(self, spark):
+        from engine.eql import eql_sequence
+
+        ev = spark.createDataFrame(
+            [
+                (1, 1, "2024-01-01 10:00:00", "view"),
+                (1, 2, "2024-01-01 10:05:00", "logout"),   # expires the view
+                (1, 3, "2024-01-01 10:10:00", "purchase"),  # must NOT match
+                (2, 4, "2024-01-01 10:00:00", "view"),
+                (2, 5, "2024-01-01 10:10:00", "purchase"),  # matches
+                # user 3: until BEFORE the view -> view still alive
+                (3, 6, "2024-01-01 09:00:00", "logout"),
+                (3, 7, "2024-01-01 10:00:00", "view"),
+                (3, 8, "2024-01-01 10:10:00", "purchase"),
+            ],
+            "user_id long, event_id long, ts string, event_type string",
+        ).withColumn("ts", F.to_timestamp("ts"))
+        got = {
+            (r.user_id, r.event_id)
+            for r in eql_sequence(
+                ev, "user_id", "ts",
+                F.col("event_type") == "view",
+                F.col("event_type") == "purchase",
+                maxspan_seconds=3600,
+                until=F.col("event_type") == "logout",
+            ).collect()
+        }
+        assert got == {(2, 5), (3, 8)}
+
+
+class TestSessionize:
+    def test_gap_splits_sessions(self, spark):
+        from engine.eql import sessionize
+
+        ev = spark.createDataFrame(
+            [
+                (1, 1, "2024-01-01 10:00:00"),
+                (1, 2, "2024-01-01 10:10:00"),   # same session (gap 10m)
+                (1, 3, "2024-01-01 11:30:00"),   # new session (gap 80m)
+                (2, 4, "2024-01-01 09:00:00"),   # other key independent
+            ],
+            "user_id long, event_id long, ts string",
+        ).withColumn("ts", F.to_timestamp("ts"))
+        got = {
+            r.event_id: r.session_id
+            for r in sessionize(ev, "user_id", "ts", gap_seconds=1800).collect()
+        }
+        assert got == {1: 0, 2: 0, 3: 1, 4: 0}
+
+    def test_session_stats(self, spark):
+        from engine.eql import session_stats
+
+        ev = spark.createDataFrame(
+            [
+                (1, 1, "2024-01-01 10:00:00"),
+                (1, 2, "2024-01-01 10:10:00"),
+                (1, 3, "2024-01-01 11:30:00"),
+            ],
+            "user_id long, event_id long, ts string",
+        ).withColumn("ts", F.to_timestamp("ts"))
+        row = session_stats(ev, "user_id", "ts", gap_seconds=1800).collect()[0]
+        assert row.n_sessions == 2
+        assert row.avg_events == 1.5
+        assert row.avg_duration_s == 300.0  # (600 + 0) / 2
