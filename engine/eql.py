@@ -200,3 +200,86 @@ def session_stats(
         )
         .orderBy(key_col)
     )
+
+
+def funnel_conversion(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    steps: list[Column],
+    maxspan_seconds: int,
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Ordered funnel conversion over 2 or 3 steps: distinct keys reaching
+    each stage IN ORDER within the span, plus step-over-step conversion
+    rates — the product-analytics view of the EQL sequence machinery (same
+    windows, aggregated to one row). Distinct-key counting means a user
+    converting twice counts once per stage."""
+    k = len(steps)
+    if k not in (2, 3):
+        raise ValueError(f"funnel_conversion supports 2 or 3 steps, got {k}")
+    stage1 = events.filter(steps[0]).select(key_col).distinct()
+    stage2 = (
+        eql_sequence(
+            events, key_col, ts_col, steps[0], steps[1],
+            maxspan_seconds, id_col,
+        )
+        .select(key_col)
+        .distinct()
+    )
+    counts = [stage1.count(), stage2.count()]
+    if k == 3:
+        stage3 = (
+            eql_sequence3(
+                events, key_col, ts_col, steps[0], steps[1], steps[2],
+                maxspan_seconds, id_col,
+            )
+            .select(key_col)
+            .distinct()
+        )
+        counts.append(stage3.count())
+    spark = events.sparkSession
+    rows = []
+    for i, n in enumerate(counts):
+        conv = round(n / counts[i - 1], 4) if i > 0 and counts[i - 1] else None
+        rows.append((i + 1, n, conv))
+    return spark.createDataFrame(
+        rows, "step int, n_keys bigint, conversion double"
+    )
+
+
+def cohort_retention(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    unit: str = "week",
+) -> DataFrame:
+    """Cohort retention [public: standard product-analytics cohort table]:
+    keys grouped by first-activity period (the cohort), counted per
+    periods-since-first-activity. Two map-side-combining hash aggregates:
+    per-key first activity (one row per key), broadcast-join back is
+    avoided by re-aggregating the (key, period) pairs AFTER attaching each
+    key's cohort via an equi-join on the key — shuffle on the key once,
+    then reduce to |cohorts|×|ages| rows. Returns (cohort, age, n_keys)."""
+    bucket = lambda c: F.date_trunc(unit, c)  # noqa: E731
+    firsts = events.groupBy(key_col).agg(
+        bucket(F.min(ts_col)).alias("cohort")
+    )
+    active = (
+        events.select(key_col, bucket(F.col(ts_col)).alias("period"))
+        .distinct()
+    )
+    secs_per = {"day": 86400, "week": 604800}.get(unit)
+    if secs_per is None:
+        raise ValueError(f"cohort_retention supports day/week units: {unit}")
+    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    age = (
+        (us(F.col("period")) - us(F.col("cohort")))
+        / F.lit(1_000_000 * secs_per)
+    ).cast("long")
+    return (
+        active.join(firsts, key_col)
+        .groupBy("cohort", age.alias("age"))
+        .agg(F.count("*").alias("n_keys"))
+        .orderBy("cohort", "age")
+    )

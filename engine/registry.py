@@ -5626,3 +5626,87 @@ SELECT user_id, count(*) AS n_sessions,
 FROM per GROUP BY user_id ORDER BY user_id
 """,
 )
+
+
+def _q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel conversion view→click→purchase within 8h per step
+    (eql.funnel_conversion — distinct keys per stage + step-over-step
+    rates; the EQL windows aggregated to 3 rows)."""
+    from .eql import funnel_conversion
+
+    ev = read_fixture(spark, sf_dir, "events")
+    return funnel_conversion(
+        ev,
+        "user_id",
+        "ts",
+        [
+            F.col("event_type") == "view",
+            F.col("event_type") == "click",
+            F.col("event_type") == "purchase",
+        ],
+        maxspan_seconds=28800,
+    )
+
+
+register(
+    "agg_funnel",
+    _q_funnel,
+    """
+WITH rel AS (
+  SELECT user_id, event_id, ts, event_type FROM events
+  WHERE event_type IN ('view', 'click', 'purchase')),
+m1 AS (
+  SELECT *, max(CASE WHEN event_type = 'view' THEN ts END) OVER (
+      PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last1
+  FROM rel),
+m2 AS (
+  SELECT *, CASE WHEN event_type = 'click' AND last1 IS NOT NULL
+                  AND epoch(ts) - epoch(last1) BETWEEN 0 AND 28800
+             THEN ts END AS done2
+  FROM m1),
+m3 AS (
+  SELECT *, max(done2) OVER (
+      PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last2
+  FROM m2),
+s1 AS (SELECT count(DISTINCT user_id) AS n FROM events WHERE event_type = 'view'),
+s2 AS (SELECT count(DISTINCT user_id) AS n FROM m2 WHERE done2 IS NOT NULL),
+s3 AS (SELECT count(DISTINCT user_id) AS n FROM m3
+       WHERE event_type = 'purchase' AND last2 IS NOT NULL
+         AND epoch(ts) - epoch(last2) BETWEEN 0 AND 28800)
+SELECT 1 AS step, s1.n AS n_keys, CAST(NULL AS DOUBLE) AS conversion FROM s1
+UNION ALL SELECT 2, s2.n, round(s2.n * 1.0 / s1.n, 4) FROM s1, s2
+UNION ALL SELECT 3, s3.n, round(s3.n * 1.0 / s2.n, 4) FROM s2, s3
+ORDER BY step
+""",
+)
+
+
+def _q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users bucketed by first-activity week, distinct
+    actives per weeks-since (eql.cohort_retention — two hash aggregates +
+    one key-equi join, output |cohorts|x|ages| rows)."""
+    from .eql import cohort_retention
+
+    ev = read_fixture(spark, sf_dir, "events")
+    return cohort_retention(ev, "user_id", "ts", unit="week")
+
+
+register(
+    "agg_cohort_retention",
+    _q_cohort_retention,
+    """
+WITH firsts AS (
+  SELECT user_id, CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort
+  FROM events GROUP BY user_id),
+active AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS period
+  FROM events)
+SELECT f.cohort,
+       CAST((epoch(a.period) - epoch(f.cohort)) / 604800 AS BIGINT) AS age,
+       count(*) AS n_keys
+FROM active a JOIN firsts f USING (user_id)
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
+)

@@ -636,3 +636,47 @@ class TestSessionize:
         assert row.n_sessions == 2
         assert row.avg_events == 1.5
         assert row.avg_duration_s == 300.0  # (600 + 0) / 2
+
+
+class TestFunnelCohort:
+    def test_funnel_counts_distinct_keys_in_order(self, spark):
+        from engine.eql import funnel_conversion
+
+        ev = spark.createDataFrame(
+            [
+                (1, 1, "2024-01-01 10:00:00", "view"),
+                (1, 2, "2024-01-01 10:10:00", "click"),
+                (1, 3, "2024-01-01 10:20:00", "purchase"),
+                (2, 4, "2024-01-01 10:00:00", "view"),
+                (2, 5, "2024-01-01 10:10:00", "click"),
+                (3, 6, "2024-01-01 10:00:00", "view"),
+                (4, 7, "2024-01-01 10:00:00", "click"),  # no view: not stage2
+            ],
+            "user_id long, event_id long, ts string, event_type string",
+        ).withColumn("ts", F.to_timestamp("ts"))
+        rows = funnel_conversion(
+            ev, "user_id", "ts",
+            [F.col("event_type") == "view",
+             F.col("event_type") == "click",
+             F.col("event_type") == "purchase"],
+            maxspan_seconds=3600,
+        ).collect()
+        got = {r.step: (r.n_keys, r.conversion) for r in rows}
+        assert got == {1: (3, None), 2: (2, 0.6667), 3: (1, 0.5)}
+
+    def test_cohort_retention_ages(self, spark):
+        from engine.eql import cohort_retention
+
+        # user 1 first active week of Jan 1 (Mon), returns 2 weeks later;
+        # user 2 first active week of Jan 8
+        ev = spark.createDataFrame(
+            [
+                (1, 1, "2024-01-02 10:00:00"),
+                (1, 2, "2024-01-16 10:00:00"),
+                (2, 3, "2024-01-09 10:00:00"),
+            ],
+            "user_id long, event_id long, ts string",
+        ).withColumn("ts", F.to_timestamp("ts"))
+        rows = cohort_retention(ev, "user_id", "ts", unit="week").collect()
+        got = {(r.cohort.day, r.age): r.n_keys for r in rows}
+        assert got == {(1, 0): 1, (1, 2): 1, (8, 0): 1}
