@@ -5567,20 +5567,28 @@ m1 AS (
       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last1
   FROM rel),
 m2 AS (
-  SELECT *, CASE WHEN event_type = 'click' AND last1 IS NOT NULL
-                  AND epoch(ts) - epoch(last1) BETWEEN 0 AND 28800
-             THEN ts END AS done2
+  SELECT *,
+         CASE WHEN event_type = 'click' AND last1 IS NOT NULL
+               AND epoch(ts) - epoch(last1) BETWEEN 0 AND 28800
+          THEN ts END AS done2,
+         CASE WHEN event_type = 'click' AND last1 IS NOT NULL
+               AND epoch(ts) - epoch(last1) BETWEEN 0 AND 28800
+          THEN last1 END AS done2_t0
   FROM m1),
 m3 AS (
   SELECT *, max(done2) OVER (
       PARTITION BY user_id ORDER BY ts ASC, event_id ASC
-      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last2
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last2,
+         max(done2_t0) OVER (
+      PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last0
   FROM m2)
 SELECT user_id, event_id, ts,
        CAST(floor(epoch(ts) - epoch(last2)) AS BIGINT) AS gap_seconds
 FROM m3
 WHERE event_type = 'purchase' AND last2 IS NOT NULL
-  AND epoch(ts) - epoch(last2) BETWEEN 0 AND 28800
+  AND epoch(ts) - epoch(last0) BETWEEN 0 AND 28800
+  AND epoch(ts) - epoch(last2) >= 0
 ORDER BY user_id, event_id
 """,
 )
@@ -5661,21 +5669,29 @@ m1 AS (
       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last1
   FROM rel),
 m2 AS (
-  SELECT *, CASE WHEN event_type = 'click' AND last1 IS NOT NULL
-                  AND epoch(ts) - epoch(last1) BETWEEN 0 AND 28800
-             THEN ts END AS done2
+  SELECT *,
+         CASE WHEN event_type = 'click' AND last1 IS NOT NULL
+               AND epoch(ts) - epoch(last1) BETWEEN 0 AND 28800
+          THEN ts END AS done2,
+         CASE WHEN event_type = 'click' AND last1 IS NOT NULL
+               AND epoch(ts) - epoch(last1) BETWEEN 0 AND 28800
+          THEN last1 END AS done2_t0
   FROM m1),
 m3 AS (
   SELECT *, max(done2) OVER (
       PARTITION BY user_id ORDER BY ts ASC, event_id ASC
-      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last2
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last2,
+         max(done2_t0) OVER (
+      PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last0
   FROM m2),
 s1 AS (SELECT count(DISTINCT user_id) AS n FROM events WHERE event_type = 'view'),
 s2 AS (SELECT count(DISTINCT user_id) AS n FROM m2 WHERE done2 IS NOT NULL),
 s3 AS (SELECT count(DISTINCT user_id) AS n FROM m3
        WHERE event_type = 'purchase' AND last2 IS NOT NULL
-         AND epoch(ts) - epoch(last2) BETWEEN 0 AND 28800)
-SELECT 1 AS step, s1.n AS n_keys, CAST(NULL AS DOUBLE) AS conversion FROM s1
+         AND epoch(ts) - epoch(last0) BETWEEN 0 AND 28800
+         AND epoch(ts) - epoch(last2) >= 0)
+SELECT 1 AS step, s1.n AS n_keys, CAST(1.0 AS DOUBLE) AS conversion FROM s1
 UNION ALL SELECT 2, s2.n, round(s2.n * 1.0 / s1.n, 4) FROM s1, s2
 UNION ALL SELECT 3, s3.n, round(s3.n * 1.0 / s2.n, 4) FROM s2, s3
 ORDER BY step

@@ -662,7 +662,7 @@ class TestFunnelCohort:
             maxspan_seconds=3600,
         ).collect()
         got = {r.step: (r.n_keys, r.conversion) for r in rows}
-        assert got == {1: (3, None), 2: (2, 0.6667), 3: (1, 0.5)}
+        assert got == {1: (3, 1.0), 2: (2, 0.6667), 3: (1, 0.5)}
 
     def test_cohort_retention_ages(self, spark):
         from engine.eql import cohort_retention
@@ -680,3 +680,56 @@ class TestFunnelCohort:
         rows = cohort_retention(ev, "user_id", "ts", unit="week").collect()
         got = {(r.cohort.day, r.age): r.n_keys for r in rows}
         assert got == {(1, 0): 1, (1, 2): 1, (8, 0): 1}
+
+    def test_until_same_timestamp_as_later_step1_does_not_expire(self, spark):
+        from engine.eql import eql_sequence
+
+        # until and view share ts 10:00; id order puts until BEFORE the
+        # view, so per (ts, id) ordering the view is still alive
+        ev = spark.createDataFrame(
+            [
+                (1, 1, "2024-01-01 10:00:00", "logout"),
+                (1, 2, "2024-01-01 10:00:00", "view"),
+                (1, 3, "2024-01-01 10:05:00", "purchase"),
+            ],
+            "user_id long, event_id long, ts string, event_type string",
+        ).withColumn("ts", F.to_timestamp("ts"))
+        got = {
+            r.event_id
+            for r in eql_sequence(
+                ev, "user_id", "ts",
+                F.col("event_type") == "view",
+                F.col("event_type") == "purchase",
+                maxspan_seconds=3600,
+                until=F.col("event_type") == "logout",
+            ).collect()
+        }
+        assert got == {3}
+
+    def test_three_step_maxspan_bounds_whole_sequence(self, spark):
+        from engine.eql import eql_sequence3
+
+        # each hop within 50 min but first-to-last spans 80 min > 1h
+        ev = spark.createDataFrame(
+            [
+                (1, 1, "2024-01-01 10:00:00", "view"),
+                (1, 2, "2024-01-01 10:40:00", "click"),
+                (1, 3, "2024-01-01 11:20:00", "purchase"),
+                # user 2: whole chain within the hour
+                (2, 4, "2024-01-01 10:00:00", "view"),
+                (2, 5, "2024-01-01 10:20:00", "click"),
+                (2, 6, "2024-01-01 10:40:00", "purchase"),
+            ],
+            "user_id long, event_id long, ts string, event_type string",
+        ).withColumn("ts", F.to_timestamp("ts"))
+        got = {
+            r.user_id
+            for r in eql_sequence3(
+                ev, "user_id", "ts",
+                F.col("event_type") == "view",
+                F.col("event_type") == "click",
+                F.col("event_type") == "purchase",
+                maxspan_seconds=3600,
+            ).collect()
+        }
+        assert got == {2}
