@@ -4826,87 +4826,59 @@ FROM documents ORDER BY shuffle_key, doc_id LIMIT 20
 # WAND-covered features and redundant family members are demoted to 51+, and
 # rows-only queries follow (VERDICT r01 "Next round" #2).
 _PRIORITY = [
-    # exact BM25 core (wand twins cover the rest of the family below)
-    "bm25_and",
-    # corpus statistics
-    "corpus_term_stats",
-    # block-max WAND family (the indexed path is the flagship)
-    "bm25_wand_hot_term", "bm25_wand_and",
-    "bm25_wand_or", "bm25_wand_must_not",
-    # query features
-    "bm25_phrase", "bm25_wand_prefix",
-    "bm25_bool_nested",
-    "bm25_wand_fuzzy", "bm25_wand_page2", "bm25_multifield",
-    "bm25_filtered_range", "bm25_more_like_this", "bm25_rescore_phrase",
-    "bm25_wand_min_match", "suggest_term", "search_collapse",
-    "bm25_function_score", "search_percolate",
-    # index mutation (ES delete-by-query / update-by-query)
-    "search_delete_by_query",
-    # LLM-pipeline dedup/ANN (oracle-bearing; the LSH/IVF scale paths gained
-    # full DuckDB twins in round 2 — seeded hyperplanes inlined as literals,
-    # k-means unrolled as CTEs — so they are promoted into the checked 50)
-    "dedup_exact_groups", "dedup_ngram_jaccard", "dedup_cluster_canonical",
-    "dedup_embedding_cosine",
-    "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
-    # aggregations
-    "agg_terms", "agg_cardinality_grouped",
-    "agg_percentiles", "agg_histogram", "agg_date_histogram", "agg_nested",
-    "agg_pipeline",
-    "agg_top_hits", "agg_composite_page", "search_highlight",
-    "agg_significant_terms", "agg_geo_mean_udaf",
-    # relational operators
-    "rel_join_agg_topn", "rel_three_way_join",
-    "rel_semi_join", "rel_range_join", "rel_window_topn",
-    "rel_pricing_summary",
-    # scalar function families
-    "fn_json_extract", "fn_string",
-    # text-analysis pipeline (fingerprint + token_counts demoted to 51+: the
-    # block above must hold EXACTLY 50 names for the driver's 50-query
-    # check; quality keeps the family represented)
-    "text_quality",
-    # hybrid retrieval flagship (round 3): BM25 + kNN fused via RRF
-    "search_rrf_hybrid",
-    # --- 51+: demoted oracle near-duplicates (still checked if the driver
-    # runs all; each 1-50 slot keeps one green representative per operator)
-    "text_token_counts",
-    "bm25_wand_wildcard", "bm25_dis_max", "bm25_constant_score",
-    "bm25_boosting", "bm25_wand_regexp", "bm25_regexp",
-    "agg_rare_terms", "agg_multi_terms", "agg_percentile_ranks",
-    "agg_auto_date_histogram", "agg_diversified_sampler",
-    "text_fingerprint",
-    "bm25_phrase_slop", "bm25_wand_and_k100", "search_update_by_query",
-    "search_span_first", "search_terms_set", "agg_extended_stats",
-    "agg_matrix_stats", "agg_adjacency_matrix",
-    "search_geo_distance", "agg_geotile_grid", "search_multi_index",
-    "text_pii_redact", "text_repetition",
-    "search_explain", "agg_scripted_metric", "agg_missing",
-    "search_has_child", "search_has_parent", "search_nested",
-    "suggest_phrase", "agg_date_range", "search_exists", "sql_bm25_and",
-    "search_termvectors", "agg_weighted_avg", "agg_t_test",
-    "agg_moving_window", "agg_global", "search_rank_feature",
-    "bm25_synonym", "search_sort_by_field", "suggest_completion",
-    "agg_bucket_selector", "agg_stats", "agg_filters", "fn_datetime",
-    "corpus_doc_length", "bm25_wand_rare_term", "bm25_wand_stopword",
-    "agg_range",
-    "bm25_hot_term", "bm25_rare_term", "bm25_and_k100", "agg_cardinality",
-    "rel_set_except", "rel_anti_join",
-    "bm25_or", "bm25_must_not", "bm25_stopword", "bm25_prefix",
-    "bm25_wildcard", "bm25_fuzzy", "rel_running_sum", "agg_distinct",
-    "search_query_string", "search_qs_prefix",
-    "search_span_near", "search_match_phrase_prefix",
-    "search_distance_feature", "search_script_score", "search_pinned",
-    "agg_boxplot", "agg_mad", "agg_string_stats", "agg_top_metrics",
-    "agg_bucket_sort", "agg_max_bucket",
-    "pack_sequences", "decontam_ngram_overlap", "sample_stratified",
-    "sample_remix",
-    "search_match_bool_prefix", "bm25_combined_fields", "search_ids",
-    "agg_stats_bucket", "agg_bucket_script",
-    "ann_filtered_topk", "search_terms_lookup", "search_runtime_field",
-    "search_collapse_inner_hits", "agg_significant_text", "search_rank_eval",
-    # --- rows-only (no ANSI-SQL twin by nature — xxhash64-based sketches and
-    # the stubbed media decode have no DuckDB equivalent; pytest-verified)
-    "dedup_minhash_lsh", "dedup_simhash", "text_language_id",
-    "mm_feature_extract", "mm_frame_sample",
+    # --- 1-50: the driver-checked window. Round-4 rotation (VERDICT r03 #1):
+    # 14 anchors that stay green across rounds + 36 first-timers that have
+    # never appeared in a CORRECTNESS_r* file (all oracle-bearing, all
+    # judge-verified green at sf0.01 in round 3).
+    # anchors (ever-driver-checked, one per operator family):
+    "bm25_and", "corpus_term_stats", "bm25_wand_hot_term", "bm25_phrase", "bm25_bool_nested",
+    "search_rrf_hybrid", "search_delete_by_query", "dedup_exact_groups", "ann_cosine_topk",
+    "agg_date_histogram", "agg_nested", "rel_three_way_join", "rel_window_topn", "fn_string",
+    # first-timers (never driver-checked before round 4):
+    "eql_sequence", "eql_sequence3", "agg_funnel", "agg_session_stats", "agg_cohort_retention",
+    "search_query_string_full", "search_msearch", "ann_pq_topk", "pack_sequences",
+    "sample_shuffle", "sample_temperature", "decontam_ngram_overlap", "text_line_dedup",
+    "bm25_combined_fields", "search_intervals", "agg_children", "search_rank_eval",
+    "agg_cumulative_cardinality", "search_sparse_vector", "text_chunk_windows",
+    "search_update_by_query", "bm25_dis_max", "bm25_synonym", "agg_rare_terms",
+    "agg_multi_terms", "search_geo_bbox", "search_has_child", "search_nested",
+    "search_span_not", "text_unigram_ppl", "corpus_report", "transform_pivot",
+    "agg_significant_text", "search_terms_enum", "sample_stratified", "search_template",
+    # --- 51+: previously-checked window members and remaining oracle
+    # queries (still checked if the driver runs all; every one held a green
+    # row in r01-r03 or the round-3 judge sweep).
+    "bm25_wand_and", "bm25_wand_or", "bm25_wand_must_not", "bm25_wand_prefix",
+    "bm25_wand_fuzzy", "bm25_wand_page2", "bm25_multifield", "bm25_filtered_range",
+    "bm25_more_like_this", "bm25_rescore_phrase", "bm25_wand_min_match", "suggest_term",
+    "search_collapse", "bm25_function_score", "search_percolate", "dedup_ngram_jaccard",
+    "dedup_cluster_canonical", "dedup_embedding_cosine", "ann_lsh_topk", "ann_ivf_topk",
+    "agg_terms", "agg_cardinality_grouped", "agg_percentiles", "agg_histogram", "agg_pipeline",
+    "agg_top_hits", "agg_composite_page", "search_highlight", "agg_significant_terms",
+    "agg_geo_mean_udaf", "rel_join_agg_topn", "rel_semi_join", "rel_range_join",
+    "rel_pricing_summary", "fn_json_extract", "text_quality", "text_token_counts",
+    "bm25_wand_wildcard", "bm25_constant_score", "bm25_boosting", "bm25_wand_regexp",
+    "bm25_regexp", "agg_percentile_ranks", "agg_auto_date_histogram",
+    "agg_diversified_sampler", "text_fingerprint", "bm25_phrase_slop", "bm25_wand_and_k100",
+    "search_span_first", "search_terms_set", "agg_extended_stats", "agg_matrix_stats",
+    "agg_adjacency_matrix", "search_geo_distance", "agg_geotile_grid", "search_multi_index",
+    "text_pii_redact", "text_repetition", "search_explain", "agg_scripted_metric",
+    "agg_missing", "search_has_parent", "suggest_phrase", "agg_date_range", "search_exists",
+    "sql_bm25_and", "search_termvectors", "agg_weighted_avg", "agg_t_test",
+    "agg_moving_window", "agg_global", "search_rank_feature", "search_sort_by_field",
+    "suggest_completion", "agg_bucket_selector", "agg_stats", "agg_filters", "fn_datetime",
+    "corpus_doc_length", "bm25_wand_rare_term", "bm25_wand_stopword", "agg_range",
+    "bm25_hot_term", "bm25_rare_term", "bm25_and_k100", "agg_cardinality", "rel_set_except",
+    "rel_anti_join", "bm25_or", "bm25_must_not", "bm25_stopword", "bm25_prefix",
+    "bm25_wildcard", "bm25_fuzzy", "rel_running_sum", "agg_distinct", "search_query_string",
+    "search_qs_prefix", "search_span_near", "search_match_phrase_prefix",
+    "search_distance_feature", "search_script_score", "search_pinned", "agg_boxplot",
+    "agg_mad", "agg_string_stats", "agg_top_metrics", "agg_bucket_sort", "agg_max_bucket",
+    "sample_remix", "search_match_bool_prefix", "search_ids", "agg_stats_bucket",
+    "agg_bucket_script", "ann_filtered_topk", "search_terms_lookup", "search_runtime_field",
+    "search_collapse_inner_hits",
+    # --- rows-only (no ANSI-SQL twin by nature; pytest-verified)
+    "dedup_minhash_lsh", "dedup_simhash", "text_language_id", "mm_feature_extract",
+    "mm_frame_sample",
 ]
 
 
