@@ -13,11 +13,16 @@ from pyspark.sql import functions as F
 from .tokenizer import tokenize_udf
 
 
-def with_tokens(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Attach `toks array<string>` and `dl int` (token count, C3)."""
-    return docs.withColumn("toks", tokenize_udf(F.col(text_col))).withColumn(
-        "dl", F.size("toks")
-    )
+def with_tokens(docs: DataFrame, text_col: str = "text", analyzer: str = "standard") -> DataFrame:
+    """Attach `toks array<string>` and `dl int` (token count, C3).
+    analyzer='english' applies the stopword+S-stem chain as a pure Catalyst
+    array expression AFTER the vectorized tokenizer (no extra UDF)."""
+    toks = tokenize_udf(F.col(text_col))
+    if analyzer == "english":
+        from .tokenizer import english_tokens_expr
+
+        toks = english_tokens_expr(toks)
+    return docs.withColumn("toks", toks).withColumn("dl", F.size("toks"))
 
 
 def tokens(docs_with_toks: DataFrame) -> DataFrame:
@@ -48,7 +53,9 @@ def term_stats(tf: DataFrame) -> DataFrame:
     )
 
 
-def corpus_base(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def corpus_base(
+    docs: DataFrame, text_col: str = "text", analyzer: str = "standard"
+) -> DataFrame:
     """One compact row per doc: (doc_id, dl, terms array, tfs array).
 
     Map-side combine inside the analyzer UDF (engine.tokenizer
@@ -59,8 +66,9 @@ def corpus_base(docs: DataFrame, text_col: str = "text") -> DataFrame:
     large shuffle left in the build is the salted repartition-by-term
     (BASELINE.json north_star). Cache THIS frame (one row per doc), not the
     exploded tf table (one row per term-doc pair)."""
-    from .tokenizer import term_counts_udf
+    from .tokenizer import make_term_counts_udf
 
+    term_counts_udf = make_term_counts_udf(analyzer)
     return docs.select(
         "doc_id", term_counts_udf(F.col(text_col)).alias("_tc")
     ).select(

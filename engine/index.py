@@ -431,6 +431,7 @@ class IndexManifest:
     n_segments: int
     block_size: int
     quantize_norms: bool = False
+    analyzer: str = "standard"
 
     def to_json(self) -> str:
         return json.dumps(self.__dict__, indent=2)
@@ -455,6 +456,7 @@ def build_index(
     quantize_norms: bool = False,
     bulk_merge: bool = True,
     partial_encode: bool | None = None,
+    analyzer: str = "standard",
 ) -> IndexManifest:
     """Full index build: docs(doc_id, text, …) → postings shards + term_dict
     + doc_stats + manifest under out_root (SURVEY.md §3.1 lifecycle).
@@ -494,7 +496,7 @@ def build_index(
         # term counting fused in (corpus_base); one compact row per doc, so
         # caching/checkpointing it is O(docs), not O(term-doc pairs), and no
         # groupBy(term, doc_id) shuffle ever happens
-        return corpus_base(docs)
+        return corpus_base(docs, analyzer=analyzer)
 
     cached: list[DataFrame] = []
     if checkpoint is not None:
@@ -505,6 +507,7 @@ def build_index(
         checkpoint.fingerprint += (
             f";buckets={n_buckets};dps={docs_per_shard};segs={n_segments}"
             f";hot={hot_df};salts={n_salts};bs={block_size};qn={quantize_norms}"
+            f";an={analyzer}"
         )
         # checkpoint stages are parquet-materialized — no recompute by design
         base = checkpoint.stage("base", stage_base)
@@ -655,6 +658,7 @@ def build_index(
         n_segments=n_segments,
         block_size=block_size,
         quantize_norms=quantize_norms,
+        analyzer=analyzer,
     )
     with open(os.path.join(out_root, "manifest.json"), "w") as f:
         f.write(manifest.to_json())

@@ -231,6 +231,89 @@ for _name, _q, _k, _mode, _terms, _neg in _BM25_SET:
     register(_name, _bm25_query(_q, _k, _mode), _bm25_oracle(_terms, _k, _mode, _neg))
 
 
+# --- english analyzer option: Lucene 33-word stop set + Harman S-stemmer ---
+_ENG_CORPUS_CACHE: dict[tuple, tuple] = {}
+
+
+def _built_corpus_english(spark: SparkSession, sf_dir: str):
+    """English-analyzed twin of _built_corpus: the stopword+S-stem chain is
+    fused into the SAME single-Arrow-pass corpus_base (counts are
+    post-filter, so dl/avgdl/df all reflect the filtered stream exactly as
+    a Lucene token-filter chain would)."""
+    key = _cache_key(spark, sf_dir)
+    if key not in _ENG_CORPUS_CACHE:
+        from .corpus import corpus_base, exploded_tf
+
+        docs = read_fixture(spark, sf_dir, "documents")
+        base = corpus_base(docs, analyzer="english").cache()
+        tf = exploded_tf(base).select("term", "doc_id", "tf", "dl")
+        ds = base.select("doc_id", "dl")
+        ts = term_stats(tf).cache()
+        n, avgdl = corpus_stats(ds)
+        _ENG_CORPUS_CACHE[key] = (tf, ds, ts, n, avgdl)
+    return _ENG_CORPUS_CACHE[key]
+
+
+def _q_bm25_english(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `english` analyzer config (stopwords + S-stemmer) applied on BOTH
+    sides: the raw query "the tables queries merge stream" analyzes to
+    [table, query, merge, stream] (stopword dropped, plurals stemmed) and
+    scores against the english-analyzed corpus stats."""
+    tf, ds, ts, n, avgdl = _built_corpus_english(spark, sf_dir)
+    return exact_search(
+        tf, ds, ts, n, avgdl, "the tables queries merge stream",
+        k=10, mode="or", analyzer="english",
+    )
+
+
+def _english_stem_sql(col: str) -> str:
+    """DuckDB CASE twin of tokenizer.s_stem (rule order identical)."""
+    return f"""CASE
+      WHEN length({col}) < 3 THEN {col}
+      WHEN {col} LIKE '%eies' OR {col} LIKE '%aies' THEN {col}
+      WHEN {col} LIKE '%ies' THEN substr({col}, 1, length({col}) - 3) || 'y'
+      WHEN {col} LIKE '%aes' OR {col} LIKE '%ees' OR {col} LIKE '%oes' THEN {col}
+      WHEN {col} LIKE '%es' THEN substr({col}, 1, length({col}) - 1)
+      WHEN {col} LIKE '%us' OR {col} LIKE '%ss' THEN {col}
+      WHEN {col} LIKE '%s' THEN substr({col}, 1, length({col}) - 1)
+      ELSE {col} END"""
+
+
+def _english_oracle() -> str:
+    from .tokenizer import ENGLISH_STOPWORDS, analyze
+
+    qterms = analyze("the tables queries merge stream", "english")
+    stop_in = ", ".join(f"'{w}'" for w in sorted(ENGLISH_STOPWORDS))
+    term_in = ", ".join(f"'{t}'" for t in qterms)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_english_stem_sql('t')} AS term
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+  WHERE t NOT IN ({stop_in})
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / stats.avgdl)) ) AS score
+  FROM tf
+  JOIN (SELECT term, count(*) AS df FROM tf GROUP BY 1) df USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats
+  WHERE tf.term IN ({term_in})
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score, 4) AS score FROM scores
+ORDER BY score DESC, doc_id ASC
+LIMIT 10
+"""
+
+
+register("bm25_english", _q_bm25_english, _english_oracle())
+
+
 # --- C2/C3/C4 corpus statistics (tf / dl / df-cf) ---------------------------
 def _q_term_stats(spark, sf_dir):
     tf, _, ts, _, _ = _built_corpus(spark, sf_dir)
@@ -4833,8 +4916,10 @@ _PRIORITY = [
     # anchors (ever-driver-checked, one per operator family):
     "bm25_and", "corpus_term_stats", "bm25_wand_hot_term", "bm25_phrase", "bm25_bool_nested",
     "search_rrf_hybrid", "search_delete_by_query", "dedup_exact_groups", "ann_cosine_topk",
-    "agg_date_histogram", "agg_nested", "rel_three_way_join", "rel_window_topn", "fn_string",
-    # first-timers (never driver-checked before round 4):
+    "agg_date_histogram", "agg_nested", "rel_three_way_join", "fn_string",
+    # first-timers (never driver-checked before round 4; rel_window_topn
+    # ceded its anchor slot to the new bm25_english):
+    "bm25_english",
     "eql_sequence", "eql_sequence3", "agg_funnel", "agg_session_stats", "agg_cohort_retention",
     "search_query_string_full", "search_msearch", "ann_pq_topk", "pack_sequences",
     "sample_shuffle", "sample_temperature", "decontam_ngram_overlap", "text_line_dedup",
@@ -4847,6 +4932,7 @@ _PRIORITY = [
     # --- 51+: previously-checked window members and remaining oracle
     # queries (still checked if the driver runs all; every one held a green
     # row in r01-r03 or the round-3 judge sweep).
+    "rel_window_topn",
     "bm25_wand_and", "bm25_wand_or", "bm25_wand_must_not", "bm25_wand_prefix",
     "bm25_wand_fuzzy", "bm25_wand_page2", "bm25_multifield", "bm25_filtered_range",
     "bm25_more_like_this", "bm25_rescore_phrase", "bm25_wand_min_match", "suggest_term",

@@ -32,14 +32,18 @@ class ParsedQuery:
     must_not: list[str]   # excluded terms
 
 
-def parse_query(query: str) -> ParsedQuery:
+def parse_query(query: str, analyzer: str = "standard") -> ParsedQuery:
     """D1: analyze the query string with the SAME analyzer as indexing
-    (rank-identity requires identical analysis [public: ES match query])."""
+    (rank-identity requires identical analysis [public: ES match query]).
+    analyzer='english' applies the index-side stopword+S-stem chain to the
+    query terms too (ES analyzes match queries with the field's analyzer)."""
+    from .tokenizer import analyze
+
     pos: list[str] = []
     neg: list[str] = []
     for raw in query.split():
         target = neg if raw.startswith("-") else pos
-        for tok in tokenize(raw.lstrip("-")):
+        for tok in analyze(raw.lstrip("-"), analyzer):
             if tok not in target:
                 target.append(tok)
     return ParsedQuery(pos, neg)
@@ -87,12 +91,13 @@ def scored_docs(
     query: str,
     mode: str = "or",
     min_should_match: int = 1,
+    analyzer: str = "standard",
 ) -> DataFrame:
     """Full BM25-scored match set → DataFrame(doc_id, score double,
     n_matched) with boolean semantics applied but NO ordering/limit — the
     shared core of exact_search and of features that re-rank before the
     top-k cut (function_score boosts, field collapse, sort-by-field)."""
-    q = parse_query(query)
+    q = parse_query(query, analyzer)
     if not q.terms:
         return tf.sparkSession.createDataFrame(
             [], "doc_id long, score double, n_matched long"
@@ -123,6 +128,7 @@ def exact_search(
     mode: str = "or",
     round_to: int | None = 4,
     min_should_match: int = 1,
+    analyzer: str = "standard",
 ) -> DataFrame:
     """D8 exact BM25 top-k → DataFrame(doc_id, score), deterministic order.
 
@@ -133,7 +139,7 @@ def exact_search(
     terms per doc (mode='and' is the m = len(terms) special case)."""
     scored = scored_docs(
         tf, doc_stats, term_stats, n_docs, avgdl, query,
-        mode=mode, min_should_match=min_should_match,
+        mode=mode, min_should_match=min_should_match, analyzer=analyzer,
     )
     score_col = F.round(F.col("score"), round_to) if round_to is not None else F.col("score")
     return (

@@ -272,6 +272,7 @@ class LoadedIndex:
         after: tuple[float, int] | None = None,
         exclude: DataFrame | None = None,
         min_should_match: int = 1,
+        analyzer: str | None = None,
     ) -> DataFrame:
         """Top-k → DataFrame(doc_id, score) ordered (score desc, doc_id asc).
 
@@ -283,7 +284,17 @@ class LoadedIndex:
         exclude: DataFrame(doc_id) of docs to treat as deleted, ON TOP of any
         persisted tombstones — routed per shard via a cogroup so the delete
         set is never broadcast whole (engine.mutate.delete_by_query)."""
-        q = parse_query(query)
+        idx_an = getattr(self.manifest, "analyzer", "standard")
+        if analyzer is not None and analyzer != idx_an:
+            # rank-identity invariant: query analysis MUST match the config
+            # recorded in the index manifest (an english-stemmed index
+            # queried with standard-analyzed terms silently misses) —
+            # loud failure, never a silent wrong answer
+            raise ValueError(
+                f"query analyzer {analyzer!r} != index analyzer {idx_an!r} "
+                "(the index manifest pins the analysis chain)"
+            )
+        q = parse_query(query, idx_an)
         found = self._lookup(q.terms + q.must_not)
         terms = [t for t in q.terms if t in found]
         empty = self.spark.createDataFrame([], TOPK_SCHEMA)

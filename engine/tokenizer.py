@@ -41,6 +41,73 @@ def normalize(text: str) -> str:
     return unicodedata.normalize("NFKC", text).lower()
 
 
+# ES `english` analyzer option (VERDICT r03 #2): the Lucene EnglishAnalyzer
+# default stop set (33 words) [public: Lucene ENGLISH_STOP_WORDS_SET] plus
+# Harman's 3-rule S-stemmer [public: Harman 1991, "How effective is
+# suffixing?"] — deliberately the SQL-expressible minimal English config so
+# the DuckDB oracle can replay it exactly (a Porter stemmer would not be).
+ENGLISH_STOPWORDS = frozenset(
+    "a an and are as at be but by for if in into is it no not of on or such "
+    "that the their then there these they this to was will with".split()
+)
+
+ANALYZERS = ("standard", "english")
+
+
+def s_stem(tok: str) -> str:
+    """Harman S-stemmer: first matching rule applies, tokens < 3 chars pass
+    through (pinned guard so a bare 's'/'is' is never emptied). Rules:
+    -ies → -y (unless -eies/-aies); -es → -e (unless -aes/-ees/-oes);
+    -s → ∅ (unless -us/-ss)."""
+    if len(tok) < 3:
+        return tok
+    if tok.endswith("ies"):
+        return tok if tok.endswith(("eies", "aies")) else tok[:-3] + "y"
+    if tok.endswith("es"):
+        return tok if tok.endswith(("aes", "ees", "oes")) else tok[:-1]
+    if tok.endswith("s"):
+        return tok if tok.endswith(("us", "ss")) else tok[:-1]
+    return tok
+
+
+def _english(toks: list[str]) -> list[str]:
+    return [s_stem(t) for t in toks if t not in ENGLISH_STOPWORDS]
+
+
+def analyze(text: str, analyzer: str = "standard") -> list[str]:
+    """Analyze one string under the named analyzer config (pure-Python
+    reference form — the query path and the oracles use this)."""
+    if analyzer not in ANALYZERS:
+        raise ValueError(f"unknown analyzer {analyzer!r}; one of {ANALYZERS}")
+    toks = tokenize(text)
+    return _english(toks) if analyzer == "english" else toks
+
+
+def english_tokens_expr(toks):
+    """Column form of the english filter chain over an `array<string>` of
+    standard-analyzer tokens: stopword removal + S-stemmer as pure Catalyst
+    higher-order functions (filter/transform) — whole-stage codegen, no UDF.
+    Rule order and guards mirror s_stem exactly (equivalence pinned by
+    tests/test_english.py)."""
+
+    def _stem(t):
+        drop3y = F.concat(t.substr(F.lit(1), F.length(t) - F.lit(3)), F.lit("y"))
+        drop1 = t.substr(F.lit(1), F.length(t) - F.lit(1))
+        return (
+            F.when(F.length(t) < 3, t)
+            .when(t.endswith("eies") | t.endswith("aies"), t)
+            .when(t.endswith("ies"), drop3y)
+            .when(t.endswith("aes") | t.endswith("ees") | t.endswith("oes"), t)
+            .when(t.endswith("es"), drop1)
+            .when(t.endswith("us") | t.endswith("ss"), t)
+            .when(t.endswith("s"), drop1)
+            .otherwise(t)
+        )
+
+    stopped = F.filter(toks, lambda t: ~t.isin(*sorted(ENGLISH_STOPWORDS)))
+    return F.transform(stopped, _stem)
+
+
 def tokenize(text: str) -> list[str]:
     """Analyze one string → token list (B2 + B3). Pure-Python reference form."""
     if text is None:
@@ -71,21 +138,36 @@ _TC_SCHEMA = T.StructType(
 )
 
 
-@F.pandas_udf(_TC_SCHEMA)
-def term_counts_udf(s: pd.Series) -> pd.Series:
+def make_term_counts_udf(analyzer: str = "standard"):
     """Analyzer + per-doc term counting fused in one Arrow pass (the
     map-side combiner): same pinned tokenization as tokenize_udf, then a
     C-speed Counter per doc. Returns parallel (terms, tfs) arrays — struct
     of two arrays, NOT array of structs, so no per-entry Python dicts cross
-    the Arrow boundary."""
-    from collections import Counter
+    the Arrow boundary. analyzer='english' folds the stopword filter +
+    S-stemmer into the SAME pass (counts are post-filter, as Lucene's
+    token-filter chain runs before the indexer counts)."""
+    if analyzer not in ANALYZERS:
+        raise ValueError(f"unknown analyzer {analyzer!r}; one of {ANALYZERS}")
+    english = analyzer == "english"
 
-    norm = s.fillna("").str.normalize("NFKC").str.lower()
-    toks = norm.str.findall(TOKEN_RE)
-    terms, tfs = [], []
-    for ts in toks:
-        c = Counter(t for t in ts if len(t) <= MAX_TOKEN_LEN)
-        terms.append(list(c.keys()))
-        tfs.append(list(c.values()))
-    # StructType scalar UDFs return a DataFrame (one column per field)
-    return pd.DataFrame({"terms": terms, "tfs": tfs}, index=toks.index)
+    @F.pandas_udf(_TC_SCHEMA)
+    def term_counts(s: pd.Series) -> pd.Series:
+        from collections import Counter
+
+        norm = s.fillna("").str.normalize("NFKC").str.lower()
+        toks = norm.str.findall(TOKEN_RE)
+        terms, tfs = [], []
+        for ts in toks:
+            it = (t for t in ts if len(t) <= MAX_TOKEN_LEN)
+            if english:
+                it = (s_stem(t) for t in it if t not in ENGLISH_STOPWORDS)
+            c = Counter(it)
+            terms.append(list(c.keys()))
+            tfs.append(list(c.values()))
+        # StructType scalar UDFs return a DataFrame (one column per field)
+        return pd.DataFrame({"terms": terms, "tfs": tfs}, index=toks.index)
+
+    return term_counts
+
+
+term_counts_udf = make_term_counts_udf("standard")
