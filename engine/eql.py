@@ -37,6 +37,123 @@ def _key_window(key_col: str, ts_col: str, id_col: str) -> Window:
     )
 
 
+def _sequence_annotated(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    steps: list[Column],
+    maxspan_seconds: int,
+    id_col: str,
+    until: Column | None = None,
+) -> DataFrame:
+    """The k-step sequence frame with its registers exposed (generalizes the
+    round-3 2/3-step forms by looping the stacked-register windows — VERDICT
+    r03 #3). Columns added per level i:
+
+      _is{i}      this row satisfies step i's predicate
+      _done{i}    (i ≥ 2) ts when this row COMPLETES the 1..i chain
+      _l{i}       (2 ≤ i < k) running latest completed-i register (ts,id)
+      _t0_{i}     (2 ≤ i < k) that chain's ORIGINAL step-1 anchor ts
+      _gap_us     (on _done{k} rows) micros to the level-(k-1) register
+
+    All k-1 stacked windows share ONE partitioning (composite key) and ONE
+    ordering — a single shuffle; each level adds one or two running-max
+    registers of per-key state, never a self-join. maxspan bounds the WHOLE
+    sequence first-to-last (ES EQL): every level checks its distance to the
+    carried step-1 anchor. Using the most recent completed chain per level
+    is sound by induction: level-1 registers are a running max, so the
+    anchors carried into each completed level-i chain are nondecreasing in
+    (ts, id) order — the latest register is always the most permissive for
+    the whole-span check, and its two running maxes (_l{i}, _t0_{i}) stay
+    mutually consistent.
+
+    `until` (EQL terminator, valid at ANY k): an until-event expires all
+    pending state, so a level-i event only consumes a level-(i-1) register
+    with no until-event between them — one extra running-max register, the
+    aliveness check on (ts, id) structs at every consumption point."""
+    k = len(steps)
+    if k < 2:
+        raise ValueError(f"sequence needs >= 2 steps, got {k}")
+    pred = steps[0]
+    for s in steps[1:]:
+        pred = pred | s
+    if until is not None:
+        pred = pred | until
+    cols = [*key_cols, id_col, ts_col]
+    cols += [s.alias(f"_is{i}") for i, s in enumerate(steps, start=1)]
+    if until is not None:
+        cols.append(until.alias("_isu"))
+    relevant = events.filter(pred).select(*cols)
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    reg = F.struct(F.col(ts_col), F.col(id_col))
+    span_us = maxspan_seconds * 1_000_000
+    out = relevant
+    if until is not None:
+        out = out.withColumn("_lu", F.max(F.when(F.col("_isu"), reg)).over(w))
+
+    def alive(prev_reg: Column) -> Column:
+        if until is None:
+            return F.lit(True)
+        return F.col("_lu").isNull() | (F.col("_lu") < prev_reg)
+
+    out = out.withColumn("_l1", F.max(F.when(F.col("_is1"), reg)).over(w))
+    prev_reg: Column = F.col("_l1")
+    prev_t0: Column = F.col("_l1").getField(ts_col)
+    for i in range(2, k + 1):
+        gap_us = _us(F.col(ts_col)) - _us(prev_reg.getField(ts_col))
+        t0gap_us = _us(F.col(ts_col)) - _us(prev_t0)
+        done = (
+            F.col(f"_is{i}")
+            & prev_reg.isNotNull()
+            & alive(prev_reg)
+            & (t0gap_us <= span_us)
+            & (t0gap_us >= 0)
+            & (gap_us >= 0)
+        )
+        out = out.withColumn(f"_done{i}", F.when(done, F.col(ts_col)))
+        if i == k:  # final level: expose the gap, no further registers
+            return out.withColumn("_gap_us", gap_us)
+        out = out.withColumn(f"_done{i}_t0", F.when(done, prev_t0))
+        out = out.withColumn(
+            f"_l{i}", F.max(F.when(F.col(f"_done{i}").isNotNull(), reg)).over(w)
+        ).withColumn(f"_t0_{i}", F.max(F.col(f"_done{i}_t0")).over(w))
+        prev_reg = F.col(f"_l{i}")
+        prev_t0 = F.col(f"_t0_{i}")
+    raise AssertionError("unreachable")
+
+
+def eql_sequence_k(
+    events: DataFrame,
+    key_cols: str | list[str],
+    ts_col: str,
+    steps: list[Column],
+    maxspan_seconds: int,
+    id_col: str = "event_id",
+    until: Column | None = None,
+) -> DataFrame:
+    """Ordered k-step EQL sequence per (composite) key within a
+    whole-sequence maxspan [public: ES EQL `sequence by k1, k2 with
+    maxspan=... [s1] ... [sk] until [u]`]. Returns one row per completing
+    step-k event: (*keys, id, ts, gap_seconds to the level-(k-1) register).
+    A register may head multiple sequences (EQL's non-consuming default)."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    ann = _sequence_annotated(
+        events, keys, ts_col, steps, maxspan_seconds, id_col, until
+    )
+    k = len(steps)
+    return ann.filter(F.col(f"_done{k}").isNotNull()).select(
+        *keys,
+        id_col,
+        ts_col,
+        F.floor(F.col("_gap_us") / F.lit(1_000_000.0)).cast("long")
+        .alias("gap_seconds"),
+    )
+
+
 def eql_sequence(
     events: DataFrame,
     key_col: str,
@@ -47,123 +164,11 @@ def eql_sequence(
     id_col: str = "event_id",
     until: Column | None = None,
 ) -> DataFrame:
-    """Ordered 2-step sequence per key within maxspan. Returns one row per
-    step-2 event that completes a sequence: (key, step2 id, step2 ts,
-    gap_seconds to the MOST RECENT qualifying step-1 event). A step-1 event
-    may head multiple sequences (EQL's default non-consuming semantics).
-
-    `until` is EQL's terminator clause: an until-event EXPIRES all pending
-    step-1 state, so a step-2 only matches a step-1 with no until-event
-    between them — one more running-max register in the same window, no
-    extra shuffle. The aliveness comparison is on (ts, id) structs, so an
-    until-event sharing a timestamp with a LATER step-1 (by id order) does
-    not expire it. With until=None no register is built — the plan is
-    identical to the plain 2-step form."""
-    preds = (step1 | step2) if until is None else (step1 | step2 | until)
-    cols = [
-        key_col,
-        id_col,
-        ts_col,
-        step1.alias("_is1"),
-        step2.alias("_is2"),
-    ]
-    if until is not None:
-        cols.append(until.alias("_isu"))
-    relevant = events.filter(preds).select(*cols)
-    w = _key_window(key_col, ts_col, id_col)
-    reg = F.struct(F.col(ts_col), F.col(id_col))
-    out = relevant.withColumn(
-        "_l1", F.max(F.when(F.col("_is1"), reg)).over(w)
-    )
-    alive = F.lit(True)
-    if until is not None:
-        out = out.withColumn(
-            "_lu", F.max(F.when(F.col("_isu"), reg)).over(w)
-        )
-        alive = F.col("_lu").isNull() | (F.col("_lu") < F.col("_l1"))
-    gap_us = _us(F.col(ts_col)) - _us(F.col("_l1").getField(ts_col))
-    return (
-        out.filter(
-            F.col("_is2")
-            & F.col("_l1").isNotNull()
-            & alive
-            & (gap_us <= maxspan_seconds * 1_000_000)
-            & (gap_us >= 0)
-        )
-        .select(
-            key_col,
-            id_col,
-            ts_col,
-            F.floor(gap_us / F.lit(1_000_000.0)).cast("long")
-            .alias("gap_seconds"),
-        )
-    )
-
-
-def _sequence3_annotated(
-    events: DataFrame,
-    key_col: str,
-    ts_col: str,
-    step1: Column,
-    step2: Column,
-    step3: Column,
-    maxspan_seconds: int,
-    id_col: str,
-) -> DataFrame:
-    """The 3-step sequence frame with its registers exposed: `_is1`,
-    `_done2` (ts when this row completes step 1→2), `_l2` (running latest
-    completed step-2 register), `_t0` (that pair's step-1 anchor ts), and
-    `_match3` (this row completes the full chain). Shared by eql_sequence3
-    and funnel_conversion so the funnel never recomputes the windows.
-
-    `maxspan` bounds the WHOLE sequence first-to-last, exactly like ES EQL
-    (not per hop): `_t0` rides along so step 3 checks its distance to the
-    ORIGINAL step-1 anchor. Using the most recent completed pair is sound:
-    the step-1 register is a running max, so later step-2 completions carry
-    anchors ≥ earlier ones — the latest pair is always the most permissive
-    for the whole-span check."""
-    relevant = events.filter(step1 | step2 | step3).select(
-        key_col,
-        id_col,
-        ts_col,
-        step1.alias("_is1"),
-        step2.alias("_is2"),
-        step3.alias("_is3"),
-    )
-    w = _key_window(key_col, ts_col, id_col)
-    reg = F.struct(F.col(ts_col), F.col(id_col))
-    span_us = maxspan_seconds * 1_000_000
-    s1 = relevant.withColumn(
-        "_l1", F.max(F.when(F.col("_is1"), reg)).over(w)
-    )
-    gap1_us = _us(F.col(ts_col)) - _us(F.col("_l1").getField(ts_col))
-    done2_cond = (
-        F.col("_is2")
-        & F.col("_l1").isNotNull()
-        & (gap1_us <= span_us)
-        & (gap1_us >= 0)
-    )
-    s2 = s1.withColumn(
-        "_done2", F.when(done2_cond, F.col(ts_col))
-    ).withColumn(
-        "_done2_t0", F.when(done2_cond, F.col("_l1").getField(ts_col))
-    )
-    # _t0 is monotone nondecreasing over completed pairs (see docstring),
-    # so two plain running maxes stay mutually consistent
-    s3 = s2.withColumn(
-        "_l2", F.max(F.when(F.col("_done2").isNotNull(), reg)).over(w)
-    ).withColumn("_t0", F.max(F.col("_done2_t0")).over(w))
-    gap0_us = _us(F.col(ts_col)) - _us(F.col("_t0"))
-    gap2_us = _us(F.col(ts_col)) - _us(F.col("_l2").getField(ts_col))
-    return s3.withColumn(
-        "_gap2_us", gap2_us
-    ).withColumn(
-        "_match3",
-        F.col("_is3")
-        & F.col("_l2").isNotNull()
-        & (gap0_us <= span_us)
-        & (gap0_us >= 0)
-        & (gap2_us >= 0),
+    """2-step sequence (k=2 wrapper over eql_sequence_k, kept for the
+    round-2/3 call sites and the driver contract)."""
+    return eql_sequence_k(
+        events, key_col, ts_col, [step1, step2], maxspan_seconds, id_col,
+        until,
     )
 
 
@@ -177,21 +182,11 @@ def eql_sequence3(
     maxspan_seconds: int,
     id_col: str = "event_id",
 ) -> DataFrame:
-    """3-step EQL sequence per key: the maxspan bounds the WHOLE chain
-    first-to-last (ES EQL semantics). Two stacked windows over the SAME
-    key-partitioned, (ts, id)-ordered stream — one shuffle total; each
-    window adds one running register of per-key state. Returns one row per
-    completing step-3 event with the gap to its step-2 anchor."""
-    ann = _sequence3_annotated(
-        events, key_col, ts_col, step1, step2, step3,
-        maxspan_seconds, id_col,
-    )
-    return ann.filter(F.col("_match3")).select(
-        key_col,
+    """3-step sequence (k=3 wrapper; maxspan bounds the WHOLE chain
+    first-to-last, ES EQL semantics)."""
+    return eql_sequence_k(
+        events, key_col, ts_col, [step1, step2, step3], maxspan_seconds,
         id_col,
-        ts_col,
-        F.floor(F.col("_gap2_us") / F.lit(1_000_000.0)).cast("long")
-        .alias("gap_seconds"),
     )
 
 
@@ -211,7 +206,7 @@ def funnel_conversion(
     maxspan_seconds: int,
     id_col: str = "event_id",
 ) -> DataFrame:
-    """Ordered funnel conversion over 2 or 3 steps: distinct keys reaching
+    """Ordered funnel conversion over k >= 2 steps: distinct keys reaching
     each stage IN ORDER within the (whole-sequence) span, plus
     step-over-step conversion rates — the product-analytics view of the EQL
     sequence machinery. ONE annotated frame feeds conditional
@@ -219,32 +214,21 @@ def funnel_conversion(
     job per stage. Distinct-key counting means a key converting twice
     counts once per stage."""
     k = len(steps)
-    if k not in (2, 3):
-        raise ValueError(f"funnel_conversion supports 2 or 3 steps, got {k}")
+    if k < 2:
+        raise ValueError(f"funnel_conversion needs >= 2 steps, got {k}")
     spark = events.sparkSession
-    if k == 3:
-        ann = _sequence3_annotated(
-            events, key_col, ts_col, steps[0], steps[1], steps[2],
-            maxspan_seconds, id_col,
-        )
-        row = ann.agg(
-            F.countDistinct(F.when(F.col("_is1"), F.col(key_col))).alias("n1"),
-            F.countDistinct(
-                F.when(F.col("_done2").isNotNull(), F.col(key_col))
-            ).alias("n2"),
-            F.countDistinct(F.when(F.col("_match3"), F.col(key_col))).alias(
-                "n3"
-            ),
-        ).collect()[0]
-        counts = [row["n1"], row["n2"], row["n3"]]
-    else:
-        matched = eql_sequence(
-            events, key_col, ts_col, steps[0], steps[1],
-            maxspan_seconds, id_col,
-        )
-        n1 = events.filter(steps[0]).select(key_col).distinct().count()
-        n2 = matched.select(key_col).distinct().count()
-        counts = [n1, n2]
+    ann = _sequence_annotated(
+        events, [key_col], ts_col, steps, maxspan_seconds, id_col
+    )
+    aggs = [F.countDistinct(F.when(F.col("_is1"), F.col(key_col))).alias("n1")]
+    aggs += [
+        F.countDistinct(
+            F.when(F.col(f"_done{i}").isNotNull(), F.col(key_col))
+        ).alias(f"n{i}")
+        for i in range(2, k + 1)
+    ]
+    row = ann.agg(*aggs).collect()[0]
+    counts = [row[f"n{i}"] for i in range(1, k + 1)]
     rows = []
     for i, n in enumerate(counts):
         # step 1 converts at 1.0 by definition (100% of entrants) — a real

@@ -5652,6 +5652,100 @@ ORDER BY user_id, event_id
 )
 
 
+def _q_eql_sequence4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES EQL 4-step with terminator: `sequence by user_id with maxspan=48h
+    [signup] [view] [click] [purchase] until [error]` — the generalized
+    k-step register loop (eql.eql_sequence_k): three stacked windows + one
+    until register over ONE composite-key shuffle; maxspan bounds the whole
+    chain first-to-last and an error event expires all pending state."""
+    from .eql import eql_sequence_k
+
+    ev = read_fixture(spark, sf_dir, "events")
+    return eql_sequence_k(
+        ev,
+        ["user_id"],
+        "ts",
+        [
+            F.col("event_type") == "signup",
+            F.col("event_type") == "view",
+            F.col("event_type") == "click",
+            F.col("event_type") == "purchase",
+        ],
+        maxspan_seconds=172800,
+        until=F.col("event_type") == "error",
+    ).orderBy("user_id", "event_id")
+
+
+_EQL4_SPAN_US = 172800 * 1000000
+register(
+    "eql_sequence4",
+    _q_eql_sequence4,
+    f"""
+WITH rel AS (
+  SELECT user_id, event_id, ts, event_type,
+         {{'ts': ts, 'id': event_id}} AS reg
+  FROM events
+  WHERE event_type IN ('signup', 'view', 'click', 'purchase', 'error')),
+m1 AS (
+  SELECT *,
+    max(CASE WHEN event_type = 'signup' THEN reg END) OVER w AS l1,
+    max(CASE WHEN event_type = 'error' THEN reg END) OVER w AS lu
+  FROM rel
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+m2 AS (
+  SELECT *,
+    CASE WHEN event_type = 'view' AND l1 IS NOT NULL
+          AND (lu IS NULL OR lu < l1)
+          AND epoch_us(ts) - epoch_us(struct_extract(l1, 'ts'))
+              BETWEEN 0 AND {_EQL4_SPAN_US}
+     THEN ts END AS done2,
+    CASE WHEN event_type = 'view' AND l1 IS NOT NULL
+          AND (lu IS NULL OR lu < l1)
+          AND epoch_us(ts) - epoch_us(struct_extract(l1, 'ts'))
+              BETWEEN 0 AND {_EQL4_SPAN_US}
+     THEN struct_extract(l1, 'ts') END AS done2_t0
+  FROM m1),
+m2w AS (
+  SELECT *,
+    max(CASE WHEN done2 IS NOT NULL THEN reg END) OVER w AS l2,
+    max(done2_t0) OVER w AS t02
+  FROM m2
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+m3 AS (
+  SELECT *,
+    CASE WHEN event_type = 'click' AND l2 IS NOT NULL
+          AND (lu IS NULL OR lu < l2)
+          AND epoch_us(ts) - epoch_us(t02) BETWEEN 0 AND {_EQL4_SPAN_US}
+          AND epoch_us(ts) - epoch_us(struct_extract(l2, 'ts')) >= 0
+     THEN ts END AS done3,
+    CASE WHEN event_type = 'click' AND l2 IS NOT NULL
+          AND (lu IS NULL OR lu < l2)
+          AND epoch_us(ts) - epoch_us(t02) BETWEEN 0 AND {_EQL4_SPAN_US}
+          AND epoch_us(ts) - epoch_us(struct_extract(l2, 'ts')) >= 0
+     THEN t02 END AS done3_t0
+  FROM m2w),
+m3w AS (
+  SELECT *,
+    max(CASE WHEN done3 IS NOT NULL THEN reg END) OVER w AS l3,
+    max(done3_t0) OVER w AS t03
+  FROM m3
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+SELECT user_id, event_id, ts,
+       CAST(floor((epoch_us(ts) - epoch_us(struct_extract(l3, 'ts')))
+                  / 1000000.0) AS BIGINT) AS gap_seconds
+FROM m3w
+WHERE event_type = 'purchase' AND l3 IS NOT NULL
+  AND (lu IS NULL OR lu < l3)
+  AND epoch_us(ts) - epoch_us(t03) BETWEEN 0 AND {_EQL4_SPAN_US}
+  AND epoch_us(ts) - epoch_us(struct_extract(l3, 'ts')) >= 0
+ORDER BY user_id, event_id
+""",
+)
+
+
 def _q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch sessionization: per-user session count / events / duration at a
     30-minute inactivity gap (eql.session_stats — lag + running-sum session
