@@ -4843,6 +4843,34 @@ ORDER BY a.doc_id
 )
 
 
+def _q_intervals_any(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES intervals with one nesting level: all_of(any_of(scan,row), fast)
+    ordered with ≤3 gaps — a 'scan' OR 'row' occurrence followed by 'fast'
+    within 3 intervening positions (search.intervals_query; the any_of
+    source is the sorted union of its members' position lists)."""
+    from .search import intervals_query
+
+    tfp = _tf_positions(spark, sf_dir)
+    return intervals_query(
+        tfp, [("any_of", ["scan", "row"]), "fast"], max_gaps=3, ordered=True
+    ).orderBy("doc_id")
+
+
+register(
+    "search_intervals_any",
+    _q_intervals_any,
+    _TOK_POS_CTE
+    + """
+SELECT a.doc_id, CAST(min(b.pos - a.pos - 1) AS BIGINT) AS min_gaps
+FROM tok a JOIN tok b ON a.doc_id = b.doc_id
+WHERE a.term IN ('scan', 'row') AND b.term = 'fast' AND b.pos > a.pos
+GROUP BY a.doc_id
+HAVING min(b.pos - a.pos - 1) <= 3
+ORDER BY a.doc_id
+""",
+)
+
+
 def _q_children_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES children agg: customer parents bucketed by market segment, order
     children counted/summed per bucket (aggs.children_agg — child side
@@ -5162,6 +5190,94 @@ WHERE a.term = 'scan' AND NOT EXISTS (
   WHERE b.doc_id = a.doc_id AND b.term = 'slow'
     AND b.pos BETWEEN a.pos - 2 AND a.pos + 2)
 GROUP BY a.doc_id ORDER BY a.doc_id
+""",
+)
+
+
+def _q_span_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES span_or over term clauses dup|vector: union of clause spans — one
+    pruned scan + per-doc hash agg (search.span_or_filter)."""
+    from .search import span_or_filter
+
+    tfp = _tf_positions(spark, sf_dir)
+    return span_or_filter(tfp, ["dup", "vector"]).orderBy("doc_id")
+
+
+register(
+    "search_span_or",
+    _q_span_or,
+    _TOK_POS_CTE
+    + """
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(min(pos) - 1 AS BIGINT) AS first_pos
+FROM tok WHERE term IN ('dup', 'vector')
+GROUP BY doc_id ORDER BY doc_id
+""",
+)
+
+
+def _q_span_containing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES span_containing: big = span_near(scan, fast, slop=4, any order),
+    little = 'slow' — big windows that enclose a 'slow' occurrence
+    (search.span_containing_filter — three pruned tf slices equi-joined,
+    all span arithmetic per-row array expressions)."""
+    from .search import span_containing_filter
+
+    tfp = _tf_positions(spark, sf_dir)
+    return span_containing_filter(
+        tfp, ("scan", "fast", 4), "slow"
+    ).orderBy("doc_id")
+
+
+_SPAN_BIG_PAIRS = """
+pairs AS (
+  SELECT a.doc_id, least(a.pos, b.pos) AS s, greatest(a.pos, b.pos) AS e
+  FROM tok a JOIN tok b ON a.doc_id = b.doc_id
+  WHERE a.term = 'scan' AND b.term = 'fast'
+    AND a.pos <> b.pos AND abs(b.pos - a.pos) - 1 <= 4
+)"""
+
+register(
+    "search_span_containing",
+    _q_span_containing,
+    _TOK_POS_CTE.rstrip().rstrip(")")
+    + "),"
+    + _SPAN_BIG_PAIRS
+    + """
+SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_spans
+FROM pairs p
+WHERE EXISTS (SELECT 1 FROM tok l
+              WHERE l.doc_id = p.doc_id AND l.term = 'slow'
+                AND l.pos BETWEEN p.s AND p.e)
+GROUP BY p.doc_id ORDER BY p.doc_id
+""",
+)
+
+
+def _q_span_within(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES span_within: the mirror — 'slow' occurrences enclosed in a
+    span_near(scan, fast, slop=4) window (search.span_within_filter)."""
+    from .search import span_within_filter
+
+    tfp = _tf_positions(spark, sf_dir)
+    return span_within_filter(
+        tfp, "slow", ("scan", "fast", 4)
+    ).orderBy("doc_id")
+
+
+register(
+    "search_span_within",
+    _q_span_within,
+    _TOK_POS_CTE.rstrip().rstrip(")")
+    + "),"
+    + _SPAN_BIG_PAIRS
+    + """
+SELECT l.doc_id, CAST(count(*) AS BIGINT) AS n_spans
+FROM tok l
+WHERE l.term = 'slow' AND EXISTS (
+  SELECT 1 FROM pairs p
+  WHERE p.doc_id = l.doc_id AND l.pos BETWEEN p.s AND p.e)
+GROUP BY l.doc_id ORDER BY l.doc_id
 """,
 )
 

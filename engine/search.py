@@ -497,40 +497,67 @@ def pinned_topk(
     )
 
 
-def intervals_all_of(
+def intervals_query(
     tf_with_pos: DataFrame,
-    terms: list[str],
+    sources,
     max_gaps: int = 0,
     ordered: bool = False,
 ) -> DataFrame:
-    """ES/Lucene `intervals` query, `all_of` source [public: ES intervals
-    query docs; Lucene intervals]: docs containing a minimal window that
-    holds EVERY term with at most `max_gaps` non-matching positions inside
-    it (window width − k); `ordered` additionally requires the terms to
-    appear in list order. Subsumes span_near (k=2) and generalizes phrase
-    (ordered, max_gaps=0).
+    """ES/Lucene `intervals` query [public: ES intervals query docs; Lucene
+    intervals]: `all_of` over 2-3 sources, where each source is a term or a
+    one-level `any_of` combination — sources: list of str |
+    ("any_of", [terms...]) (VERDICT r03 #4). Docs match when some minimal
+    window holds one interval from EVERY source with at most `max_gaps`
+    non-matching positions inside it (window width − k); `ordered`
+    additionally requires the source intervals in list order.
 
-    Supports k=2 or 3 via nested position-array transforms — pure per-row
-    expressions over the C2 position lists, so the only exchange is the
-    doc_id-equi join of k term-pruned tf slices (each filter-pushed to the
-    scan; position arrays are bounded by dl, the combo work is O(dl^k) on
-    arrays that never leave the row). Larger k wants the classic k-way
-    merged-list minimal-window sweep, which needs per-row state — raise
-    rather than silently degrade. Returns (doc_id, min_gaps)."""
-    k = len(terms)
+    With term leaves every interval is a single position and distinct terms
+    never share a position (one token per position), so an `any_of` source
+    is exactly the sorted UNION of its member terms' position lists and the
+    all_of combination stays the nested position-array transform — pure
+    per-row expressions over the C2 position lists. The only exchanges are
+    the doc_id-equi joins of k term-pruned tf slices (filters pushed to the
+    scan) plus one tiny per-doc merge agg for each any_of source; combo
+    work is O(dl^k) on arrays that never leave the row. Larger k wants the
+    classic k-way merged-list minimal-window sweep, which needs per-row
+    state — raise rather than silently degrade. Returns (doc_id, min_gaps).
+    """
+    k = len(sources)
     if k not in (2, 3):
-        raise ValueError(f"intervals_all_of supports 2 or 3 terms, got {k}")
-    if len(set(terms)) != k:
-        # duplicate terms would pair a position with itself (gap −1) and
+        raise ValueError(f"intervals_query supports 2 or 3 sources, got {k}")
+    leaves: list[str] = []
+    frames: list[DataFrame] = []
+    for i, srcspec in enumerate(sources):
+        if isinstance(srcspec, str):
+            leaves.append(srcspec)
+            frames.append(
+                tf_with_pos.filter(F.col("term") == srcspec).select(
+                    "doc_id", F.col("positions").alias(f"_p{i}")
+                )
+            )
+        else:
+            op, terms = srcspec
+            if op != "any_of" or not terms:
+                raise ValueError(
+                    f"source must be a term or ('any_of', [terms]): {srcspec!r}"
+                )
+            leaves.extend(terms)
+            frames.append(
+                tf_with_pos.filter(F.col("term").isin(list(terms)))
+                .groupBy("doc_id")
+                .agg(
+                    F.sort_array(F.flatten(F.collect_list("positions")))
+                    .alias(f"_p{i}")
+                )
+            )
+    if len(set(leaves)) != len(leaves):
+        # a repeated leaf would pair a position with itself (gap −1) and
         # match docs with a single occurrence; the Lucene semantics need a
         # same-term multi-occurrence matcher this row-expression form
         # doesn't implement — refuse rather than silently mis-match
-        raise ValueError(f"intervals_all_of terms must be distinct: {terms}")
+        raise ValueError(f"intervals leaf terms must be distinct: {leaves}")
     j: DataFrame | None = None
-    for i, t in enumerate(terms):
-        s = tf_with_pos.filter(F.col("term") == t).select(
-            "doc_id", F.col("positions").alias(f"_p{i}")
-        )
+    for s in frames:
         j = s if j is None else j.join(s, "doc_id")
     if k == 2:
         if ordered:
@@ -568,6 +595,18 @@ def intervals_all_of(
         j.select("doc_id", min_gaps.cast("long").alias("min_gaps"))
         .filter(F.col("min_gaps").isNotNull() & (F.col("min_gaps") <= max_gaps))
     )
+
+
+def intervals_all_of(
+    tf_with_pos: DataFrame,
+    terms: list[str],
+    max_gaps: int = 0,
+    ordered: bool = False,
+) -> DataFrame:
+    """`all_of` over plain term sources (the round-3 surface, kept for its
+    call sites) — delegates to intervals_query. Subsumes span_near (k=2)
+    and generalizes phrase (ordered, max_gaps=0)."""
+    return intervals_query(tf_with_pos, list(terms), max_gaps, ordered)
 
 
 def rrf_fuse(
@@ -640,6 +679,132 @@ def span_not_filter(
     )
     return (
         j.select("doc_id", F.size(surviving).cast("long").alias("n_spans"))
+        .filter(F.col("n_spans") > 0)
+    )
+
+
+def span_or_filter(tf_with_pos: DataFrame, terms: list[str]) -> DataFrame:
+    """ES/Lucene `span_or` [public: ES span_or query docs]: the union of the
+    clause spans — docs where ANY clause term occurs. With term clauses the
+    union is just the merged per-doc position multiset: one term-pruned scan
+    (`term IN (...)` pushed down), one per-doc hash agg, no join. Returns
+    (doc_id, n_spans total occurrences, first_pos earliest span start)."""
+    if not terms:
+        raise ValueError("span_or needs at least one clause")
+    return (
+        tf_with_pos.filter(F.col("term").isin(list(terms)))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.size("positions")).cast("long").alias("n_spans"),
+            F.min(F.array_min("positions")).cast("long").alias("first_pos"),
+        )
+    )
+
+
+def _pair_spans(slop: int, in_order: bool):
+    """Big-span builder shared by span_containing/span_within: all (a, b)
+    position pairs forming a valid span_near window — struct(s, e) array,
+    nulls (invalid pairs) filtered out. Pure array expression."""
+
+    def build(pa, pb):
+        def pair(a, b):
+            width_ok = (
+                ((b - a - 1) <= slop) & (a < b)
+                if in_order
+                else (F.abs(b - a) - 1 <= slop) & (a != b)
+            )
+            return F.when(
+                width_ok,
+                F.struct(
+                    F.least(a, b).alias("s"), F.greatest(a, b).alias("e")
+                ),
+            )
+
+        combos = F.flatten(
+            F.transform(pa, lambda a: F.transform(pb, lambda b: pair(a, b)))
+        )
+        return F.filter(combos, lambda x: x.isNotNull())
+
+    return build
+
+
+def _span_big_little(
+    tf_with_pos: DataFrame,
+    big: tuple[str, str, int],
+    little_term: str,
+    in_order: bool,
+) -> DataFrame:
+    """Shared frame for span_containing/span_within: per-doc `_spans`
+    (valid big span_near(a, b, slop) windows) and `_pl` (little positions).
+    Three term-pruned tf slices equi-joined on doc_id — the same exchange
+    shape as span_near/span_not; all span arithmetic rides the row."""
+    term_a, term_b, slop = big
+    if len({term_a, term_b, little_term}) != 3:
+        raise ValueError(
+            f"span clauses must use distinct terms: {big} / {little_term}"
+        )
+    pa = tf_with_pos.filter(F.col("term") == term_a).select(
+        "doc_id", F.col("positions").alias("_pa")
+    )
+    pb = tf_with_pos.filter(F.col("term") == term_b).select(
+        "doc_id", F.col("positions").alias("_pb")
+    )
+    pl = tf_with_pos.filter(F.col("term") == little_term).select(
+        "doc_id", F.col("positions").alias("_pl")
+    )
+    j = pa.join(pb, "doc_id").join(pl, "doc_id")
+    spans = _pair_spans(slop, in_order)(F.col("_pa"), F.col("_pb"))
+    return j.withColumn("_spans", spans)
+
+
+def span_containing_filter(
+    tf_with_pos: DataFrame,
+    big: tuple[str, str, int],
+    little_term: str,
+    in_order: bool = False,
+) -> DataFrame:
+    """ES/Lucene `span_containing` [public: ES span_containing query docs]:
+    spans of `big` (a span_near(a, b, slop) pair) that CONTAIN at least one
+    occurrence of `little_term`. Returns (doc_id, n_spans = count of
+    containing big spans)."""
+    ann = _span_big_little(tf_with_pos, big, little_term, in_order)
+    n = F.size(
+        F.filter(
+            F.col("_spans"),
+            lambda sp: F.exists(
+                F.col("_pl"),
+                lambda p: (p >= sp.getField("s")) & (p <= sp.getField("e")),
+            ),
+        )
+    )
+    return (
+        ann.select("doc_id", n.cast("long").alias("n_spans"))
+        .filter(F.col("n_spans") > 0)
+    )
+
+
+def span_within_filter(
+    tf_with_pos: DataFrame,
+    little_term: str,
+    big: tuple[str, str, int],
+    in_order: bool = False,
+) -> DataFrame:
+    """ES/Lucene `span_within` [public: ES span_within query docs]: the
+    mirror of span_containing — occurrences of `little_term` that fall
+    INSIDE some `big` span_near(a, b, slop) window. Returns (doc_id,
+    n_spans = count of enclosed little occurrences)."""
+    ann = _span_big_little(tf_with_pos, big, little_term, in_order)
+    n = F.size(
+        F.filter(
+            F.col("_pl"),
+            lambda p: F.exists(
+                F.col("_spans"),
+                lambda sp: (p >= sp.getField("s")) & (p <= sp.getField("e")),
+            ),
+        )
+    )
+    return (
+        ann.select("doc_id", n.cast("long").alias("n_spans"))
         .filter(F.col("n_spans") > 0)
     )
 
