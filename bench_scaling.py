@@ -99,7 +99,7 @@ def run_pairs(n_lo: int, n_hi: int, pages: str, zip_path: str):
     level coherently; adjacent pairs bound the drift WITHIN each efficiency
     estimate. Returns (per-level best runs, best per-pair efficiency)."""
     best = {n_lo: None, n_hi: None}
-    best_eff = 0.0
+    pair_effs: list[float] = []
     factor = n_hi / n_lo
     for i in range(TRIALS):
         if COOLDOWN_SEC and n_hi > 1:
@@ -120,8 +120,8 @@ def run_pairs(n_lo: int, n_hi: int, pages: str, zip_path: str):
             f" eff={eff:.3f}",
             file=sys.stderr,
         )
-        best_eff = max(best_eff, eff)
-    return best, best_eff
+        pair_effs.append(eff)
+    return best, pair_effs
 
 
 def _run_once(cpus: int, pages: str, zip_path: str) -> dict:
@@ -265,7 +265,7 @@ def main() -> None:
     factor = n_hi / n_lo
     pages = ensure_corpus(os.path.join(REPO, "data", "scaling_pages"))
     zip_path = make_pyfiles_zip()
-    results, pair_eff = run_pairs(n_lo, n_hi, pages, zip_path)
+    results, pair_effs = run_pairs(n_lo, n_hi, pages, zip_path)
     ctl = {}
     for c in sorted(LEVELS, reverse=True):  # hi first, rested — same
         if COOLDOWN_SEC and c > 1:          # protocol as the job runs
@@ -278,7 +278,18 @@ def main() -> None:
         sctl[c] = run_shuffle_control(c)
     t_n, t_4n = results[n_lo]["wall_sec"], results[n_hi]["wall_sec"]
     speedup = t_n / t_4n
-    eff = max(speedup / factor, pair_eff)
+    # HEADLINE = per-level-best walls, the conservative estimator: each
+    # level's best over all trials, so no adjacent-pair selection can
+    # flatter it. The adjacent-pair stats are reported as supporting color
+    # only (median bounds same-window drift; the round-3 max() over pairs
+    # was upward-biased on a drifting host and is gone — VERDICT r03 #7).
+    eff = speedup / factor
+    spair = sorted(pair_effs)
+    mid = len(spair) // 2
+    pair_eff_median = (
+        spair[mid] if len(spair) % 2 else (spair[mid - 1] + spair[mid]) / 2
+    )
+    pair_eff_best = spair[-1]
     ctl_eff = (ctl[n_lo] / ctl[n_hi]) / factor
     sctl_eff = (sctl[n_lo] / sctl[n_hi]) / factor
     # UNCAPPED ratio — >1.0 means the job scaled better than the control in
@@ -295,7 +306,8 @@ def main() -> None:
         f"local{n_hi}_docs_per_sec": results[n_hi]["docs_per_sec"],
         "speedup": round(speedup, 3),
         "efficiency": round(eff, 3),
-        "best_pair_efficiency": round(pair_eff, 3),
+        "median_pair_efficiency": round(pair_eff_median, 3),
+        "best_pair_efficiency": round(pair_eff_best, 3),
         "platform_control_efficiency": round(ctl_eff, 3),
         "shuffle_control_efficiency": round(sctl_eff, 3),
         "platform_normalized_efficiency": round(norm_eff, 3),
@@ -311,15 +323,18 @@ def main() -> None:
         f"Same `spark-submit --py-files` index-build job, same {N_PAGES}-page\n"
         f"synthetic corpus, two parallelism levels local[{n_lo}] vs local[{n_hi}]\n"
         "(sandbox proxy for N vs 4N executors per the driver instruction).\n"
-        f"{TRIALS} interleaved (hi, lo) trial pairs; per-level best walls and\n"
-        "the best ADJACENT-pair efficiency are reported — the host's capacity\n"
-        "drifts on a minutes timescale, so only adjacent pairs bound the drift\n"
-        "inside one estimate:\n\n"
+        f"{TRIALS} interleaved (hi, lo) trial pairs. The HEADLINE efficiency\n"
+        "is computed from the per-level BEST walls in the table below (the\n"
+        "conservative estimator — no pair selection); median and best\n"
+        "adjacent-pair efficiencies are supporting color that bounds the\n"
+        "host's minutes-timescale capacity drift:\n\n"
         "| master | wall (s) | docs/sec |\n|---|---|---|\n"
         f"| local[{n_lo}] | {t_n} | {results[n_lo]['docs_per_sec']} |\n"
         f"| local[{n_hi}] | {t_4n} | {results[n_hi]['docs_per_sec']} |\n\n"
-        f"Raw efficiency = (T_{n_lo}/T_{n_hi})/{factor:g} = **{summary['efficiency']}** "
-        f"(best adjacent pair {summary['best_pair_efficiency']}).\n\n"
+        f"Raw efficiency = (T_{n_lo}/T_{n_hi})/{factor:g} = "
+        f"**{summary['efficiency']}** from the table's walls (adjacent-pair\n"
+        f"median {summary['median_pair_efficiency']}, best "
+        f"{summary['best_pair_efficiency']}).\n\n"
         "Two platform controls at the same pair, both pure-JVM (zero Python):\n"
         f"compute-bound (xxhash aggregation) efficiency "
         f"{summary['platform_control_efficiency']}; shuffle-bound\n"

@@ -72,6 +72,78 @@ def geo_distance_search(
     )
 
 
+def polygon_contains(lat, lon, polygon: list[tuple[float, float]]):
+    """Even-odd (ray-casting / crossing-number) point-in-polygon [public:
+    classic computational-geometry algorithm; the test ES geo_shape uses for
+    polygon containment]: cast a ray east from the point and count edge
+    crossings — odd = inside. The polygon is a literal vertex list
+    [(lat, lon), ...] (auto-closed), so the whole test unrolls into a fixed
+    sum of per-edge WHEN expressions — pure whole-stage-codegen Column
+    arithmetic, no UDF. Vertex count is query-sized (constant), so the cost
+    is O(|V|) per row inside the scan."""
+    if len(polygon) < 3:
+        raise ValueError(f"polygon needs >= 3 vertices, got {len(polygon)}")
+    crossings = F.lit(0)
+    n = len(polygon)
+    for i in range(n):
+        y1, x1 = polygon[i]
+        y2, x2 = polygon[(i + 1) % n]
+        if y1 == y2:
+            continue  # horizontal edge can't cross a horizontal ray
+        straddles = (F.lit(y1) > lat) != (F.lit(y2) > lat)
+        x_at = (
+            (F.lit(x2) - F.lit(x1)) * (lat - F.lit(y1))
+            / (F.lit(y2) - F.lit(y1)) + F.lit(x1)
+        )
+        crossings = crossings + F.when(straddles & (lon < x_at), 1).otherwise(0)
+    return crossings % 2 == F.lit(1)
+
+
+def polygon_contains_sql(lat_expr: str, lon_expr: str,
+                         polygon: list[tuple[float, float]]) -> str:
+    """The SAME crossing-number test as a DuckDB SQL fragment, generated
+    from the same vertex literals with the identical arithmetic shape so
+    the two sides cannot drift (both are IEEE-double, same association
+    order)."""
+    parts = []
+    n = len(polygon)
+    for i in range(n):
+        y1, x1 = polygon[i]
+        y2, x2 = polygon[(i + 1) % n]
+        if y1 == y2:
+            continue
+        parts.append(
+            f"(CASE WHEN (({y1} > {lat_expr}) <> ({y2} > {lat_expr}))"
+            f" AND {lon_expr} < ({x2} - {x1}) * ({lat_expr} - {y1})"
+            f" / ({y2} - {y1}) + {x1} THEN 1 ELSE 0 END)"
+        )
+    return "(" + " + ".join(parts) + ") % 2 = 1"
+
+
+def geo_polygon_search(
+    ev: DataFrame, polygon: list[tuple[float, float]], k: int = 20
+) -> DataFrame:
+    """ES geo_shape/geo_polygon query [public: ES geo_shape docs]: events
+    whose point falls inside the polygon. The polygon's bounding box goes
+    FIRST as a simple range predicate — that is what pushes to the parquet
+    scan (and prunes partitions on a geo-partitioned table at 100 TB); the
+    exact crossing-number test then runs only on bbox survivors."""
+    lats = [p[0] for p in polygon]
+    lons = [p[1] for p in polygon]
+    pts = with_synthetic_coords(ev)
+    bbox = (
+        (F.col("lat") >= min(lats)) & (F.col("lat") <= max(lats))
+        & (F.col("lon") >= min(lons)) & (F.col("lon") <= max(lons))
+    )
+    return (
+        pts.filter(bbox)
+        .filter(polygon_contains(F.col("lat"), F.col("lon"), polygon))
+        .select("event_id", "lat", "lon")
+        .orderBy("event_id")
+        .limit(k)
+    )
+
+
 MERCATOR_LAT_MAX = 85.0511287798  # web-mercator domain bound (atan(sinh(pi)))
 
 

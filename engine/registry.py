@@ -5594,6 +5594,38 @@ ORDER BY event_id LIMIT 20
 )
 
 
+def _q_geo_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES geo_shape polygon containment: events inside a 5-vertex polygon —
+    crossing-number test as unrolled Column arithmetic, bbox range predicate
+    pushed to the scan first (geo.geo_polygon_search)."""
+    from .geo import geo_polygon_search
+
+    ev = read_fixture(spark, sf_dir, "events")
+    return geo_polygon_search(ev, _GEO_POLY, k=20)
+
+
+_GEO_POLY = [
+    (10.0, -30.0), (40.0, -10.0), (55.0, 20.0), (25.0, 40.0), (0.0, 5.0)
+]
+
+
+def _geo_polygon_oracle() -> str:
+    from .geo import polygon_contains_sql
+
+    lats = [p[0] for p in _GEO_POLY]
+    lons = [p[1] for p in _GEO_POLY]
+    return f"""
+SELECT event_id, lat, lon FROM (SELECT event_id, {COORDS_SQL} FROM events)
+WHERE lat >= {min(lats)} AND lat <= {max(lats)}
+  AND lon >= {min(lons)} AND lon <= {max(lons)}
+  AND {polygon_contains_sql('lat', 'lon', _GEO_POLY)}
+ORDER BY event_id LIMIT 20
+"""
+
+
+register("search_geo_polygon", _q_geo_polygon, _geo_polygon_oracle())
+
+
 def _q_date_histogram_filled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES date_histogram min_doc_count=0: hourly purchase counts with EMPTY
     hours emitted (47 real gaps at sf0.01 — the fill path is exercised, not
