@@ -53,13 +53,16 @@ def pack_documents(
     n_docs: int | None = None,
     n_buckets: int = PACK_BUCKETS,
     bucket_width: int = PACK_BUCKET_WIDTH,
+    token_counter: str = "whitespace",
 ) -> DataFrame:
     """Per-doc packing spans for concat-and-chunk at `seq_len` tokens.
 
     Returns (doc_id, n_tokens, tok_start, pack_first, pack_last), one row per
     doc, doc_id-ordered semantics (the token stream concatenates in doc_id
-    order). Whitespace token counts — swap the counter expression for a BPE
-    estimate (textops.token_counts) without touching the prefix-sum scheme.
+    order). token_counter: "whitespace" (split count, the cheap default) or
+    "bpe" — EXACT subword accounting via the pinned-merges encoder
+    (engine.bpe.bpe_count_udf, Arrow-batched); the prefix-sum scheme is
+    untouched either way.
 
     Requires dense doc_ids 0..N-1 (refine.assign_doc_ids invariant). With
     `n_docs` given, buckets are contiguous ranges doc_id·B/N; by default
@@ -72,10 +75,18 @@ def pack_documents(
         bucket = (F.col(id_col) * n_b / F.lit(n_docs)).cast("long")
     else:
         bucket = (F.col(id_col) / F.lit(max(1, bucket_width))).cast("long")
+    if token_counter == "bpe":
+        from .bpe import bpe_count_udf
+
+        counter = bpe_count_udf(F.col(text_col))
+    elif token_counter == "whitespace":
+        counter = F.size(F.split(F.col(text_col), " ")).cast("long")
+    else:
+        raise ValueError(f"token_counter must be whitespace|bpe: {token_counter}")
     t = (
         docs.select(
             F.col(id_col).alias("doc_id"),
-            F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tokens"),
+            counter.cast("long").alias("n_tokens"),
         )
         .withColumn("_b", bucket)
         .persist()

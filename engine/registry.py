@@ -3980,6 +3980,53 @@ FROM c ORDER BY doc_id
 )
 
 
+def _q_pack_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing with EXACT pinned-merges BPE token accounting
+    (pack.pack_documents(token_counter='bpe') — engine.bpe applies the
+    literal merges table in a memoized Arrow UDF; the DuckDB twin replays
+    the SAME table via a recursive CTE over the distinct vocabulary)."""
+    from .pack import pack_documents
+
+    docs = read_fixture(spark, sf_dir, "documents")
+    return pack_documents(docs, seq_len=64, token_counter="bpe").orderBy(
+        "doc_id"
+    )
+
+
+def _pack_bpe_oracle() -> str:
+    from .bpe import bpe_apply_case_sql
+
+    case = bpe_apply_case_sql("state")
+    return f"""
+WITH RECURSIVE words AS (
+  SELECT DISTINCT unnest(string_split(text, ' ')) AS w FROM documents),
+init AS (SELECT w, regexp_replace(w, '(.)', '\\1;', 'g') AS state FROM words),
+enc AS (
+  SELECT w, state FROM init
+  UNION ALL
+  SELECT w, {case} FROM enc WHERE ({case}) <> state),
+wc AS (SELECT w, CAST(min(length(state) - length(replace(state, ';', '')))
+                      AS BIGINT) AS n
+       FROM enc GROUP BY w),
+t AS (SELECT d.doc_id, CAST(sum(wc.n) AS BIGINT) AS n_tokens
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+            FROM documents) d
+      JOIN wc USING (w) GROUP BY d.doc_id),
+c AS (SELECT doc_id, n_tokens,
+        CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+          AS tok_start
+      FROM t)
+SELECT doc_id, n_tokens, tok_start,
+       CAST(floor(tok_start / 64.0) AS BIGINT) AS pack_first,
+       CAST(floor((tok_start + n_tokens - 1) / 64.0) AS BIGINT) AS pack_last
+FROM c ORDER BY doc_id
+"""
+
+
+register("pack_sequences_bpe", _q_pack_bpe, _pack_bpe_oracle())
+
+
 def _q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: docs with doc_id % 97 == 0 act as the
     held-out eval set; every other doc reports how many of its distinct word
