@@ -4991,10 +4991,11 @@ _PRIORITY = [
     # anchors (ever-driver-checked, one per operator family):
     "bm25_and", "corpus_term_stats", "bm25_wand_hot_term", "bm25_phrase", "bm25_bool_nested",
     "search_rrf_hybrid", "search_delete_by_query", "dedup_exact_groups", "ann_cosine_topk",
-    "agg_date_histogram", "agg_nested", "rel_three_way_join", "fn_string",
-    # first-timers (never driver-checked before round 4; rel_window_topn
-    # ceded its anchor slot to the new bm25_english):
-    "bm25_english",
+    "agg_date_histogram", "agg_nested", "rel_three_way_join",
+    # first-timers (never driver-checked before round 4; rel_window_topn and
+    # fn_string ceded anchor slots to the new bm25_english + the round-4
+    # end-to-end pipeline query):
+    "bm25_english", "pipeline_prepare", "eql_sequence4",
     "eql_sequence", "eql_sequence3", "agg_funnel", "agg_session_stats", "agg_cohort_retention",
     "search_query_string_full", "search_msearch", "ann_pq_topk", "pack_sequences",
     "sample_shuffle", "sample_temperature", "decontam_ngram_overlap", "text_line_dedup",
@@ -5003,11 +5004,11 @@ _PRIORITY = [
     "search_update_by_query", "bm25_dis_max", "bm25_synonym", "agg_rare_terms",
     "agg_multi_terms", "search_geo_bbox", "search_has_child", "search_nested",
     "search_span_not", "text_unigram_ppl", "corpus_report", "transform_pivot",
-    "agg_significant_text", "search_terms_enum", "sample_stratified", "search_template",
+    "agg_significant_text", "search_terms_enum", "sample_stratified",
     # --- 51+: previously-checked window members and remaining oracle
     # queries (still checked if the driver runs all; every one held a green
     # row in r01-r03 or the round-3 judge sweep).
-    "rel_window_topn",
+    "rel_window_topn", "fn_string", "search_template",
     "bm25_wand_and", "bm25_wand_or", "bm25_wand_must_not", "bm25_wand_prefix",
     "bm25_wand_fuzzy", "bm25_wand_page2", "bm25_multifield", "bm25_filtered_range",
     "bm25_more_like_this", "bm25_rescore_phrase", "bm25_wand_min_match", "suggest_term",
@@ -5843,6 +5844,100 @@ WHERE event_type = 'purchase' AND last2 IS NOT NULL
   AND epoch(ts) - epoch(last0) BETWEEN 0 AND 28800
   AND epoch(ts) - epoch(last2) >= 0
 ORDER BY user_id, event_id
+""",
+)
+
+
+def _q_pipeline_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end prepare_training_data job (pipeline.prepare_training_data,
+    contract config: exact dedup + whitespace counter so EVERY stage is
+    SQL-expressible): quality -> line_dedup -> dedup -> decontam ->
+    temperature-sample -> pack -> shuffle, each stage checkpoint-manifested
+    (A4). Returns the deterministic manifest slice (ord, stage, n_rows);
+    the DuckDB twin recomputes the whole chain's stage counts from scratch.
+    Re-runs resume from the stage manifests (kill/resume pinned by
+    tests/test_pipeline_e2e.py)."""
+    import hashlib
+
+    from .pipeline import pipeline_summary, prepare_training_data
+
+    docs = read_fixture(spark, sf_dir, "documents")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"/tmp/engine_pipeline_{tag}"
+    prepare_training_data(
+        spark, docs, root, fingerprint=f"contract:{sf_dir}"
+    )
+    return pipeline_summary(spark, root).orderBy("ord")
+
+
+_PIPE_QUALITY_PRED = """(
+    CAST(len(string_split(text,' ')) BETWEEN 20 AND 1000 AS INT)
+  + CAST(round((length(text) - (len(string_split(text,' ')) - 1))
+          / len(string_split(text,' ')), 4) BETWEEN 2.5 AND 12.0 AS INT)
+  + CAST(round(len(list_filter(string_split(text,' '),
+          t -> list_contains(['and','for','in','is','of','that','the','to','was','with'], t)))
+          / greatest(len(string_split(text,' ')), 1), 4) >= 0.01 AS INT)
+  + CAST(round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+          / greatest(length(text), 1), 4) >= 0.6 AS INT)
+  ) / 4.0 >= 0.5"""
+
+register(
+    "pipeline_prepare",
+    _q_pipeline_prepare,
+    f"""
+WITH q AS (SELECT doc_id, text, source FROM documents
+           WHERE {_PIPE_QUALITY_PRED}),
+qtok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+                generate_subscripts(string_split(text, ' '), 1) AS pos
+         FROM q),
+chunks AS (SELECT doc_id, (pos - 1) // 3 AS line_no,
+                  string_agg(term, ' ' ORDER BY pos) AS line
+           FROM qtok GROUP BY 1, 2),
+hot AS (SELECT line FROM (SELECT line, count(DISTINCT doc_id) AS df
+                          FROM chunks GROUP BY 1) WHERE df >= 5),
+keptl AS (SELECT doc_id, line_no, line FROM chunks
+          WHERE line NOT IN (SELECT line FROM hot)),
+ld AS (SELECT doc_id, string_agg(line, ' ' ORDER BY line_no) AS text
+       FROM keptl GROUP BY 1),
+dd AS (SELECT ld.doc_id, ld.text, q.source FROM ld JOIN q USING (doc_id)
+       WHERE ld.doc_id IN (
+         SELECT min(doc_id) FROM ld
+         GROUP BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))))),
+train AS (SELECT * FROM dd WHERE doc_id % 97 <> 0),
+ttok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+                generate_subscripts(string_split(text, ' '), 1) AS pos
+         FROM train),
+ttri AS (SELECT DISTINCT a.doc_id, a.term || ' ' || b.term || ' ' || c.term AS ng
+         FROM ttok a
+         JOIN ttok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+         JOIN ttok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+btok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+                generate_subscripts(string_split(text, ' '), 1) AS pos
+         FROM documents WHERE doc_id % 97 = 0),
+btri AS (SELECT DISTINCT a.term || ' ' || b.term || ' ' || c.term AS ng
+         FROM btok a
+         JOIN btok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+         JOIN btok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+dc AS (SELECT * FROM train WHERE doc_id NOT IN (
+         SELECT DISTINCT doc_id FROM ttri WHERE ng IN (SELECT ng FROM btri))),
+cnt AS (SELECT source, count(*) AS n FROM dc GROUP BY source),
+tot AS (SELECT sum(power(n, 0.5)) AS sp FROM cnt),
+rates AS (SELECT source,
+                 LEAST(1000, CAST(floor(1000 * LEAST(1.0,
+                     250 * power(n, 0.5) / tot.sp / n) + 1e-9) AS BIGINT))
+                   AS rate
+          FROM cnt CROSS JOIN tot),
+samp AS (SELECT d.doc_id FROM dc d JOIN rates r ON d.source = r.source
+         WHERE ({_PORTABLE_HASH_SQL.replace('doc_id', 'd.doc_id')}) % 1000 < r.rate)
+SELECT * FROM (
+  SELECT 1 AS ord, 'quality' AS stage, count(*) AS n_rows FROM q
+  UNION ALL SELECT 2, 'line_dedup', count(*) FROM ld
+  UNION ALL SELECT 3, 'dedup', count(*) FROM dd
+  UNION ALL SELECT 4, 'decontam', count(*) FROM dc
+  UNION ALL SELECT 5, 'sample', count(*) FROM samp
+  UNION ALL SELECT 6, 'pack', count(*) FROM samp
+  UNION ALL SELECT 7, 'shuffle', count(*) FROM samp
+) ORDER BY ord
 """,
 )
 
