@@ -44,6 +44,11 @@ HEADLINE = [
     "text_quality",
     "dedup_minhash_lsh",
     "ann_cosine_topk",
+    # round-4 additions (VERDICT r03 #9) — additive; every prior name and
+    # the reps policy stay fixed so r4-vs-r3 remains apples-to-apples
+    "agg_funnel",
+    "pack_sequences",
+    "sample_shuffle",
 ]
 
 
