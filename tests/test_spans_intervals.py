@@ -109,7 +109,7 @@ def test_intervals_min_gaps_uses_best_member(tfp):
 def test_intervals_validation(tfp):
     with pytest.raises(ValueError, match="distinct"):
         intervals_query(tfp, [("any_of", ["scan", "fast"]), "fast"])
-    with pytest.raises(ValueError, match="2 or 3"):
+    with pytest.raises(ValueError, match=">= 2"):
         intervals_query(tfp, ["scan"])
     with pytest.raises(ValueError, match="any_of"):
         intervals_query(tfp, [("one_of", ["scan"]), "fast"])
@@ -119,3 +119,67 @@ def test_intervals_validation(tfp):
     ) == sorted(
         map(tuple, intervals_query(tfp, ["scan", "fast"], max_gaps=9).collect())
     )
+
+
+def _brute_min_gaps(poslists, ordered):
+    import itertools
+
+    best = None
+    for combo in itertools.product(*poslists):
+        if ordered and any(b <= a for a, b in zip(combo, combo[1:])):
+            continue
+        g = max(combo) - min(combo) + 1 - len(combo)
+        if best is None or g < best:
+            best = g
+    return best
+
+
+@pytest.mark.parametrize("ordered", [False, True])
+def test_k4_sweep_matches_bruteforce(spark, ordered):
+    """Arbitrary-k sweep path (k=4) vs exhaustive combo enumeration on
+    randomized position fixtures."""
+    import random
+
+    from engine.search import intervals_query
+
+    rng = random.Random(13)
+    rows, truth = [], {}
+    for doc in range(30):
+        lists = [
+            sorted(rng.sample(range(40), rng.randint(1, 5))) for _ in range(4)
+        ]
+        # distinct positions across terms (one token per position)
+        used = set()
+        clean = []
+        for ps in lists:
+            ps = [p for p in ps if p not in used]
+            if not ps:
+                ps = [max(used, default=0) + 1]
+            used.update(ps)
+            clean.append(sorted(ps))
+        truth[doc] = _brute_min_gaps(clean, ordered)
+        for t, ps in zip("abcd", clean):
+            rows.append((doc, t, len(ps), ps))
+    tfp = spark.createDataFrame(
+        rows, "doc_id long, term string, tf long, positions array<int>"
+    )
+    got = {
+        r["doc_id"]: r["min_gaps"]
+        for r in intervals_query(
+            tfp, ["a", "b", "c", "d"], max_gaps=100, ordered=ordered
+        ).collect()
+    }
+    want = {d: g for d, g in truth.items() if g is not None and g <= 100}
+    assert got == want
+
+
+def test_span_near_multi_subsumes_pairs(tfp):
+    from engine.search import span_near_multi
+
+    a = sorted(
+        map(tuple, span_near_multi(tfp, ["scan", "fast"], slop=2).collect())
+    )
+    b = sorted(
+        map(tuple, intervals_query(tfp, ["scan", "fast"], max_gaps=2).collect())
+    )
+    assert a == b and a
