@@ -144,6 +144,88 @@ def geo_polygon_search(
     )
 
 
+GEOHASH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash_expr(lat, lon, precision: int = 4):
+    """Geohash cell id as a Column [public: Niemeyer geohash; ES
+    geohash_grid agg]: quantize lon/lat to 2^b cells each (b = 5·precision/2
+    bits, lon taking the extra bit when odd), interleave bits lon-first,
+    and map each 5-bit group to the base-32 alphabet. Fixed precision means
+    the whole encode unrolls to shifts/ands — pure whole-stage-codegen
+    integer arithmetic, no UDF."""
+    if not 1 <= precision <= 6:
+        raise ValueError(f"precision must be 1..6, got {precision}")
+    nbits = 5 * precision
+    nlon = (nbits + 1) // 2
+    nlat = nbits // 2
+    ix = F.least(
+        F.floor((lon + 180.0) / 360.0 * (1 << nlon)).cast("long"),
+        F.lit((1 << nlon) - 1),
+    )
+    iy = F.least(
+        F.floor((lat + 90.0) / 180.0 * (1 << nlat)).cast("long"),
+        F.lit((1 << nlat) - 1),
+    )
+    val = F.lit(0).cast("long")
+    for i in range(nlon):  # lon bit i (from LSB) → interleaved position
+        pos = nbits - 1 - 2 * (nlon - 1 - i)
+        val = val + F.shiftright(ix, i).bitwiseAND(F.lit(1)) * F.lit(1 << pos)
+    for i in range(nlat):
+        pos = nbits - 2 - 2 * (nlat - 1 - i)
+        val = val + F.shiftright(iy, i).bitwiseAND(F.lit(1)) * F.lit(1 << pos)
+    chars = [
+        F.substring(
+            F.lit(GEOHASH_ALPHABET),
+            (F.shiftright(val, 5 * (precision - 1 - c)).bitwiseAND(F.lit(31))
+             + F.lit(1)).cast("int"),
+            1,
+        )
+        for c in range(precision)
+    ]
+    return F.concat(*chars)
+
+
+def geohash_sql(lat_expr: str, lon_expr: str, precision: int = 4) -> str:
+    """The SAME encode as a DuckDB fragment, generated from the same
+    constants (identical quantize/interleave arithmetic)."""
+    nbits = 5 * precision
+    nlon = (nbits + 1) // 2
+    nlat = nbits // 2
+    ix = (f"LEAST(CAST(floor(({lon_expr} + 180.0) / 360.0 * {1 << nlon}) "
+          f"AS BIGINT), {(1 << nlon) - 1})")
+    iy = (f"LEAST(CAST(floor(({lat_expr} + 90.0) / 180.0 * {1 << nlat}) "
+          f"AS BIGINT), {(1 << nlat) - 1})")
+    parts = []
+    for i in range(nlon):
+        pos = nbits - 1 - 2 * (nlon - 1 - i)
+        parts.append(f"((({ix}) >> {i}) & 1) * {1 << pos}")
+    for i in range(nlat):
+        pos = nbits - 2 - 2 * (nlat - 1 - i)
+        parts.append(f"((({iy}) >> {i}) & 1) * {1 << pos}")
+    val = "(" + " + ".join(parts) + ")"
+    chars = [
+        f"substr('{GEOHASH_ALPHABET}', "
+        f"CAST((({val} >> {5 * (precision - 1 - c)}) & 31) + 1 AS INT), 1)"
+        for c in range(precision)
+    ]
+    return " || ".join(chars)
+
+
+def geohash_grid_agg(ev: DataFrame, precision: int = 3) -> DataFrame:
+    """ES geohash_grid aggregation [public]: bucket points into geohash
+    cells and count per cell — a two-column hash aggregate over the scan,
+    the geohash twin of geotile_grid_agg."""
+    pts = with_synthetic_coords(ev)
+    return (
+        pts.groupBy(
+            geohash_expr(F.col("lat"), F.col("lon"), precision).alias("cell")
+        )
+        .agg(F.count("*").alias("doc_count"))
+        .orderBy(F.col("doc_count").desc(), F.col("cell").asc())
+    )
+
+
 MERCATOR_LAT_MAX = 85.0511287798  # web-mercator domain bound (atan(sinh(pi)))
 
 

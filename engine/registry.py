@@ -5738,6 +5738,29 @@ ORDER BY event_id LIMIT 20
 register("search_geo_polygon", _q_geo_polygon, _geo_polygon_oracle())
 
 
+def _q_geohash_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES geohash_grid at precision 3: base-32 bit-interleave encode as pure
+    integer Column arithmetic, then one hash aggregate
+    (geo.geohash_grid_agg)."""
+    from .geo import geohash_grid_agg
+
+    ev = read_fixture(spark, sf_dir, "events")
+    return geohash_grid_agg(ev, precision=3)
+
+
+def _geohash_oracle() -> str:
+    from .geo import geohash_sql
+
+    return f"""
+SELECT {geohash_sql('lat', 'lon', 3)} AS cell, count(*) AS doc_count
+FROM (SELECT {COORDS_SQL} FROM events)
+GROUP BY 1 ORDER BY doc_count DESC, cell ASC
+"""
+
+
+register("agg_geohash_grid", _q_geohash_grid, _geohash_oracle())
+
+
 def _q_date_histogram_filled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES date_histogram min_doc_count=0: hourly purchase counts with EMPTY
     hours emitted (47 real gaps at sf0.01 — the fill path is exercised, not

@@ -72,3 +72,38 @@ def test_degenerate_polygon_raises(spark):
 
     with pytest.raises(ValueError, match=">= 3"):
         polygon_contains(F.lit(0.0), F.lit(0.0), [(0.0, 0.0), (1.0, 1.0)])
+
+
+def test_geohash_known_vectors(spark):
+    """Canonical geohash test vectors [public: Niemeyer geohash examples] —
+    and the prefix property (precision p is a prefix of precision p+1)."""
+    from engine.geo import geohash_expr
+
+    cases = [
+        (57.64911, 10.40744, "u4pruy"),   # Jutland, the classic example
+        (38.897, -77.036, "dqcjqc"),      # Washington DC
+        (-33.86, 151.21, "r3gx2f"),       # Sydney
+        (0.0, 0.0, "s00000"),
+        (90.0, 180.0, "zzzzzz"),          # edge clamp
+        (-90.0, -180.0, "000000"),
+    ]
+    df = spark.createDataFrame(
+        [(la, lo) for la, lo, _ in cases], "lat double, lon double"
+    )
+    for p in (1, 3, 6):
+        got = [
+            r["g"]
+            for r in df.select(
+                geohash_expr(F.col("lat"), F.col("lon"), p).alias("g")
+            ).collect()
+        ]
+        assert got == [w[:p] for _, _, w in cases], p
+
+
+def test_geohash_validation():
+    import pytest
+
+    from engine.geo import geohash_expr
+
+    with pytest.raises(ValueError, match="precision"):
+        geohash_expr(F.lit(0.0), F.lit(0.0), 7)
