@@ -74,21 +74,55 @@ def test_degenerate_polygon_raises(spark):
         polygon_contains(F.lit(0.0), F.lit(0.0), [(0.0, 0.0), (1.0, 1.0)])
 
 
+def _ref_geohash(lat, lon, precision):
+    """Independent reference: the classic bisection encoder [public:
+    Niemeyer geohash algorithm description]."""
+    alphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
+    lat_lo, lat_hi, lon_lo, lon_hi = -90.0, 90.0, -180.0, 180.0
+    bits, out, even = 0, "", True
+    n = 0
+    while len(out) < precision:
+        if even:
+            mid = (lon_lo + lon_hi) / 2
+            if lon >= mid:
+                bits = bits * 2 + 1
+                lon_lo = mid
+            else:
+                bits = bits * 2
+                lon_hi = mid
+        else:
+            mid = (lat_lo + lat_hi) / 2
+            if lat >= mid:
+                bits = bits * 2 + 1
+                lat_lo = mid
+            else:
+                bits = bits * 2
+                lat_hi = mid
+        even = not even
+        n += 1
+        if n == 5:
+            out += alphabet[bits]
+            bits, n = 0, 0
+    return out
+
+
 def test_geohash_known_vectors(spark):
-    """Canonical geohash test vectors [public: Niemeyer geohash examples] —
-    and the prefix property (precision p is a prefix of precision p+1)."""
+    """The classic published vector plus an independent bisection-encoder
+    reference on spread-out points (incl. the ±90/±180 clamp edges)."""
     from engine.geo import geohash_expr
 
-    cases = [
-        (57.64911, 10.40744, "u4pruy"),   # Jutland, the classic example
-        (38.897, -77.036, "dqcjqc"),      # Washington DC
-        (-33.86, 151.21, "r3gx2f"),       # Sydney
-        (0.0, 0.0, "s00000"),
-        (90.0, 180.0, "zzzzzz"),          # edge clamp
-        (-90.0, -180.0, "000000"),
+    pts = [
+        (57.64911, 10.40744),  # 'u4pruy', the classic example
+        (38.897, -77.036), (-33.86, 151.21), (0.0, 0.0),
+        (89.9999, 179.9999), (-90.0, -180.0), (90.0, 180.0),
+        (12.3456, -98.7654), (-45.5, 100.25),
     ]
-    df = spark.createDataFrame(
-        [(la, lo) for la, lo, _ in cases], "lat double, lon double"
+    df = spark.createDataFrame(pts, "lat double, lon double")
+    assert (
+        df.limit(1)
+        .select(geohash_expr(F.col("lat"), F.col("lon"), 6).alias("g"))
+        .collect()[0][0]
+        == "u4pruy"
     )
     for p in (1, 3, 6):
         got = [
@@ -97,7 +131,11 @@ def test_geohash_known_vectors(spark):
                 geohash_expr(F.col("lat"), F.col("lon"), p).alias("g")
             ).collect()
         ]
-        assert got == [w[:p] for _, _, w in cases], p
+        want = [
+            _ref_geohash(min(la, 89.999999999), min(lo, 179.999999999), p)
+            for la, lo in pts
+        ]
+        assert got == want, p
 
 
 def test_geohash_validation():
