@@ -245,6 +245,89 @@ def funnel_conversion(
     )
 
 
+def eql_sample(
+    events: DataFrame,
+    key_cols: str | list[str],
+    ts_col: str,
+    steps: list[Column],
+    id_col: str = "event_id",
+) -> DataFrame:
+    """ES EQL `sample by <key> [f1] [f2] …` [public: ES EQL sample docs]:
+    UNORDERED correlation — up to one sample per key holding one matching
+    event per filter, no time bound. Deterministic pick: the latest match
+    per filter by (ts, id). ONE hash aggregate over the filter-pruned scan
+    (map-side combining conditional maxes), no window, no join — at 100 TB
+    this is a single exchange on the key. Returns
+    (*keys, id1, ts1, …, idK, tsK) for keys matching EVERY filter."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    if len(steps) < 2:
+        raise ValueError(f"sample needs >= 2 filters, got {len(steps)}")
+    pred = steps[0]
+    for s in steps[1:]:
+        pred = pred | s
+    reg = F.struct(F.col(ts_col), F.col(id_col))
+    aggs = [
+        F.max(F.when(s, reg)).alias(f"_m{i}")
+        for i, s in enumerate(steps, start=1)
+    ]
+    grouped = events.filter(pred).groupBy(*keys).agg(*aggs)
+    cond = F.lit(True)
+    out_cols: list[Column] = [F.col(k) for k in keys]
+    for i in range(1, len(steps) + 1):
+        cond = cond & F.col(f"_m{i}").isNotNull()
+        out_cols.append(F.col(f"_m{i}").getField(id_col).alias(f"id{i}"))
+        out_cols.append(F.col(f"_m{i}").getField(ts_col).alias(f"ts{i}"))
+    return grouped.filter(cond).select(*out_cols)
+
+
+def eql_join(
+    events: DataFrame,
+    key_cols: str | list[str],
+    ts_col: str,
+    steps: list[Column],
+    id_col: str = "event_id",
+    until: Column | None = None,
+) -> DataFrame:
+    """ES EQL `join by <key> [f1] [f2] … until [u]` [public: ES EQL join
+    docs]: unordered like `sample`, but `until` ENDS collection — only
+    events strictly before the key's FIRST until-event (by (ts, id)) count.
+    Same single hash aggregate as eql_sample, with one extra conditional
+    min register for the terminator; the before-until test is a struct
+    comparison folded into each filter's conditional max."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    if len(steps) < 2:
+        raise ValueError(f"join needs >= 2 filters, got {len(steps)}")
+    if until is None:
+        return eql_sample(events, keys, ts_col, steps, id_col)
+    pred = until
+    for s in steps:
+        pred = pred | s
+    reg = F.struct(F.col(ts_col), F.col(id_col))
+    # two-pass-free: aggregate the first-until register in the SAME groupBy,
+    # then re-aggregate per-filter maxes over a second pruned pass would
+    # need the register first — instead compute first-until per key and
+    # broadcast-join it back (|keys-with-until| rows, tiny by construction)
+    firsts = (
+        events.filter(until)
+        .groupBy(*keys)
+        .agg(F.min(reg).alias("_u"))
+    )
+    pre = events.filter(pred).join(F.broadcast(firsts), keys, "left")
+    alive = F.col("_u").isNull() | (reg < F.col("_u"))
+    aggs = [
+        F.max(F.when(s & alive, reg)).alias(f"_m{i}")
+        for i, s in enumerate(steps, start=1)
+    ]
+    grouped = pre.groupBy(*keys).agg(*aggs)
+    cond = F.lit(True)
+    out_cols: list[Column] = [F.col(k) for k in keys]
+    for i in range(1, len(steps) + 1):
+        cond = cond & F.col(f"_m{i}").isNotNull()
+        out_cols.append(F.col(f"_m{i}").getField(id_col).alias(f"id{i}"))
+        out_cols.append(F.col(f"_m{i}").getField(ts_col).alias(f"ts{i}"))
+    return grouped.filter(cond).select(*out_cols)
+
+
 def sessionize(
     events: DataFrame,
     key_col: str,

@@ -6123,6 +6123,81 @@ ORDER BY user_id, event_id
 )
 
 
+def _q_eql_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES EQL `sample by user_id [view] [click] [purchase]` — unordered
+    correlation, latest match per filter (eql.eql_sample — ONE key-grouped
+    hash aggregate of conditional struct maxes)."""
+    from .eql import eql_sample
+
+    ev = read_fixture(spark, sf_dir, "events")
+    return eql_sample(
+        ev, "user_id", "ts",
+        [F.col("event_type") == t for t in ("view", "click", "purchase")],
+    ).orderBy("user_id")
+
+
+register(
+    "eql_sample",
+    _q_eql_sample,
+    """
+WITH g AS (
+  SELECT user_id,
+    max(CASE WHEN event_type = 'view' THEN {'ts': ts, 'id': event_id} END) AS m1,
+    max(CASE WHEN event_type = 'click' THEN {'ts': ts, 'id': event_id} END) AS m2,
+    max(CASE WHEN event_type = 'purchase' THEN {'ts': ts, 'id': event_id} END) AS m3
+  FROM events WHERE event_type IN ('view', 'click', 'purchase')
+  GROUP BY user_id)
+SELECT user_id,
+       struct_extract(m1, 'id') AS id1, struct_extract(m1, 'ts') AS ts1,
+       struct_extract(m2, 'id') AS id2, struct_extract(m2, 'ts') AS ts2,
+       struct_extract(m3, 'id') AS id3, struct_extract(m3, 'ts') AS ts3
+FROM g WHERE m1 IS NOT NULL AND m2 IS NOT NULL AND m3 IS NOT NULL
+ORDER BY user_id
+""",
+)
+
+
+def _q_eql_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES EQL `join by user_id [signup] [purchase] until [error]` — only
+    events before the key's first error count (eql.eql_join — first-until
+    register broadcast back, then the same single hash aggregate)."""
+    from .eql import eql_join
+
+    ev = read_fixture(spark, sf_dir, "events")
+    return eql_join(
+        ev, "user_id", "ts",
+        [F.col("event_type") == "signup", F.col("event_type") == "purchase"],
+        until=F.col("event_type") == "error",
+    ).orderBy("user_id")
+
+
+register(
+    "eql_join",
+    _q_eql_join,
+    """
+WITH u AS (
+  SELECT user_id, min({'ts': ts, 'id': event_id}) AS fu
+  FROM events WHERE event_type = 'error' GROUP BY user_id),
+g AS (
+  SELECT e.user_id,
+    max(CASE WHEN event_type = 'signup'
+          AND (u.fu IS NULL OR {'ts': e.ts, 'id': e.event_id} < u.fu)
+        THEN {'ts': e.ts, 'id': e.event_id} END) AS m1,
+    max(CASE WHEN event_type = 'purchase'
+          AND (u.fu IS NULL OR {'ts': e.ts, 'id': e.event_id} < u.fu)
+        THEN {'ts': e.ts, 'id': e.event_id} END) AS m2
+  FROM events e LEFT JOIN u ON e.user_id = u.user_id
+  WHERE event_type IN ('signup', 'purchase', 'error')
+  GROUP BY e.user_id)
+SELECT user_id,
+       struct_extract(m1, 'id') AS id1, struct_extract(m1, 'ts') AS ts1,
+       struct_extract(m2, 'id') AS id2, struct_extract(m2, 'ts') AS ts2
+FROM g WHERE m1 IS NOT NULL AND m2 IS NOT NULL
+ORDER BY user_id
+""",
+)
+
+
 def _q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch sessionization: per-user session count / events / duration at a
     30-minute inactivity gap (eql.session_stats — lag + running-sum session

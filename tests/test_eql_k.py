@@ -214,3 +214,40 @@ def test_whole_span_bounds_first_to_last(spark):
 def test_k_validation():
     with pytest.raises(ValueError, match=">= 2 steps"):
         eql_sequence_k(None, "user", "ts", [F.lit(True)], 10)
+
+
+def test_eql_sample_and_join_semantics(spark):
+    from engine.eql import eql_join, eql_sample
+
+    rows = [
+        # key 1: all three types, unordered (purchase before view) → sample
+        (0, BASE + timedelta(seconds=5), 1, 0, "purchase"),
+        (1, BASE + timedelta(seconds=6), 1, 0, "view"),
+        (2, BASE + timedelta(seconds=7), 1, 0, "view"),
+        # key 2: missing purchase → no sample
+        (3, BASE + timedelta(seconds=1), 2, 0, "view"),
+        # key 3: both, but error BEFORE purchase → join excludes purchase
+        (4, BASE + timedelta(seconds=1), 3, 0, "view"),
+        (5, BASE + timedelta(seconds=2), 3, 0, "error"),
+        (6, BASE + timedelta(seconds=3), 3, 0, "purchase"),
+    ]
+    df = _df(spark, rows).withColumnRenamed("etype", "etype")
+    steps = [F.col("etype") == "view", F.col("etype") == "purchase"]
+    samples = {
+        r["user"]: (r["id1"], r["id2"])
+        for r in eql_sample(df, "user", "ts", steps).collect()
+    }
+    # latest view per key; unordered (purchase earlier than view still OK)
+    assert samples == {1: (2, 0), 3: (4, 6)}
+    joined = {
+        r["user"]: (r["id1"], r["id2"])
+        for r in eql_join(
+            df, "user", "ts", steps, until=F.col("etype") == "error"
+        ).collect()
+    }
+    # key 3's purchase is after its first error → dropped
+    assert joined == {1: (2, 0)}
+    import pytest
+
+    with pytest.raises(ValueError, match=">= 2"):
+        eql_sample(df, "user", "ts", [steps[0]])
