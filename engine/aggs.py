@@ -902,3 +902,66 @@ def transform_pivot(
         )
         .orderBy(entity_col)
     )
+
+
+def random_sampler_agg(
+    df, id_col: str, value_col: str, permille: int = 250
+) -> "DataFrame":
+    """ES `random_sampler` aggregation [public: ES random_sampler docs]:
+    metrics over a deterministic random subset, doc_count scaled back up by
+    1/probability (ES reports scaled counts). The "randomness" is the same
+    SQL-portable multiplicative hash the samplers pin (never rand()), so
+    results are reproducible and oracle-checkable; the filter is pure
+    codegen on the scan. Returns one row
+    (n_sampled, doc_count_scaled, value_avg)."""
+    from .sample import portable_hash_expr
+
+    if not 0 < permille <= 1000:
+        raise ValueError(f"permille must be in (0, 1000]: {permille}")
+    sampled = df.filter((portable_hash_expr(id_col) % 1000) < permille)
+    return sampled.agg(
+        F.count("*").alias("n_sampled"),
+        F.floor(F.count("*") * 1000 / permille).cast("long")
+        .alias("doc_count_scaled"),
+        F.round(F.avg(value_col), 4).alias("value_avg"),
+    )
+
+
+def histogram_filled_agg(df, col: str, interval: float) -> "DataFrame":
+    """E5 histogram with min_doc_count=0 [public: ES histogram
+    min_doc_count]: every fixed-interval bucket between the observed min and
+    max emitted, zeros included — same gap-fill shape as the date variant
+    (E45): hash agg over the corpus, sequence() explode over the BUCKET
+    frame's span only, one left join; the fill never rescans the corpus."""
+    idx = F.floor(F.col(col) / F.lit(interval)).cast("long")
+    counts = df.groupBy(idx.alias("_i")).agg(F.count("*").alias("doc_count"))
+    span = counts.agg(
+        F.min("_i").alias("lo"), F.max("_i").alias("hi")
+    )
+    grid = span.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("_i")
+    )
+    return (
+        grid.join(counts, "_i", "left")
+        .select(
+            (F.col("_i") * interval).cast("double").alias("bucket"),
+            F.coalesce("doc_count", F.lit(0)).cast("long").alias("doc_count"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def rate_agg(df, ts_col: str, value_col: str | None = None) -> "DataFrame":
+    """ES `rate` aggregation inside a date_histogram [public: ES rate agg]:
+    per DAY bucket, the count (or field sum) rescaled to a PER-HOUR rate —
+    rate = bucket_total / 24 (calendar day → 24h, the unit pair pinned
+    here). One hash aggregate + codegen division on the bucket frame."""
+    day = F.date_trunc("day", F.col(ts_col)).alias("bucket")
+    total = (
+        F.count("*") if value_col is None else F.sum(value_col)
+    )
+    return (
+        df.groupBy(day)
+        .agg(F.round(total / F.lit(24.0), 4).alias("rate_per_hour"))
+        .orderBy("bucket")
+    )

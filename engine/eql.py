@@ -220,15 +220,20 @@ def funnel_conversion(
     ann = _sequence_annotated(
         events, [key_col], ts_col, steps, maxspan_seconds, id_col
     )
-    aggs = [F.countDistinct(F.when(F.col("_is1"), F.col(key_col))).alias("n1")]
-    aggs += [
-        F.countDistinct(
-            F.when(F.col(f"_done{i}").isNotNull(), F.col(key_col))
-        ).alias(f"n{i}")
+    # distinct-keys-per-stage WITHOUT countDistinct: k conditional
+    # count-distincts would Expand the annotated frame k-fold; a per-key
+    # reached-stage bitmap (one map-side-combining hash agg, reusing the
+    # window's key partitioning) followed by a 1-row sum is the same answer
+    # with no Expand and no second full shuffle
+    reach = [F.max(F.col("_is1").cast("int")).alias("r1")] + [
+        F.max(F.col(f"_done{i}").isNotNull().cast("int")).alias(f"r{i}")
         for i in range(2, k + 1)
     ]
-    row = ann.agg(*aggs).collect()[0]
-    counts = [row[f"n{i}"] for i in range(1, k + 1)]
+    per_key = ann.groupBy(key_col).agg(*reach)
+    row = per_key.agg(
+        *[F.sum(f"r{i}").alias(f"n{i}") for i in range(1, k + 1)]
+    ).collect()[0]
+    counts = [int(row[f"n{i}"] or 0) for i in range(1, k + 1)]
     rows = []
     for i, n in enumerate(counts):
         # step 1 converts at 1.0 by definition (100% of entrants) — a real

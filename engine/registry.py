@@ -900,6 +900,91 @@ register(
 )
 
 
+def _q_best_fields(
+    query_terms: list[str], fields: list[tuple[str, float]],
+    tie_breaker: float, k: int,
+) -> Callable:
+    """ES `multi_match` type=best_fields [public: ES multi_match docs —
+    dis_max across per-field scores + tie_breaker]: each field scores with
+    ITS OWN statistics; doc score = best field score + tie_breaker × the
+    others. Same per-field partial frames as most_fields, combined with a
+    per-field sum THEN a max/sum hash aggregate — no window, no join."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .corpus import corpus_base, exploded_tf
+        from .search import score_terms
+
+        docs = read_fixture(spark, sf_dir, "documents")
+        per_field = []
+        for field, boost in fields:
+            base = corpus_base(docs.select("doc_id", F.col(field).alias("text")))
+            tf = exploded_tf(base)
+            ds = base.select("doc_id", "dl")
+            ts = term_stats(tf.select("term", "doc_id", "tf"))
+            n, avgdl = corpus_stats(ds)
+            p = score_terms(tf, ds, ts, n, avgdl, query_terms)
+            per_field.append(
+                p.groupBy("doc_id").agg(
+                    (F.sum("partial") * F.lit(boost)).alias("s")
+                )
+            )
+        allf = per_field[0]
+        for p in per_field[1:]:
+            allf = allf.unionByName(p)
+        score = (
+            F.max("s") + F.lit(tie_breaker) * (F.sum("s") - F.max("s"))
+        )
+        return (
+            allf.groupBy("doc_id")
+            .agg(F.round(score, 4).alias("score"))
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(k)
+        )
+
+    return run
+
+
+def _best_fields_oracle(
+    query_terms: list[str], fields: list[tuple[str, float]],
+    tie_breaker: float, k: int,
+) -> str:
+    terms_in = ", ".join(f"'{t}'" for t in query_terms)
+    parts = []
+    for field, boost in fields:
+        parts.append(
+            f"""
+SELECT tf.doc_id,
+       sum({boost} * ln(1 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+       * tf.tf / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / stats.avgdl))) AS s
+FROM (SELECT doc_id, term, count(*) AS tf FROM
+        (SELECT doc_id, unnest(string_split({field}, ' ')) AS term FROM documents) GROUP BY 1,2) tf
+JOIN (SELECT term, count(*) AS df FROM
+        (SELECT DISTINCT doc_id, term FROM
+          (SELECT doc_id, unnest(string_split({field}, ' ')) AS term FROM documents)) GROUP BY 1) df
+  USING (term)
+JOIN (SELECT doc_id, len(string_split({field}, ' ')) AS dl FROM documents) dl USING (doc_id)
+CROSS JOIN (SELECT count(*) AS n_docs, avg(len(string_split({field}, ' '))) AS avgdl FROM documents) stats
+WHERE tf.term IN ({terms_in})
+GROUP BY tf.doc_id"""
+        )
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH per_field AS ({union})
+SELECT doc_id,
+       round(max(s) + {tie_breaker} * (sum(s) - max(s)), 4) AS score
+FROM per_field GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+register(
+    "bm25_best_fields",
+    _q_best_fields(["table", "src3"], [("text", 1.0), ("source", 2.0)], 0.3, 10),
+    _best_fields_oracle(["table", "src3"], [("text", 1.0), ("source", 2.0)], 0.3, 10),
+)
+
+
 def _q_filtered_range(spark, sf_dir):
     """ES bool query: match 'table scan' scored normally, filter clause
     (lang='en' AND n_chars range) restricts candidates WITHOUT affecting
@@ -5736,6 +5821,73 @@ ORDER BY event_id LIMIT 20
 
 
 register("search_geo_polygon", _q_geo_polygon, _geo_polygon_oracle())
+
+
+def _q_random_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES random_sampler agg at p=0.25: metrics on a deterministic
+    hash-sampled subset, doc_count scaled back by 1/p
+    (aggs.random_sampler_agg — codegen filter, never rand())."""
+    from .aggs import random_sampler_agg
+
+    ev = read_fixture(spark, sf_dir, "events")
+    return random_sampler_agg(ev, "event_id", "value", permille=250)
+
+
+register(
+    "agg_random_sampler",
+    _q_random_sampler,
+    f"""
+SELECT count(*) AS n_sampled,
+       CAST(floor(count(*) * 1000 / 250) AS BIGINT) AS doc_count_scaled,
+       round(avg(value), 4) AS value_avg
+FROM events
+WHERE ({_PORTABLE_HASH_SQL.replace('doc_id', 'event_id')}) % 1000 < 250
+""",
+)
+
+
+def _q_histogram_filled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES numeric histogram with min_doc_count=0: every interval-5 bucket
+    over the observed span, zeros emitted (aggs.histogram_filled_agg — the
+    gap fill explodes the BUCKET frame only, same shape as E45)."""
+    from .aggs import histogram_filled_agg
+
+    ev = read_fixture(spark, sf_dir, "events")
+    return histogram_filled_agg(ev, "value", 5.0)
+
+
+register(
+    "agg_histogram_filled",
+    _q_histogram_filled,
+    """
+WITH c AS (SELECT CAST(floor(value / 5.0) AS BIGINT) AS i, count(*) AS n
+           FROM events GROUP BY 1),
+g AS (SELECT unnest(range((SELECT min(i) FROM c), (SELECT max(i) FROM c) + 1)) AS i)
+SELECT CAST(g.i * 5.0 AS DOUBLE) AS bucket,
+       CAST(COALESCE(c.n, 0) AS BIGINT) AS doc_count
+FROM g LEFT JOIN c ON g.i = c.i ORDER BY bucket
+""",
+)
+
+
+def _q_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES rate agg: per-day value sum rescaled to a per-hour rate
+    (aggs.rate_agg — one hash aggregate + codegen division)."""
+    from .aggs import rate_agg
+
+    ev = read_fixture(spark, sf_dir, "events")
+    return rate_agg(ev, "ts", "value")
+
+
+register(
+    "agg_rate",
+    _q_rate,
+    """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+       round(sum(value) / 24.0, 4) AS rate_per_hour
+FROM events GROUP BY 1 ORDER BY bucket
+""",
+)
 
 
 def _q_geohash_grid(spark: SparkSession, sf_dir: str) -> DataFrame:

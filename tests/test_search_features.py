@@ -303,14 +303,20 @@ class TestIntervals:
         }
         assert a == b and a
 
-    def test_k4_raises(self, spark):
+    def test_k4_supported_k1_raises(self, spark):
+        # round 4 lifted the k<=3 bound: k=4 runs the merged-list sweep
         from engine.search import intervals_all_of
 
         tfp = self._tfp(spark, [(1, "a b c d")])
+        got = {
+            (r["doc_id"], r["min_gaps"])
+            for r in intervals_all_of(tfp, ["a", "b", "c", "d"]).collect()
+        }
+        assert got == {(1, 0)}
         import pytest as _pt
 
         with _pt.raises(ValueError):
-            intervals_all_of(tfp, ["a", "b", "c", "d"])
+            intervals_all_of(tfp, ["a"])
 
 
 # --- rrf hybrid + span_not (round 3) ------------------------------------------
