@@ -126,15 +126,20 @@ def bpe_count_udf(s: pd.Series) -> pd.Series:
 
 
 def bpe_apply_case_sql(state_expr: str) -> str:
-    """One canonical-BPE step as a DuckDB expression over a `;`-terminated
-    symbol string ('h;a;s;h;'): apply the LOWEST-RANK merge whose pair
-    occurs — replace() merges all occurrences leftmost-first, which is
-    exhaustive for one pair (see module docstring). Iterated to fixpoint by
-    the recursive CTE the registry builds around it."""
+    """One canonical-BPE step as a DuckDB expression over a symbol string
+    where EVERY symbol is wrapped in delimiters (';s;;t;;i;;r;'): apply the
+    LOWEST-RANK merge whose pair occurs — replace() merges all occurrences
+    leftmost-first, which is exhaustive for one pair (see module
+    docstring). Both-side delimiters make matches boundary-safe (a
+    terminator-only encoding would let 't;i;' match inside ';st;;i;' and
+    would drop every other merge in an 'aaaa' run because the shared
+    boundary is consumed); the wrapped replacement ';ab;' restores the
+    delimiter for the next occurrence. Iterated to fixpoint by the
+    recursive CTE the registry builds around it."""
     branches = []
     for a, b in MERGES:
-        pat = f"{a};{b};"
-        rep = f"{a}{b};"
+        pat = f";{a};;{b};"
+        rep = f";{a}{b};"
         branches.append(
             f"WHEN contains({state_expr}, '{pat}') "
             f"THEN replace({state_expr}, '{pat}', '{rep}')"

@@ -250,6 +250,21 @@ def funnel_conversion(
     )
 
 
+def _correlation_output(
+    grouped: DataFrame, keys: list[str], n_steps: int,
+    ts_col: str, id_col: str,
+) -> Column:
+    """Shared sample/join output contract: keys matching EVERY filter, one
+    (id{i}, ts{i}) pair per filter from the per-filter registers."""
+    cond = F.lit(True)
+    out_cols: list[Column] = [F.col(k) for k in keys]
+    for i in range(1, n_steps + 1):
+        cond = cond & F.col(f"_m{i}").isNotNull()
+        out_cols.append(F.col(f"_m{i}").getField(id_col).alias(f"id{i}"))
+        out_cols.append(F.col(f"_m{i}").getField(ts_col).alias(f"ts{i}"))
+    return grouped.filter(cond).select(*out_cols)
+
+
 def eql_sample(
     events: DataFrame,
     key_cols: str | list[str],
@@ -276,13 +291,7 @@ def eql_sample(
         for i, s in enumerate(steps, start=1)
     ]
     grouped = events.filter(pred).groupBy(*keys).agg(*aggs)
-    cond = F.lit(True)
-    out_cols: list[Column] = [F.col(k) for k in keys]
-    for i in range(1, len(steps) + 1):
-        cond = cond & F.col(f"_m{i}").isNotNull()
-        out_cols.append(F.col(f"_m{i}").getField(id_col).alias(f"id{i}"))
-        out_cols.append(F.col(f"_m{i}").getField(ts_col).alias(f"ts{i}"))
-    return grouped.filter(cond).select(*out_cols)
+    return _correlation_output(grouped, keys, len(steps), ts_col, id_col)
 
 
 def eql_join(
@@ -308,29 +317,25 @@ def eql_join(
     for s in steps:
         pred = pred | s
     reg = F.struct(F.col(ts_col), F.col(id_col))
-    # two-pass-free: aggregate the first-until register in the SAME groupBy,
-    # then re-aggregate per-filter maxes over a second pruned pass would
-    # need the register first — instead compute first-until per key and
-    # broadcast-join it back (|keys-with-until| rows, tiny by construction)
+    # the before-until test needs each key's FIRST until register next to
+    # every event: one key-grouped min, joined back on the key. NO broadcast
+    # hint — |keys-with-until| is corpus-sized in the worst case (most keys
+    # have a terminator on a real event stream), so let AQE pick the join
+    # strategy; both sides shuffle on the same key the final groupBy needs,
+    # so the exchange is reused, not added
     firsts = (
         events.filter(until)
         .groupBy(*keys)
         .agg(F.min(reg).alias("_u"))
     )
-    pre = events.filter(pred).join(F.broadcast(firsts), keys, "left")
+    pre = events.filter(pred).join(firsts, keys, "left")
     alive = F.col("_u").isNull() | (reg < F.col("_u"))
     aggs = [
         F.max(F.when(s & alive, reg)).alias(f"_m{i}")
         for i, s in enumerate(steps, start=1)
     ]
     grouped = pre.groupBy(*keys).agg(*aggs)
-    cond = F.lit(True)
-    out_cols: list[Column] = [F.col(k) for k in keys]
-    for i in range(1, len(steps) + 1):
-        cond = cond & F.col(f"_m{i}").isNotNull()
-        out_cols.append(F.col(f"_m{i}").getField(id_col).alias(f"id{i}"))
-        out_cols.append(F.col(f"_m{i}").getField(ts_col).alias(f"ts{i}"))
-    return grouped.filter(cond).select(*out_cols)
+    return _correlation_output(grouped, keys, len(steps), ts_col, id_col)
 
 
 def sessionize(

@@ -4085,12 +4085,12 @@ def _pack_bpe_oracle() -> str:
     return f"""
 WITH RECURSIVE words AS (
   SELECT DISTINCT unnest(string_split(text, ' ')) AS w FROM documents),
-init AS (SELECT w, regexp_replace(w, '(.)', '\\1;', 'g') AS state FROM words),
+init AS (SELECT w, regexp_replace(w, '(.)', ';\\1;', 'g') AS state FROM words),
 enc AS (
   SELECT w, state FROM init
   UNION ALL
   SELECT w, {case} FROM enc WHERE ({case}) <> state),
-wc AS (SELECT w, CAST(min(length(state) - length(replace(state, ';', '')))
+wc AS (SELECT w, CAST(min(length(state) - length(replace(state, ';', ''))) / 2
                       AS BIGINT) AS n
        FROM enc GROUP BY w),
 t AS (SELECT d.doc_id, CAST(sum(wc.n) AS BIGINT) AS n_tokens
@@ -6097,14 +6097,31 @@ def _q_pipeline_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
     Re-runs resume from the stage manifests (kill/resume pinned by
     tests/test_pipeline_e2e.py)."""
     import hashlib
+    import os
 
     from .pipeline import pipeline_summary, prepare_training_data
 
     docs = read_fixture(spark, sf_dir, "documents")
+    # fold the fixture's on-disk identity (file names + sizes + mtimes)
+    # into the fingerprint: the /tmp checkpoint outlives this process, and
+    # a regenerated fixture at the same path must invalidate it — params
+    # and path alone would resume stale stage results
+    ident = hashlib.md5()
+    fixture = os.path.join(sf_dir, "documents.parquet")
+    paths = [fixture]
+    if os.path.isdir(fixture):
+        paths = sorted(
+            os.path.join(r, f)
+            for r, _, fs in os.walk(fixture) for f in fs
+        )
+    for p in paths:
+        st = os.stat(p)
+        ident.update(f"{p}:{st.st_size}:{st.st_mtime_ns};".encode())
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     root = f"/tmp/engine_pipeline_{tag}"
     prepare_training_data(
-        spark, docs, root, fingerprint=f"contract:{sf_dir}"
+        spark, docs, root,
+        fingerprint=f"contract:{sf_dir}:{ident.hexdigest()}",
     )
     return pipeline_summary(spark, root).orderBy("ord")
 

@@ -437,10 +437,14 @@ class LoadedIndex:
         from pyspark.sql import Window
 
         items = list(queries.items()) if isinstance(queries, dict) else list(queries)
+        # analyze with the config the index manifest pins — same
+        # rank-identity invariant search() enforces (an english-stemmed
+        # index queried with standard-analyzed terms would silently miss)
+        idx_an = getattr(self.manifest, "analyzer", "standard")
         all_terms: list[str] = []
         parsed = []
         for qid, qtext in items:
-            q = parse_query(qtext)
+            q = parse_query(qtext, idx_an)
             parsed.append((qid, q))
             all_terms += q.terms + q.must_not
         found = self._lookup(all_terms)
@@ -514,13 +518,14 @@ class LoadedIndex:
         twin selects identically."""
         import math
 
-        from .tokenizer import tokenize
+        from .tokenizer import analyze
 
         row = docs.filter(F.col("doc_id") == int(doc_id)).select("text").collect()
         if not row:
             return self.spark.createDataFrame([], TOPK_SCHEMA)
         tf: dict[str, int] = {}
-        for t in tokenize(row[0]["text"]):
+        for t in analyze(row[0]["text"],
+                         getattr(self.manifest, "analyzer", "standard")):
             tf[t] = tf.get(t, 0) + 1
         cand = [t for t, c in tf.items() if c >= min_term_freq]
         found = self._lookup(cand)

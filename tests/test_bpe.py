@@ -127,7 +127,11 @@ def test_sql_replay_matches_encoder():
     from engine.bpe import bpe_apply_case_sql
 
     rng = random.Random(7)
-    words = {"table", "tables", "the", "querying", "scanning", "windowing"}
+    # incl. the review counterexamples that exposed the boundary bug in the
+    # terminator-only encoding: 'stir'/'sti' (pattern inside 'st'), runs of
+    # one letter ('aaaa') where the shared boundary was consumed
+    words = {"table", "tables", "the", "querying", "scanning", "windowing",
+             "stir", "sti", "aaaa", "aaa", "thth", "ther"}
     alpha = "abcdefghijklmnopqrstuvwxyz"
     while len(words) < 60:
         words.add("".join(rng.choice(alpha) for _ in range(rng.randint(1, 12))))
@@ -135,13 +139,13 @@ def test_sql_replay_matches_encoder():
     vals = ", ".join(f"('{w}')" for w in sorted(words))
     sql = f"""
 WITH RECURSIVE init AS (
-  SELECT w, regexp_replace(w, '(.)', '\\1;', 'g') AS state
+  SELECT w, regexp_replace(w, '(.)', ';\\1;', 'g') AS state
   FROM (VALUES {vals}) AS v(w)),
 enc AS (
   SELECT w, state FROM init
   UNION ALL
   SELECT w, {case} FROM enc WHERE ({case}) <> state)
-SELECT w, CAST(min(length(state) - length(replace(state, ';', ''))) AS BIGINT)
+SELECT w, CAST(min(length(state) - length(replace(state, ';', ''))) / 2 AS BIGINT)
 FROM enc GROUP BY w"""
     got = dict(duckdb.connect().execute(sql).fetchall())
     assert got == {w: bpe_word_tokens(w) for w in words}

@@ -124,3 +124,26 @@ def test_stopword_set_is_the_lucene_default():
         assert w in ENGLISH_STOPWORDS
     assert "about" not in ENGLISH_STOPWORDS
     assert tokenize("The") == ["the"]
+
+
+def test_batch_and_mlt_follow_manifest_analyzer(spark, tmp_path):
+    """search_many and more_like_this must analyze with the manifest's
+    config too — an english index queried through the batch path with
+    standard-analyzed terms would silently miss (review regression)."""
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate([
+            "the queries against these tables are slow",
+            "tables and queries and windows",
+            "plain words here only",
+        ] * 4)],
+        "doc_id long, text string",
+    ).withColumn(
+        "doc_id", F.monotonically_increasing_id() % 12
+    ).dropDuplicates(["doc_id"])
+    root = str(tmp_path / "eng_batch")
+    build_index(spark, docs, root, n_buckets=2, docs_per_shard=8,
+                block_size=8, analyzer="english")
+    idx = LoadedIndex(spark, root)
+    got = idx.search_many({"q1": "tables queries"}, k=5).collect()
+    assert got, "stemmed batch query must hit the english index"
+    assert idx.more_like_this(docs, 0, k=5).collect()
