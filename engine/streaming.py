@@ -252,6 +252,83 @@ class IncrementalIndexer:
         return out
 
 
+def streaming_eql_sequence(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    step1,
+    step2,
+    maxspan_seconds: int,
+    id_col: str = "event_id",
+):
+    """Streaming 2-step EQL sequence (the live analog of eql.eql_sequence)
+    via `applyInPandasWithState` [public: Spark arbitrary stateful
+    processing]: per-key state holds ONE running register — the latest
+    step-1 (ts, id) — exactly the batch implementation's window register,
+    carried across micro-batches instead of across window rows. Each batch
+    is processed in (ts, id) order; a step-2 event emits when a live
+    register exists within maxspan. Same non-consuming greedy semantics as
+    the batch form; events arriving out of order ACROSS micro-batches
+    follow live-stream semantics (a step-1 seen after its step-2 cannot
+    match retroactively) — streamed == batch whenever the stream replays in
+    event order, pinned by tests/test_streaming_eql.py.
+
+    Scale shape: state is O(1) per key (one struct), the stream shuffles
+    once on the key — the streaming twin of the batch plan's single
+    key-partitioned window."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    flagged = events.withColumn("_is1", step1).withColumn("_is2", step2)
+    flagged = flagged.filter(F.col("_is1") | F.col("_is2")).select(
+        key_col, id_col, ts_col, "_is1", "_is2"
+    )
+    out_schema = (
+        f"{key_col} long, {id_col} long, {ts_col} timestamp, "
+        "gap_seconds long"
+    )
+    state_schema = "l1_us long, l1_id long"
+    span_us = maxspan_seconds * 1_000_000
+
+    def fn(key, pdf_iter, state: GroupState):
+        if state.exists:
+            l1_us, l1_id = state.get
+            if l1_us == -1:  # the no-register sentinel round-trips as None
+                l1_us, l1_id = None, None
+        else:
+            l1_us, l1_id = None, None
+        out = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values([ts_col, id_col])
+            # normalize to epoch MICROS regardless of the pandas datetime
+            # resolution Arrow hands over (ns in older pandas, us in 2.x)
+            ts_us = pdf[ts_col].astype("datetime64[us]").astype("int64")
+            for i in range(len(pdf)):
+                t = int(ts_us.iloc[i])
+                eid = int(pdf[id_col].iloc[i])
+                if bool(pdf["_is2"].iloc[i]) and l1_us is not None:
+                    gap = t - l1_us
+                    if 0 <= gap <= span_us:
+                        out.append(
+                            (key[0], eid, pdf[ts_col].iloc[i],
+                             gap // 1_000_000)
+                        )
+                # register update AFTER the match test: a row that is both
+                # step-1 and step-2 matches against the PREVIOUS register
+                # (the batch window is UNBOUNDED PRECEDING .. 1 PRECEDING)
+                if bool(pdf["_is1"].iloc[i]):
+                    if l1_us is None or (t, eid) > (l1_us, l1_id):
+                        l1_us, l1_id = t, eid
+        state.update((l1_us if l1_us is not None else -1,
+                      l1_id if l1_id is not None else -1))
+        cols = [key_col, id_col, ts_col, "gap_seconds"]
+        yield pd.DataFrame(out, columns=cols)
+
+    return flagged.groupBy(key_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
 def percolate_stream(
     pages: DataFrame,
     queries: list[tuple[str, str]],
