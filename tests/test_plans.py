@@ -153,3 +153,78 @@ def test_rrf_fuse_inputs_stay_topk(spark, qs, sf_dir):
     would rank the whole corpus through a single-partition window."""
     p = _plan(spark, qs, "search_rrf_hybrid", sf_dir)
     assert p.count("TakeOrderedAndProject") >= 3, p  # 2 retrievers + final
+
+
+# --- round-4 operator plan shapes ------------------------------------------
+
+
+def test_geo_polygon_bbox_pushes_to_scan(spark, qs, sf_dir):
+    """D68: the polygon's bounding box must reach the parquet scan as range
+    predicates — at 100 TB that is what prunes a geo-partitioned table; the
+    crossing-number arithmetic runs only on bbox survivors."""
+    p = _plan(spark, qs, "search_geo_polygon", sf_dir)
+    assert "PushedFilters" in p
+    # the bbox derives from event_id/user_id arithmetic, so the scan must
+    # push the NOT-NULL guards of both source columns at minimum
+    assert "IsNotNull(event_id)" in p and "IsNotNull(user_id)" in p
+    assert "BatchEvalPython" not in p  # no row-at-a-time UDF anywhere
+
+
+def test_eql_sequence4_single_exchange(spark, qs, sf_dir):
+    """D63: the k-step register loop must keep ONE key shuffle — all stacked
+    windows share the same partitioning/ordering."""
+    p = _plan(spark, qs, "eql_sequence4", sf_dir)
+    import re
+
+    body = p.split("== Initial Plan ==")[0]  # AQE final plan only
+    exchanges = re.findall(r"Exchange (\w+)", body)
+    shuffles = [e for e in exchanges if e.startswith("hashpartitioning")]
+    assert len(shuffles) <= 2, exchanges  # key shuffle + final sort/collect
+
+
+def test_english_corpus_single_arrow_pass(spark, qs, sf_dir):
+    """B8: the english chain is fused into the SAME Arrow pass as counting —
+    every Python stage in the plan is the one fused term_counts UDF (the
+    cached corpus frame may print it on two consuming branches); the
+    stopword/stem chain must never appear as a second, separate UDF."""
+    import re
+
+    p = _plan(spark, qs, "bm25_english", sf_dir)
+    udfs = {m.group(1) for m in re.finditer(r"ArrowEvalPython \[(\w+)", p)}
+    assert udfs <= {"term_counts"}, udfs
+    assert "BatchEvalPython" not in p
+
+
+def test_eql_sample_is_one_aggregate(spark, qs, sf_dir):
+    """D69: unordered correlation = ONE key-grouped hash aggregate (partial
+    + final) — no window, no join."""
+    p = _plan(spark, qs, "eql_sample", sf_dir)
+    assert "Window" not in p
+    assert "Join" not in p
+
+
+def test_funnel_no_expand(spark, sf_dir, qs):
+    """E49 round-4 rewrite: the per-key reach bitmap replaced k conditional
+    count-distincts — the plan must not Expand the annotated frame."""
+    from pyspark.sql import functions as F
+
+    from engine.eql import funnel_conversion
+    from engine.io import read_fixture
+
+    ev = read_fixture(spark, sf_dir, "events")
+    # funnel_conversion collects internally; reproduce its aggregate plan
+    from engine.eql import _sequence_annotated
+
+    ann = _sequence_annotated(
+        ev, ["user_id"], "ts",
+        [F.col("event_type") == t for t in ("view", "click", "purchase")],
+        28800, "event_id",
+    )
+    per_key = ann.groupBy("user_id").agg(
+        F.max(F.col("_is1").cast("int")).alias("r1"),
+        F.max(F.col("_done2").isNotNull().cast("int")).alias("r2"),
+        F.max(F.col("_done3").isNotNull().cast("int")).alias("r3"),
+    )
+    agg = per_key.agg(F.sum("r1"), F.sum("r2"), F.sum("r3"))
+    p = agg._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in p
