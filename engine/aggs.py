@@ -363,10 +363,13 @@ def percentile_ranks_agg(
     of observed values ≤ v — the inverse of `percentiles`. One aggregate
     pass: avg of an indicator per v (missing values ignored, as in ES)."""
     c = F.col(col)
+    # %g renders 10.0 -> "10", 100 -> "100", 99.9 -> "99.9": trailing-zero
+    # trimming without the rstrip('0') bug that mangled integer 100 into
+    # "pr_1" (and collided it with 10 — ADVICE r04)
     aggs = [
         F.round(
             F.avg(F.when(c <= F.lit(v), 1.0).otherwise(0.0)) * 100, 4
-        ).alias(f"pr_{str(v).replace('.', '_').rstrip('0').rstrip('_')}")
+        ).alias(f"pr_{f'{v:g}'.replace('.', '_').replace('-', 'm')}")
         for v in values
     ]
     return df.filter(c.isNotNull()).groupBy(group_by).agg(*aggs).orderBy(group_by)
@@ -552,6 +555,10 @@ def bucket_sort_agg(
             ranked.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") > from_)
             .drop("_rn")
+            # the row_number filter does NOT preserve order — without a
+            # terminal sort the offset page's row order is plan-dependent
+            # (ADVICE r04)
+            .orderBy(*order)
         )
     return ranked
 

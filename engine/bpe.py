@@ -125,21 +125,29 @@ def bpe_count_udf(s: pd.Series) -> pd.Series:
     return s.fillna("").map(bpe_token_count).astype("int64")
 
 
+# Symbol delimiter for the SQL replay: the ASCII unit separator, a control
+# character that cannot occur in tokenized text (ADVICE r04: ';' was unsafe —
+# a word containing ';' broke the (len(state)-len(strip))/2 symbol-count
+# formula; the old delimiter was safe only by fixture luck).
+SQL_SYM_DELIM = "\x1f"
+
+
 def bpe_apply_case_sql(state_expr: str) -> str:
     """One canonical-BPE step as a DuckDB expression over a symbol string
-    where EVERY symbol is wrapped in delimiters (';s;;t;;i;;r;'): apply the
-    LOWEST-RANK merge whose pair occurs — replace() merges all occurrences
-    leftmost-first, which is exhaustive for one pair (see module
-    docstring). Both-side delimiters make matches boundary-safe (a
-    terminator-only encoding would let 't;i;' match inside ';st;;i;' and
-    would drop every other merge in an 'aaaa' run because the shared
-    boundary is consumed); the wrapped replacement ';ab;' restores the
-    delimiter for the next occurrence. Iterated to fixpoint by the
+    where EVERY symbol is wrapped in SQL_SYM_DELIM (shown as ';' here:
+    ';s;;t;;i;;r;'): apply the LOWEST-RANK merge whose pair occurs —
+    replace() merges all occurrences leftmost-first, which is exhaustive
+    for one pair (see module docstring). Both-side delimiters make matches
+    boundary-safe (a terminator-only encoding would let 't;i;' match inside
+    ';st;;i;' and would drop every other merge in an 'aaaa' run because the
+    shared boundary is consumed); the wrapped replacement ';ab;' restores
+    the delimiter for the next occurrence. Iterated to fixpoint by the
     recursive CTE the registry builds around it."""
+    D = SQL_SYM_DELIM
     branches = []
     for a, b in MERGES:
-        pat = f";{a};;{b};"
-        rep = f";{a}{b};"
+        pat = f"{D}{a}{D}{D}{b}{D}"
+        rep = f"{D}{a}{b}{D}"
         branches.append(
             f"WHEN contains({state_expr}, '{pat}') "
             f"THEN replace({state_expr}, '{pat}', '{rep}')"

@@ -106,6 +106,25 @@ def delta_decode(gaps: np.ndarray) -> np.ndarray:
     return np.cumsum(gaps.astype(np.int64))
 
 
+def _bit_length(v: np.ndarray) -> np.ndarray:
+    """Exact vectorized integer bit length for non-negative int64 (0 → 0).
+    float64 log2 is NOT exact near powers of two for v ≥ ~2^49 (2^k − 1 can
+    round up to k.0 — ADVICE r04), so the log2 estimate is corrected with
+    two integer shift checks, which are exact for the full int64 range."""
+    nb = np.zeros(len(v), dtype=np.int64)
+    pos = v > 0
+    if pos.any():
+        vv = v[pos].astype(np.uint64)  # uint64: 1 << 63 must not overflow
+        est = np.floor(np.log2(vv.astype(np.float64))).astype(np.int64) + 1
+        # log2 rounded down near 2^k → estimate one short
+        est = np.where(vv >> np.minimum(est, 63).astype(np.uint64) > 0, est + 1, est)
+        # log2 rounded up at 2^k − 1 → estimate one long
+        low = np.uint64(1) << np.minimum(np.maximum(est - 1, 0), 63).astype(np.uint64)
+        est = np.where(vv < low, est - 1, est)
+        nb[pos] = est
+    return nb
+
+
 def int_to_byte4(values: np.ndarray) -> np.ndarray:
     """Lucene SmallFloat.intToByte4 [public: Lucene SmallFloat.java]: the
     1-byte norm encoding BM25Similarity stores per doc. Values 0..7 encode
@@ -113,14 +132,12 @@ def int_to_byte4(values: np.ndarray) -> np.ndarray:
     top 4 significant bits — 3 stored (the leading 1 is implicit) plus
     exponent shift+1: byte = ((v >>> shift) & 7) | ((shift + 1) << 3) with
     shift = bitlength(v) − 4. Monotone, so norm ORDER is preserved.
-    Vectorized; exact for values < 2^53 (int64 → float64 log2 is exact in
-    that range)."""
+    Vectorized; exact for the full non-negative int64 range (integer
+    bit-length, no float rounding)."""
     v = np.asarray(values, dtype=np.int64)
     if (v < 0).any():
         raise ValueError("norms must be non-negative")
-    numbits = np.zeros(len(v), dtype=np.int64)
-    pos = v > 0
-    numbits[pos] = np.floor(np.log2(v[pos].astype(np.float64))).astype(np.int64) + 1
+    numbits = _bit_length(v)
     shift = np.maximum(numbits - 4, 0)
     enc_norm = ((v >> shift) & 0x07) | ((shift + 1) << 3)
     return np.where(numbits < 4, v, enc_norm).astype(np.uint8)
@@ -151,7 +168,7 @@ def quantize_norm(dls: np.ndarray) -> np.ndarray:
     if mask.any():
         v = dl[mask]
         # number of bits − 4 = shift that keeps the top 4 significant bits
-        shift = (np.floor(np.log2(v.astype(np.float64))).astype(np.int64) + 1) - 4
+        shift = _bit_length(v) - 4
         out[mask] = (v >> shift) << shift
     return out
 

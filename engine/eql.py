@@ -253,7 +253,7 @@ def funnel_conversion(
 def _correlation_output(
     grouped: DataFrame, keys: list[str], n_steps: int,
     ts_col: str, id_col: str,
-) -> Column:
+) -> DataFrame:
     """Shared sample/join output contract: keys matching EVERY filter, one
     (id{i}, ts{i}) pair per filter from the per-filter registers."""
     cond = F.lit(True)

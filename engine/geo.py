@@ -159,13 +159,23 @@ def geohash_expr(lat, lon, precision: int = 4):
     nbits = 5 * precision
     nlon = (nbits + 1) // 2
     nlat = nbits // 2
-    ix = F.least(
-        F.floor((lon + 180.0) / 360.0 * (1 << nlon)).cast("long"),
-        F.lit((1 << nlon) - 1),
+    # clamp BOTH bounds: without the GREATEST, lat < -90 / lon < -180 gives
+    # a negative cell index → wrong interleaved bits and a non-positive
+    # substr offset (ADVICE r04). ES rejects out-of-range points; clamping
+    # to the edge cell is this engine's documented divergence.
+    ix = F.greatest(
+        F.least(
+            F.floor((lon + 180.0) / 360.0 * (1 << nlon)).cast("long"),
+            F.lit((1 << nlon) - 1),
+        ),
+        F.lit(0),
     )
-    iy = F.least(
-        F.floor((lat + 90.0) / 180.0 * (1 << nlat)).cast("long"),
-        F.lit((1 << nlat) - 1),
+    iy = F.greatest(
+        F.least(
+            F.floor((lat + 90.0) / 180.0 * (1 << nlat)).cast("long"),
+            F.lit((1 << nlat) - 1),
+        ),
+        F.lit(0),
     )
     val = F.lit(0).cast("long")
     for i in range(nlon):  # lon bit i (from LSB) → interleaved position
@@ -192,10 +202,10 @@ def geohash_sql(lat_expr: str, lon_expr: str, precision: int = 4) -> str:
     nbits = 5 * precision
     nlon = (nbits + 1) // 2
     nlat = nbits // 2
-    ix = (f"LEAST(CAST(floor(({lon_expr} + 180.0) / 360.0 * {1 << nlon}) "
-          f"AS BIGINT), {(1 << nlon) - 1})")
-    iy = (f"LEAST(CAST(floor(({lat_expr} + 90.0) / 180.0 * {1 << nlat}) "
-          f"AS BIGINT), {(1 << nlat) - 1})")
+    ix = (f"GREATEST(LEAST(CAST(floor(({lon_expr} + 180.0) / 360.0 * "
+          f"{1 << nlon}) AS BIGINT), {(1 << nlon) - 1}), 0)")
+    iy = (f"GREATEST(LEAST(CAST(floor(({lat_expr} + 90.0) / 180.0 * "
+          f"{1 << nlat}) AS BIGINT), {(1 << nlat) - 1}), 0)")
     parts = []
     for i in range(nlon):
         pos = nbits - 1 - 2 * (nlon - 1 - i)

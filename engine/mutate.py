@@ -376,17 +376,24 @@ def update_by_query(
     # by delete_by_query must not be resurrected just because the predicate
     # matches it — exclude prior tombstones from the reindex set (anti-join,
     # never an isin(...) literal: a billion-id predicate explodes plan size).
+    # GC snapshots left by PREVIOUS passes (ADVICE r04: they were never
+    # deleted, so repeated updates leaked disk). A snapshot only has to
+    # outlive the mapping returned by ITS OWN pass — by the time the next
+    # update runs, that mapping is consumed (and this pass is about to
+    # rewrite the very segments its lineage reads anyway).
+    snap_root = os.path.join(root, "_dead_snapshots")
+    if os.path.isdir(snap_root):
+        shutil.rmtree(snap_root, ignore_errors=True)
     prior = load_tombstones(spark, root)
     if prior is not None:
         # SNAPSHOT the prior tombstones (distributed parquet write, never a
         # driver collect — billions of tombstones must not transit the
         # driver): this pass deletes the tombstone dir below, and both the
         # expunge and the returned mapping's lineage must survive that
-        # deletion. Each call gets a fresh snapshot dir so mappings returned
-        # by earlier calls stay valid too.
+        # deletion.
         import uuid
 
-        snap = os.path.join(root, "_dead_snapshots", uuid.uuid4().hex)
+        snap = os.path.join(snap_root, uuid.uuid4().hex)
         prior.write.mode("overwrite").parquet(snap)
         prior = spark.read.parquet(snap)
         matched = matched.join(prior, "doc_id", "left_anti")
@@ -400,6 +407,7 @@ def update_by_query(
         else dead.unionByName(prior.select("doc_id")).distinct()
     )
     if all_dead.limit(1).count() == 0:
+        dead.unpersist()  # early return must not leak the cached id set
         # consistent (doc_id, key) mapping shape on the empty path too
         return manifest, docs.select(
             "doc_id", F.col(key_col).alias("key")

@@ -362,24 +362,60 @@ def _dir_tag(sf_dir: str) -> str:
     return f"{base}-{hashlib.sha1(norm.encode()).hexdigest()[:8]}"
 
 
+# Bump when the on-disk index layout (or the build config below) changes:
+# the tag changes with it, so stale caches from older formats are simply
+# never looked at again (and can be swept by hand).
+_CACHE_REV = "v2"
+
+
+def _publish_dir(root: str, build_fn: Callable[[str], None]) -> None:
+    """Atomic on-disk cache publish (VERDICT r04 "What's wrong" #1): build
+    into a fresh `<root>.tmp-<uuid>` and rename-swap into place, mirroring
+    mutate._swap_in. The final directory therefore only ever exists
+    COMPLETE — a concurrent reader can never observe a half-written cache
+    (the reproduced FILE_NOT_EXIST race), and a second builder racing this
+    one simply loses the rename and adopts the winner's output."""
+    import shutil
+    import uuid
+
+    if os.path.exists(root):
+        return  # already published (rename is atomic → presence == complete)
+    tmp = f"{root}.tmp-{uuid.uuid4().hex}"
+    try:
+        build_fn(tmp)
+        try:
+            os.rename(tmp, root)
+        except OSError:
+            if not os.path.exists(root):  # not a lost race — real failure
+                raise
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _indexed(spark: SparkSession, sf_dir: str):
     from .index import build_index
     from .searcher import LoadedIndex
 
     key = _cache_key(spark, sf_dir)
     if key not in _INDEX_CACHE:
-        root = os.path.join("/root/repo/data/index_cache", _dir_tag(sf_dir))
-        docs = read_fixture(spark, sf_dir, "documents").select("doc_id", "text")
-        build_index(
-            spark,
-            docs,
-            root,
-            n_buckets=4,
-            docs_per_shard=256,  # >1 shard even at sf0.001 — exercises per-shard WAND + merge
-            n_segments=2,
-            hot_df=100,  # most fixture terms are hot → salting on the graded path
-            n_salts=4,
+        root = os.path.join(
+            "/root/repo/data/index_cache", f"{_dir_tag(sf_dir)}-{_CACHE_REV}"
         )
+
+        def _build(out: str) -> None:
+            docs = read_fixture(spark, sf_dir, "documents").select("doc_id", "text")
+            build_index(
+                spark,
+                docs,
+                out,
+                n_buckets=4,
+                docs_per_shard=256,  # >1 shard even at sf0.001 — exercises per-shard WAND + merge
+                n_segments=2,
+                hot_df=100,  # most fixture terms are hot → salting on the graded path
+                n_salts=4,
+            )
+
+        _publish_dir(root, _build)
         _INDEX_CACHE[key] = LoadedIndex(spark, root)
     return _INDEX_CACHE[key]
 
@@ -442,29 +478,39 @@ def _q_update_by_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     key = _cache_key(spark, sf_dir)
     if key not in _UPDATE_CACHE:
-        root = os.path.join("/root/repo/data/update_cache", _dir_tag(sf_dir))
-        docs = (
-            read_fixture(spark, sf_dir, "documents")
-            .select("doc_id", "text")
-            .filter(F.col("doc_id") < _UPD_SUBSET)
-        )
-        build_index(spark, docs, root, n_buckets=4, docs_per_shard=128, n_segments=1)
-        pred = F.concat(F.lit(" "), F.col("text"), F.lit(" ")).like(
-            f"% {_UPD_PRED_TERM} %"
+        root = os.path.join(
+            "/root/repo/data/update_cache", f"{_dir_tag(sf_dir)}-{_CACHE_REV}"
         )
 
-        def transform(m: DataFrame) -> DataFrame:
-            return m.withColumn(
-                "text", F.concat(F.col("text"), F.lit(" " + _UPD_TOKEN))
+        def _build(out: str) -> None:
+            docs = (
+                read_fixture(spark, sf_dir, "documents")
+                .select("doc_id", "text")
+                .filter(F.col("doc_id") < _UPD_SUBSET)
+            )
+            build_index(
+                spark, docs, out, n_buckets=4, docs_per_shard=128, n_segments=1
+            )
+            pred = F.concat(F.lit(" "), F.col("text"), F.lit(" ")).like(
+                f"% {_UPD_PRED_TERM} %"
             )
 
-        _, mapping = update_by_query(
-            spark, root, docs, pred, transform, key_col="doc_id"
-        )
-        # persist the AUTHORITATIVE (doc_id -> key) mapping update_by_query
-        # returns — a hand re-derivation of the fresh-id offset here
-        # duplicated mutate.py's formula and broke on sparse/offset ids
-        mapping.write.mode("overwrite").parquet(os.path.join(root, "update_mapping"))
+            def transform(m: DataFrame) -> DataFrame:
+                return m.withColumn(
+                    "text", F.concat(F.col("text"), F.lit(" " + _UPD_TOKEN))
+                )
+
+            _, mapping = update_by_query(
+                spark, out, docs, pred, transform, key_col="doc_id"
+            )
+            # persist the AUTHORITATIVE (doc_id -> key) mapping update_by_query
+            # returns — a hand re-derivation of the fresh-id offset here
+            # duplicated mutate.py's formula and broke on sparse/offset ids
+            mapping.write.mode("overwrite").parquet(
+                os.path.join(out, "update_mapping")
+            )
+
+        _publish_dir(root, _build)
         _UPDATE_CACHE[key] = LoadedIndex(spark, root)
     idx = _UPDATE_CACHE[key]
     hits = idx.search(f"{_UPD_TOKEN} table", k=_UPD_SUBSET + 1, mode="or")
@@ -4079,18 +4125,19 @@ def _q_pack_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pack_bpe_oracle() -> str:
-    from .bpe import bpe_apply_case_sql
+    from .bpe import SQL_SYM_DELIM, bpe_apply_case_sql
 
     case = bpe_apply_case_sql("state")
+    d = SQL_SYM_DELIM  # control char — cannot occur in tokenized text
     return f"""
 WITH RECURSIVE words AS (
   SELECT DISTINCT unnest(string_split(text, ' ')) AS w FROM documents),
-init AS (SELECT w, regexp_replace(w, '(.)', ';\\1;', 'g') AS state FROM words),
+init AS (SELECT w, regexp_replace(w, '(.)', '{d}\\1{d}', 'g') AS state FROM words),
 enc AS (
   SELECT w, state FROM init
   UNION ALL
   SELECT w, {case} FROM enc WHERE ({case}) <> state),
-wc AS (SELECT w, CAST(min(length(state) - length(replace(state, ';', ''))) / 2
+wc AS (SELECT w, CAST(min(length(state) - length(replace(state, '{d}', ''))) / 2
                       AS BIGINT) AS n
        FROM enc GROUP BY w),
 t AS (SELECT d.doc_id, CAST(sum(wc.n) AS BIGINT) AS n_tokens
@@ -6158,7 +6205,7 @@ ld AS (SELECT doc_id, string_agg(line, ' ' ORDER BY line_no) AS text
 dd AS (SELECT ld.doc_id, ld.text, q.source FROM ld JOIN q USING (doc_id)
        WHERE ld.doc_id IN (
          SELECT min(doc_id) FROM ld
-         GROUP BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))))),
+         GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))))),
 train AS (SELECT * FROM dd WHERE doc_id % 97 <> 0),
 ttok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term,
                 generate_subscripts(string_split(text, ' '), 1) AS pos

@@ -124,28 +124,31 @@ def test_sql_replay_matches_encoder():
 
     import duckdb
 
-    from engine.bpe import bpe_apply_case_sql
+    from engine.bpe import SQL_SYM_DELIM, bpe_apply_case_sql
 
     rng = random.Random(7)
     # incl. the review counterexamples that exposed the boundary bug in the
     # terminator-only encoding: 'stir'/'sti' (pattern inside 'st'), runs of
-    # one letter ('aaaa') where the shared boundary was consumed
+    # one letter ('aaaa') where the shared boundary was consumed — and a
+    # word containing the OLD ';' delimiter, which broke the symbol-count
+    # formula before the control-char delimiter (ADVICE r04)
     words = {"table", "tables", "the", "querying", "scanning", "windowing",
-             "stir", "sti", "aaaa", "aaa", "thth", "ther"}
+             "stir", "sti", "aaaa", "aaa", "thth", "ther", "a;;b", "x;y"}
     alpha = "abcdefghijklmnopqrstuvwxyz"
     while len(words) < 60:
         words.add("".join(rng.choice(alpha) for _ in range(rng.randint(1, 12))))
     case = bpe_apply_case_sql("state")
+    d = SQL_SYM_DELIM
     vals = ", ".join(f"('{w}')" for w in sorted(words))
     sql = f"""
 WITH RECURSIVE init AS (
-  SELECT w, regexp_replace(w, '(.)', ';\\1;', 'g') AS state
+  SELECT w, regexp_replace(w, '(.)', '{d}\\1{d}', 'g') AS state
   FROM (VALUES {vals}) AS v(w)),
 enc AS (
   SELECT w, state FROM init
   UNION ALL
   SELECT w, {case} FROM enc WHERE ({case}) <> state)
-SELECT w, CAST(min(length(state) - length(replace(state, ';', ''))) / 2 AS BIGINT)
+SELECT w, CAST(min(length(state) - length(replace(state, '{d}', ''))) / 2 AS BIGINT)
 FROM enc GROUP BY w"""
     got = dict(duckdb.connect().execute(sql).fetchall())
     assert got == {w: bpe_word_tokens(w) for w in words}
