@@ -49,6 +49,11 @@ HEADLINE = [
     "agg_funnel",
     "pack_sequences",
     "sample_shuffle",
+    # round-5 additions (additive, same policy): substring-span dedup (the
+    # new ExactSubstr pass — one shingle-hash exchange) and the french
+    # analyzer chain (stopword + minimal-stem Catalyst exprs + exact BM25)
+    "text_span_dedup",
+    "bm25_french",
 ]
 
 
@@ -61,6 +66,7 @@ def run_once(spark, sf_dir: str, cpus: int):
 
     registry._CORPUS_CACHE.clear()
     registry._INDEX_CACHE.clear()
+    registry._FR_CORPUS_CACHE.clear()  # bm25_french rebuilds its corpus too
     spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
@@ -82,7 +88,9 @@ def run_once(spark, sf_dir: str, cpus: int):
 
     # -- 2. index build throughput (north rule), shared with WAND queries ---
     t0 = time.perf_counter()
-    idx = registry._indexed(spark, sf_dir)  # builds fresh per process
+    # fresh=True: discard the published on-disk cache so a REAL build is
+    # timed (since round 5 _indexed reuses a complete cache by default)
+    idx = registry._indexed(spark, sf_dir, fresh=True)
     dt = time.perf_counter() - t0
     timings["index_build"] = round(dt, 3)
     extras["index_docs_per_sec"] = round(idx.manifest.n_docs / dt, 1)

@@ -22,6 +22,17 @@ def with_tokens(docs: DataFrame, text_col: str = "text", analyzer: str = "standa
         from .tokenizer import english_tokens_expr
 
         toks = english_tokens_expr(toks)
+    elif analyzer == "french":
+        from .tokenizer import french_tokens_expr
+
+        toks = french_tokens_expr(toks)
+    elif analyzer == "synonyms":
+        from .tokenizer import SYNONYM_FOLD
+
+        fold = F.create_map(
+            *[F.lit(x) for kv in sorted(SYNONYM_FOLD.items()) for x in kv]
+        )
+        toks = F.transform(toks, lambda t: F.coalesce(fold[t], t))
     return docs.withColumn("toks", toks).withColumn("dl", F.size("toks"))
 
 

@@ -45,6 +45,7 @@ def _sequence_annotated(
     maxspan_seconds: int,
     id_col: str,
     until: Column | None = None,
+    missing: dict[int, Column] | None = None,
 ) -> DataFrame:
     """The k-step sequence frame with its registers exposed (generalizes the
     round-3 2/3-step forms by looping the stacked-register windows — VERDICT
@@ -70,17 +71,33 @@ def _sequence_annotated(
     `until` (EQL terminator, valid at ANY k): an until-event expires all
     pending state, so a level-i event only consumes a level-(i-1) register
     with no until-event between them — one extra running-max register, the
-    aliveness check on (ts, id) structs at every consumption point."""
+    aliveness check on (ts, id) structs at every consumption point.
+
+    `missing` (EQL missing-event steps `![...]` [public: ES EQL missing
+    events]): missing[i] (2 ≤ i ≤ k) is a predicate that must match NO
+    event in the gap consumed at level i — i.e. between the level-(i-1)
+    register and the completing level-i row. Each slot is one more
+    running-max register (_m{i}); the level-i completion additionally
+    requires `_m{i} is null or _m{i} < register` — the scoped-to-one-gap
+    form of the `until` aliveness check. The single-register induction
+    still holds: the LATEST level-(i-1) register also minimizes the window
+    a missing event could land in, so it stays the most permissive choice."""
     k = len(steps)
     if k < 2:
         raise ValueError(f"sequence needs >= 2 steps, got {k}")
+    missing = missing or {}
+    if any(i < 2 or i > k for i in missing):
+        raise ValueError(f"missing slots must be within 2..{k}: {sorted(missing)}")
     pred = steps[0]
     for s in steps[1:]:
         pred = pred | s
     if until is not None:
         pred = pred | until
+    for m in missing.values():
+        pred = pred | m
     cols = [*key_cols, id_col, ts_col]
     cols += [s.alias(f"_is{i}") for i, s in enumerate(steps, start=1)]
+    cols += [m.alias(f"_ism{i}") for i, m in missing.items()]
     if until is not None:
         cols.append(until.alias("_isu"))
     relevant = events.filter(pred).select(*cols)
@@ -100,6 +117,10 @@ def _sequence_annotated(
             return F.lit(True)
         return F.col("_lu").isNull() | (F.col("_lu") < prev_reg)
 
+    for i in missing:
+        out = out.withColumn(
+            f"_m{i}", F.max(F.when(F.col(f"_ism{i}"), reg)).over(w)
+        )
     out = out.withColumn("_l1", F.max(F.when(F.col("_is1"), reg)).over(w))
     prev_reg: Column = F.col("_l1")
     prev_t0: Column = F.col("_l1").getField(ts_col)
@@ -114,6 +135,10 @@ def _sequence_annotated(
             & (t0gap_us >= 0)
             & (gap_us >= 0)
         )
+        if i in missing:  # gap must hold no missing-pred event
+            done = done & (
+                F.col(f"_m{i}").isNull() | (F.col(f"_m{i}") < prev_reg)
+            )
         out = out.withColumn(f"_done{i}", F.when(done, F.col(ts_col)))
         if i == k:  # final level: expose the gap, no further registers
             return out.withColumn("_gap_us", gap_us)
@@ -134,15 +159,18 @@ def eql_sequence_k(
     maxspan_seconds: int,
     id_col: str = "event_id",
     until: Column | None = None,
+    missing: dict[int, Column] | None = None,
 ) -> DataFrame:
     """Ordered k-step EQL sequence per (composite) key within a
     whole-sequence maxspan [public: ES EQL `sequence by k1, k2 with
     maxspan=... [s1] ... [sk] until [u]`]. Returns one row per completing
     step-k event: (*keys, id, ts, gap_seconds to the level-(k-1) register).
-    A register may head multiple sequences (EQL's non-consuming default)."""
+    A register may head multiple sequences (EQL's non-consuming default).
+    `missing[i]` forbids matching events in the gap consumed at level i
+    (see _sequence_annotated)."""
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     ann = _sequence_annotated(
-        events, keys, ts_col, steps, maxspan_seconds, id_col, until
+        events, keys, ts_col, steps, maxspan_seconds, id_col, until, missing
     )
     k = len(steps)
     return ann.filter(F.col(f"_done{k}").isNotNull()).select(
@@ -151,6 +179,60 @@ def eql_sequence_k(
         ts_col,
         F.floor(F.col("_gap_us") / F.lit(1_000_000.0)).cast("long")
         .alias("gap_seconds"),
+    )
+
+
+def eql_sequence_spec(
+    events: DataFrame,
+    key_cols: str | list[str],
+    ts_col: str,
+    spec: list[tuple],
+    maxspan_seconds: int,
+    id_col: str = "event_id",
+    until: Column | None = None,
+) -> DataFrame:
+    """EQL sequence with `with runs=N` repetition and `![...]` missing-event
+    steps (VERDICT r04 #8) [public: ES EQL docs — `[q] with runs=N` is the
+    documented shorthand for repeating the step query N times; a missing
+    event matches only when NO event satisfies it between its neighbours].
+
+    spec entries, in sequence order:
+      ("event", pred)          one ordinary step
+      ("event", pred, N)       the step repeated N times (`with runs=N`)
+      ("missing", pred)        no pred-event may occur in this gap
+
+    runs expands to N stacked levels of the SAME predicate — the register
+    windows exclude the current row, so one event can never satisfy two
+    consecutive levels at once (N distinct events, ordered, as in ES).
+    Consecutive missing entries OR together (no event matching either).
+    Missing entries must sit between event steps."""
+    steps: list[Column] = []
+    missing: dict[int, Column] = {}
+    pending: Column | None = None
+    for entry in spec:
+        kind = entry[0]
+        if kind == "event":
+            runs = entry[2] if len(entry) > 2 else 1
+            if runs < 1:
+                raise ValueError(f"runs must be >= 1, got {runs}")
+            for r in range(runs):
+                steps.append(entry[1])
+                if r == 0 and pending is not None:
+                    if len(steps) < 2:
+                        raise ValueError(
+                            "missing-event step cannot precede the first event"
+                        )
+                    missing[len(steps)] = pending
+                    pending = None
+        elif kind == "missing":
+            pending = entry[1] if pending is None else (pending | entry[1])
+        else:
+            raise ValueError(f"unknown spec entry kind {kind!r}")
+    if pending is not None:
+        raise ValueError("missing-event step cannot end the sequence")
+    return eql_sequence_k(
+        events, key_cols, ts_col, steps, maxspan_seconds, id_col, until,
+        missing,
     )
 
 

@@ -32,6 +32,15 @@ STAGES = [
 ]
 
 
+def _active_stages(span_dedup_k: int | None) -> list[str]:
+    """The stage chain actually run: the optional ExactSubstr span-dedup
+    pass (span_dedup_k set) slots between line_dedup and dedup."""
+    if span_dedup_k is None:
+        return list(STAGES)
+    i = STAGES.index("dedup")
+    return STAGES[:i] + ["span_dedup"] + STAGES[i:]
+
+
 def prepare_training_data(
     spark: SparkSession,
     docs: DataFrame,
@@ -40,6 +49,7 @@ def prepare_training_data(
     min_quality: float = 0.5,
     line_tokens: int = 3,
     line_min_df: int = 5,
+    span_dedup_k: int | None = None,
     dedup_method: str = "exact",
     minhash_threshold: float = 0.7,
     benchmark: DataFrame | None = None,
@@ -67,13 +77,17 @@ def prepare_training_data(
     control; also how the resume test simulates a mid-job kill) — the
     partial run leaves valid stage manifests behind, so a later full run
     resumes them with zero recomputation."""
-    if stop_after is not None and stop_after not in STAGES:
-        raise ValueError(f"unknown stage {stop_after!r}; one of {STAGES}")
+    if stop_after == "span_dedup" and span_dedup_k is None:
+        raise ValueError("stop_after='span_dedup' needs span_dedup_k set")
+    active = _active_stages(span_dedup_k)
+    if stop_after is not None and stop_after not in active:
+        raise ValueError(f"unknown stage {stop_after!r}; one of {active}")
     if dedup_method not in ("exact", "minhash"):
         raise ValueError(f"dedup_method must be exact|minhash: {dedup_method}")
     cp = checkpoint or CheckpointManager(spark, out_root, fingerprint)
     cp.fingerprint += (
-        f";q={min_quality};lt={line_tokens};ldf={line_min_df};dd={dedup_method}"
+        f";q={min_quality};lt={line_tokens};ldf={line_min_df}"
+        f";sdk={span_dedup_k};dd={dedup_method}"
         f";mt={minhash_threshold};bm={bench_mod};dn={decontam_n}"
         f";sc={strata_col};a={alpha};tt={target_total};sl={seq_len}"
         f";tc={token_counter};ns={n_shards};xb={benchmark is not None}"
@@ -114,6 +128,23 @@ def prepare_training_data(
     s2 = cp.stage("line_dedup", stage_line_dedup)
     if stop_after == "line_dedup":
         return s2, cp
+
+    if span_dedup_k is not None:
+        # optional ExactSubstr pass (Lee et al. 2022): cut every non-first
+        # occurrence of a k-token span corpus-wide, drop docs emptied by it
+        def stage_span_dedup():
+            from .textops import span_dedup
+
+            sd = span_dedup(s2, k=span_dedup_k)
+            return (
+                s2.drop("text")
+                .join(sd.filter(F.col("n_kept") > 0), "doc_id")
+                .select(*keep_cols, "text", "quality_score")
+            )
+
+        s2 = cp.stage("span_dedup", stage_span_dedup)
+        if stop_after == "span_dedup":
+            return s2, cp
 
     def stage_dedup():
         if dedup_method == "exact":
@@ -189,7 +220,7 @@ def prepare_training_data(
                 "n_bytes": cp.read_manifest(name)["n_bytes"],
                 "resumed": name in cp.resumed,
             }
-            for i, name in enumerate(STAGES)
+            for i, name in enumerate(active)
         ],
     }
     with open(os.path.join(out_root, "pipeline.json"), "w") as f:

@@ -735,6 +735,54 @@ def rrf_fuse(
     )
 
 
+def linear_fuse(
+    rankings: list[DataFrame],
+    weights: list[float],
+    k: int = 10,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    normalizer: str = "minmax",
+) -> DataFrame:
+    """ES `linear` hybrid retriever [public: ES linear retriever docs]
+    (VERDICT r04 #9): fuse N retrievers' top-window lists by a weighted sum
+    of per-retriever normalized scores — linear(d) = Σ_r w_r · norm_r(d),
+    docs absent from a retriever's window contributing 0 for it.
+
+    normalizer='minmax': (s − min)/(max − min) over that retriever's OWN
+    top window; a single-distinct-score window normalizes to 1.0 (every doc
+    is at the max — pinned convention, replayed identically by the SQL
+    twin). 'none' passes raw scores through.
+
+    Same scale shape as rrf_fuse: inputs are already-bounded top-window
+    lists, so the min/max windows and the union+groupBy are
+    coordinator-sized regardless of corpus size. Returns
+    (id_col, linear_score)."""
+    from pyspark.sql import Window
+
+    if len(rankings) != len(weights):
+        raise ValueError("one weight per ranking")
+    if normalizer not in ("minmax", "none"):
+        raise ValueError(f"unknown normalizer {normalizer!r}")
+    fused: DataFrame | None = None
+    for r, wgt in zip(rankings, weights):
+        s = F.col(score_col)
+        if normalizer == "minmax":
+            w = Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+            mn, mx = F.min(s).over(w), F.max(s).over(w)
+            s = F.when(mx == mn, F.lit(1.0)).otherwise((s - mn) / (mx - mn))
+        contrib = r.select(F.col(id_col), (F.lit(float(wgt)) * s).alias("_c"))
+        fused = contrib if fused is None else fused.unionByName(contrib)
+    assert fused is not None, "linear_fuse needs at least one ranking"
+    return (
+        fused.groupBy(id_col)
+        .agg(F.round(F.sum("_c"), 4).alias("linear_score"))
+        .orderBy(F.col("linear_score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def span_not_filter(
     tf_with_pos: DataFrame,
     include_term: str,

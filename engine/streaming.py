@@ -139,6 +139,81 @@ class IncrementalIndexer:
             json.dump(st, f)
         os.replace(tmp, self._state_path)
 
+    # -- cross-batch latest-wins upsert (J5 — VERDICT r04 "What's wrong" #4) -
+    def _fold_upsert(
+        self, inc: DataFrame, batch_id: int, committed: list[int]
+    ) -> DataFrame:
+        """The streaming counterpart of the batch path's B5 invariant
+        ("latest crawl wins", refine.dedup_latest): a URL re-crawled in a
+        LATER micro-batch supersedes its earlier live doc instead of
+        indexing as a second one.
+
+        Per committed batch the indexer keeps `url_map/batch=<id>`
+        (url, doc_id, warc_ts, _h). Incoming rows fight the latest prior
+        entry for their url under the SAME ordering dedup_latest uses —
+        (warc_ts desc, content-hash desc): a winning re-crawl tombstones the
+        old doc_id (`tombstones/batch=<id>`, folded out at compact()); a
+        stale out-of-order arrival is dropped. NOT implemented as
+        `dropDuplicatesWithinWatermark(url)` upstream — that keeps the
+        FIRST-seen row per url, the opposite of latest-wins.
+
+        Scale shape: the url_map grows with the corpus, so the prior side is
+        first semi-filtered by a BROADCAST of this batch's (tiny) url set —
+        one map scan, no corpus-sized shuffle — and the surviving handful of
+        rows broadcast back into the join against the batch.
+
+        Replay safety: only maps of COMMITTED batches are read (an
+        uncommitted crash-litter map for THIS batch must not make the replay
+        lose to itself); both side outputs overwrite their batch-keyed dir.
+        Tie ordering vs the batch path: the hash here is over the refined
+        `text`; batch dedup_latest hashes raw html when it is present —
+        equal-timestamp re-crawl ties may order differently (documented; the
+        timestamp order, the actual ES upsert semantics, always agrees)."""
+        spark = inc.sparkSession
+        inc = inc.withColumn("_h", F.xxhash64("text"))
+        paths = [
+            os.path.join(self.root, "url_map", f"batch={b}") for b in committed
+        ]
+        paths = [p for p in paths if os.path.isdir(p)]
+        if not paths:
+            return inc
+        from pyspark.sql import Window
+
+        batch_urls = F.broadcast(inc.select("url").distinct())
+        prev = (
+            spark.read.parquet(*paths)
+            .join(batch_urls, "url", "left_semi")
+        )
+        latest = (
+            prev.withColumn(
+                "_rn",
+                F.row_number().over(
+                    Window.partitionBy("url").orderBy(
+                        F.col("warc_ts").desc(), F.col("_h").desc(),
+                        F.col("doc_id").desc(),
+                    )
+                ),
+            )
+            .filter(F.col("_rn") == 1)
+            .select(
+                "url",
+                F.col("warc_ts").alias("_pts"),
+                F.col("_h").alias("_ph"),
+                F.col("doc_id").alias("_pid"),
+            )
+        )
+        j = inc.join(F.broadcast(latest), "url", "left")
+        wins = F.col("_pid").isNull() | (
+            F.struct(F.col("warc_ts"), F.col("_h"))
+            > F.struct(F.col("_pts"), F.col("_ph"))
+        )
+        j.filter(wins & F.col("_pid").isNotNull()).select(
+            F.col("_pid").alias("doc_id")
+        ).write.mode("overwrite").parquet(
+            os.path.join(self.root, "tombstones", f"batch={int(batch_id)}")
+        )
+        return j.filter(wins).drop("_pts", "_ph", "_pid")
+
     # -- foreachBatch --------------------------------------------------------
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         """One delta segment per micro-batch. Idempotent on batch_id replay
@@ -157,9 +232,15 @@ class IncrementalIndexer:
         # refined streams (refined_stream dropped html; text is final)
         if "html" in df.columns:
             df = df.withColumn("text", html_strip_udf(F.col("html"))).drop("html")
+        df = self._fold_upsert(df, batch_id, st["batches"])
         docs = assign_doc_ids(df).withColumn(
             "doc_id", F.col("doc_id") + F.lit(int(st["next_doc_id"]))
         )
+        # publish this batch's url → doc_id map (the upsert side input of
+        # later batches); overwrite → idempotent on replay
+        docs.select("url", "doc_id", "warc_ts", "_h").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(self.root, "url_map", f"batch={int(batch_id)}"))
         base = corpus_base(docs.select("doc_id", "text")).cache()
         ds = base.select("doc_id", "dl")
         row = ds.agg(
@@ -210,37 +291,78 @@ class IncrementalIndexer:
     # -- compaction ----------------------------------------------------------
     def compact(self, spark: SparkSession) -> str:
         """Merge all delta segments → queryable index at root/compacted
-        (manifest + term_dict + doc_stats, same layout as build_index)."""
+        (manifest + term_dict + doc_stats, same layout as build_index).
+
+        Docs superseded by a cross-batch re-crawl (see _fold_upsert) are
+        expunged here — the Lucene merge-drops-deleted-docs analogue
+        [public: Lucene NRT]: global stats (n_docs, avgdl) come from the
+        LIVE doc set, the dead postings are dropped distributed via the same
+        (bucket, shard) cogroup delete_by_query's expunge uses, and df/cf
+        are re-derived from the merged live postings — so the compacted
+        index is value-identical to a batch build over the latest crawl of
+        every url."""
         from .index import IndexManifest, build_term_dict
         from .merge import merge_postings
 
         st = self._load_state()
         out = os.path.join(self.root, "compacted")
-        avgdl = st["sum_dl"] / max(1, st["n_docs"])
+        tomb_paths = [
+            os.path.join(self.root, "tombstones", f"batch={b}")
+            for b in st["batches"]
+        ]
+        tomb_paths = [p for p in tomb_paths if os.path.isdir(p)]
+        tomb = spark.read.parquet(*tomb_paths).distinct() if tomb_paths else None
+
+        ds = spark.read.parquet(os.path.join(self.root, "doc_stats")).select(
+            "doc_id", "dl"  # drop the batch partition-discovery col
+        )
+        if tomb is not None:
+            ds = ds.join(tomb, "doc_id", "left_anti")
+        r = ds.agg(
+            F.count("*").alias("n"), F.coalesce(F.sum("dl"), F.lit(0)).alias("s")
+        ).collect()[0]
+        n_docs = int(r["n"])
+        avgdl = float(r["s"]) / max(1, n_docs)
+
         raw = spark.read.parquet(os.path.join(self.root, "postings_delta"))
+        if tomb is not None:
+            from .mutate import _POSTINGS_COLS, expunge_postings
+
+            raw = expunge_postings(
+                raw.select(*_POSTINGS_COLS), tomb, avgdl,
+                self.block_size, self.n_buckets, self.docs_per_shard,
+            )
         merged = merge_postings(raw, avgdl, block_size=self.block_size)
         from .io import write_postings_shards
 
         # the ONE postings sink (A3 layout contract) — keep batch build and
         # streaming compaction on the same code path
         write_postings_shards(merged, os.path.join(out, "postings"))
-        ts = (
+        # df/cf from the merged LIVE postings (a plain sum of the per-batch
+        # stats would still count superseded docs); term strings come from
+        # the accumulated per-batch term_stats dictionary
+        from .index import term_id
+
+        str_map = (
             spark.read.parquet(os.path.join(self.root, "term_stats"))
-            .groupBy("term")
+            .select("term")
+            .distinct()
+            .withColumn("tid", term_id(F.col("term")))
+        )
+        ts = (
+            spark.read.parquet(os.path.join(out, "postings"))
+            .groupBy("tid")
             .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
+            .join(str_map, "tid")
+            .select("term", "df", "cf")
         )
         build_term_dict(ts, self.n_buckets).write.mode("overwrite").parquet(
             os.path.join(out, "term_dict")
         )
-        (
-            spark.read.parquet(os.path.join(self.root, "doc_stats"))
-            .select("doc_id", "dl")  # drop the batch partition-discovery col
-            .write.mode("overwrite")
-            .parquet(os.path.join(out, "doc_stats"))
-        )
+        ds.write.mode("overwrite").parquet(os.path.join(out, "doc_stats"))
         manifest = IndexManifest(
             root=out,
-            n_docs=st["n_docs"],
+            n_docs=n_docs,
             avgdl=avgdl,
             n_buckets=self.n_buckets,
             docs_per_shard=self.docs_per_shard,
@@ -298,27 +420,36 @@ def streaming_eql_sequence(
         else:
             l1_us, l1_id = None, None
         out = []
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values([ts_col, id_col])
-            # normalize to epoch MICROS regardless of the pandas datetime
-            # resolution Arrow hands over (ns in older pandas, us in 2.x)
-            ts_us = pdf[ts_col].astype("datetime64[us]").astype("int64")
-            for i in range(len(pdf)):
-                t = int(ts_us.iloc[i])
-                eid = int(pdf[id_col].iloc[i])
-                if bool(pdf["_is2"].iloc[i]) and l1_us is not None:
-                    gap = t - l1_us
-                    if 0 <= gap <= span_us:
-                        out.append(
-                            (key[0], eid, pdf[ts_col].iloc[i],
-                             gap // 1_000_000)
-                        )
-                # register update AFTER the match test: a row that is both
-                # step-1 and step-2 matches against the PREVIOUS register
-                # (the batch window is UNBOUNDED PRECEDING .. 1 PRECEDING)
-                if bool(pdf["_is1"].iloc[i]):
-                    if l1_us is None or (t, eid) > (l1_us, l1_id):
-                        l1_us, l1_id = t, eid
+        # Arrow may split one key's micro-batch rows across several chunks
+        # in arbitrary order (ADVICE r04): a per-chunk sort would let a
+        # step-1 in a later chunk miss its step-2 in an earlier one.
+        # Concatenate the whole micro-batch for this key and sort ONCE —
+        # safe because state is per-key and a single key's batch slice fits
+        # in memory (the same bound the batch window already assumes).
+        chunks = list(pdf_iter)
+        pdf = (
+            pd.concat(chunks, ignore_index=True) if chunks
+            else pd.DataFrame(columns=[key_col, id_col, ts_col, "_is1", "_is2"])
+        ).sort_values([ts_col, id_col])
+        # normalize to epoch MICROS regardless of the pandas datetime
+        # resolution Arrow hands over (ns in older pandas, us in 2.x)
+        ts_us = pdf[ts_col].astype("datetime64[us]").astype("int64")
+        for i in range(len(pdf)):
+            t = int(ts_us.iloc[i])
+            eid = int(pdf[id_col].iloc[i])
+            if bool(pdf["_is2"].iloc[i]) and l1_us is not None:
+                gap = t - l1_us
+                if 0 <= gap <= span_us:
+                    out.append(
+                        (key[0], eid, pdf[ts_col].iloc[i],
+                         gap // 1_000_000)
+                    )
+            # register update AFTER the match test: a row that is both
+            # step-1 and step-2 matches against the PREVIOUS register
+            # (the batch window is UNBOUNDED PRECEDING .. 1 PRECEDING)
+            if bool(pdf["_is1"].iloc[i]):
+                if l1_us is None or (t, eid) > (l1_us, l1_id):
+                    l1_us, l1_id = t, eid
         state.update((l1_us if l1_us is not None else -1,
                       l1_id if l1_id is not None else -1))
         cols = [key_col, id_col, ts_col, "gap_seconds"]

@@ -13,7 +13,7 @@ import re
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -348,5 +348,90 @@ def chunk_windows(
             F.col("chunk_id").cast("long").alias("chunk_id"),
             F.size("_c").cast("long").alias("n_tokens"),
             F.concat_ws(" ", "_c").alias("chunk_text"),
+        )
+    )
+
+
+def span_dedup(
+    docs: DataFrame,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Substring-level (cross-document repeated-span) deduplication
+    [public: Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better" — ExactSubstr]: every occurrence of a k-token span that
+    appears anywhere else in the corpus is removed EXCEPT the globally
+    first occurrence (order = (doc_id, position)); overlapping duplicate
+    spans merge naturally because removal is per covered token. Finer
+    granularity than doc-level (dedup.py) or line-level
+    (remove_boilerplate_lines): it catches long quotations, templated
+    paragraphs and partial crawls that neither catches.
+
+    Spark shape — the shuffle-sorted shingle variant of the paper's suffix
+    array (a suffix array is a sequential build; sorting shingle hashes
+    distributes): per doc, the k-token shingle at every start offset is
+    hashed JVM-side (transform over the token array — no UDF, no extra
+    shuffle); ONE exchange on the shingle hash ranks occurrences
+    (row_number over (hash) ordered by (doc_id, pos)); rank ≥ 2 occurrences
+    explode to their k covered positions (duplicates only — corpus-rare) and
+    anti-join the token stream; one final hash aggregate reassembles
+    documents. 64-bit shingle hashes keep the big exchange at ~16 B/row;
+    at 100 TB-corpus shingle counts, rare birthday collisions cost only a
+    spuriously removed span (the paper's method has the same tolerance).
+
+    Returns one row per input doc: (id_col, text [deduped], n_kept,
+    n_removed). Docs shorter than k tokens pass through unchanged; a doc
+    whose every token is covered (an exact duplicate of an earlier doc)
+    comes back with empty text and n_kept = 0."""
+    toks = F.split(F.col(text_col), " ")
+    base = docs.select(
+        F.col(id_col), toks.alias("_toks"), F.size(toks).alias("_n")
+    )
+    starts = F.sequence(F.lit(0), F.col("_n") - F.lit(k))
+    sh = (
+        base.filter(F.col("_n") >= k)
+        .select(
+            id_col,
+            F.posexplode(
+                F.transform(
+                    starts,
+                    lambda i: F.xxhash64(
+                        F.concat_ws(" ", F.slice("_toks", i + 1, k))
+                    ),
+                )
+            ).alias("pos", "sh"),
+        )
+    )
+    w = Window.partitionBy("sh").orderBy(F.col(id_col).asc(), F.col("pos").asc())
+    dup = (
+        sh.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") >= 2)
+        .select(id_col, "pos")
+    )
+    marked = dup.select(
+        id_col, F.explode(F.sequence("pos", F.col("pos") + F.lit(k - 1))).alias("pos")
+    ).distinct()
+    tok_rows = base.select(id_col, F.posexplode("_toks").alias("pos", "_t"))
+    kept = tok_rows.join(marked, [id_col, "pos"], "left_anti")
+    kept_agg = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "_t"))),
+                lambda s: s["_t"],
+            ),
+        ).alias("_kept_text"),
+        F.count("*").cast("bigint").alias("n_kept"),
+    )
+    return (
+        base.join(kept_agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("_kept_text", F.lit("")).alias(text_col),
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+            (F.col("_n") - F.coalesce("n_kept", F.lit(0)))
+            .cast("bigint")
+            .alias("n_removed"),
         )
     )

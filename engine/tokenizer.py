@@ -51,7 +51,70 @@ ENGLISH_STOPWORDS = frozenset(
     "that the their then there these they this to was will with".split()
 )
 
-ANALYZERS = ("standard", "english")
+# ES `french` analyzer config (VERDICT r04 "Next round" #7), pinned as the
+# SQL-expressible minimal chain: stopwords + Lucene's FrenchMinimalStemFilter
+# [public: Lucene analysis/fr/FrenchMinimalStemmer.java, from Savoy,
+# "Report on CLEF-2001 Experiments"] — the MINIMAL stemmer, not the light
+# one, so the DuckDB oracle can replay it exactly. Stop set: a pinned
+# literal subset of the Snowball French stop list [public] plus the
+# single-letter elision residue (the tokenizer splits l'avion → [l, avion],
+# so dropping the orphan clitics here composes to ES's elision filter).
+FRENCH_STOPWORDS = frozenset(
+    "au aux avec ce ces dans de des du elle elles en et eux il ils je la le "
+    "les leur lui ma mais me mes moi mon ne nos notre nous on ou où par pas "
+    "pour qu que qui sa se ses son sur ta te tes toi ton tu un une vos "
+    "votre vous été être est sont avoir ont a "
+    "l d j c m n s t y".split()
+)
+
+
+def french_minimal_stem(tok: str) -> str:
+    """Lucene FrenchMinimalStemmer, rule-for-rule: tokens < 6 chars pass
+    through; -aux → -al (chevaux → cheval), other -x dropped, else the
+    SEQUENTIAL strip chain s, r, e, é, then a doubled final letter —
+    'tables' → 'tabl' while 'table' (5 chars) passes through, exactly the
+    published algorithm's quirk."""
+    if len(tok) < 6:
+        return tok
+    if tok[-1] == "x":
+        if tok[-3:-1] == "au":
+            return tok[:-2] + "l"
+        return tok[:-1]
+    if tok[-1] == "s":
+        tok = tok[:-1]
+    if tok[-1] == "r":
+        tok = tok[:-1]
+    if tok[-1] == "e":
+        tok = tok[:-1]
+    if tok[-1] == "é":
+        tok = tok[:-1]
+    if tok[-1] == tok[-2]:
+        tok = tok[:-1]
+    return tok
+
+
+def _french(toks: list[str]) -> list[str]:
+    return [french_minimal_stem(t) for t in toks if t not in FRENCH_STOPWORDS]
+
+
+# Index-time synonym CONTRACTION (VERDICT r04 #10) [public: ES synonym /
+# synonym_graph token filter with `expand: false` — "a, b => a" folds every
+# set member to the first entry AT INDEX TIME, so df/cf/positions/dl are
+# computed over the folded stream and one posting list serves the set].
+# Pinned literal demo table, the index-time counterpart of the registry's
+# query-time _SYNONYMS map; an analyzer mismatch raises via the same
+# manifest plumbing as english/french. Index-time folding deliberately
+# ranks differently from query-time expansion: the folded term's df is the
+# UNION of the set members' dfs (one idf), where query-time expansion
+# scores each member against its own df and sums.
+SYNONYM_FOLD = {"quick": "fast", "join": "merge"}
+
+
+def _synonyms(toks: list[str]) -> list[str]:
+    return [SYNONYM_FOLD.get(t, t) for t in toks]
+
+
+ANALYZERS = ("standard", "english", "french", "synonyms")
 
 
 def s_stem(tok: str) -> str:
@@ -80,7 +143,13 @@ def analyze(text: str, analyzer: str = "standard") -> list[str]:
     if analyzer not in ANALYZERS:
         raise ValueError(f"unknown analyzer {analyzer!r}; one of {ANALYZERS}")
     toks = tokenize(text)
-    return _english(toks) if analyzer == "english" else toks
+    if analyzer == "english":
+        return _english(toks)
+    if analyzer == "french":
+        return _french(toks)
+    if analyzer == "synonyms":
+        return _synonyms(toks)
+    return toks
 
 
 def english_tokens_expr(toks):
@@ -105,6 +174,43 @@ def english_tokens_expr(toks):
         )
 
     stopped = F.filter(toks, lambda t: ~t.isin(*sorted(ENGLISH_STOPWORDS)))
+    return F.transform(stopped, _stem)
+
+
+def french_tokens_expr(toks):
+    """Column form of the french chain (stopwords + FrenchMinimalStemmer)
+    over an `array<string>` of standard-analyzer tokens — pure Catalyst
+    higher-order functions, no UDF. Step order and guards mirror
+    french_minimal_stem exactly (equivalence pinned by
+    tests/test_french.py)."""
+
+    def _strip_if(s, ch):
+        return F.when(
+            s.endswith(ch), s.substr(F.lit(1), F.length(s) - F.lit(1))
+        ).otherwise(s)
+
+    def _stem(t):
+        x_res = F.when(
+            t.endswith("aux"),
+            F.concat(t.substr(F.lit(1), F.length(t) - F.lit(2)), F.lit("l")),
+        ).otherwise(t.substr(F.lit(1), F.length(t) - F.lit(1)))
+        s = _strip_if(t, "s")
+        s = _strip_if(s, "r")
+        s = _strip_if(s, "e")
+        s = _strip_if(s, "é")
+        last = s.substr(F.length(s), F.lit(1))
+        prev = s.substr(F.length(s) - F.lit(1), F.lit(1))
+        dbl = F.when(
+            (F.length(s) >= 2) & (last == prev),
+            s.substr(F.lit(1), F.length(s) - F.lit(1)),
+        ).otherwise(s)
+        return (
+            F.when(F.length(t) < 6, t)
+            .when(t.endswith("x"), x_res)
+            .otherwise(dbl)
+        )
+
+    stopped = F.filter(toks, lambda t: ~t.isin(*sorted(FRENCH_STOPWORDS)))
     return F.transform(stopped, _stem)
 
 
@@ -149,6 +255,8 @@ def make_term_counts_udf(analyzer: str = "standard"):
     if analyzer not in ANALYZERS:
         raise ValueError(f"unknown analyzer {analyzer!r}; one of {ANALYZERS}")
     english = analyzer == "english"
+    french = analyzer == "french"
+    synonyms = analyzer == "synonyms"
 
     @F.pandas_udf(_TC_SCHEMA)
     def term_counts(s: pd.Series) -> pd.Series:
@@ -161,6 +269,13 @@ def make_term_counts_udf(analyzer: str = "standard"):
             it = (t for t in ts if len(t) <= MAX_TOKEN_LEN)
             if english:
                 it = (s_stem(t) for t in it if t not in ENGLISH_STOPWORDS)
+            elif french:
+                it = (
+                    french_minimal_stem(t) for t in it
+                    if t not in FRENCH_STOPWORDS
+                )
+            elif synonyms:
+                it = (SYNONYM_FOLD.get(t, t) for t in it)
             c = Counter(it)
             terms.append(list(c.keys()))
             tfs.append(list(c.values()))

@@ -251,3 +251,161 @@ def test_eql_sample_and_join_semantics(spark):
 
     with pytest.raises(ValueError, match=">= 2"):
         eql_sample(df, "user", "ts", [steps[0]])
+
+
+# --- runs=N + missing-event steps (VERDICT r04 #8) ---------------------------
+
+
+def _brute_spec(rows, keys_of, step_types, span_s, missing=None):
+    """Existential-chain oracle with per-gap missing events: a step-k event
+    matches iff there EXIST e1 < ... < ek in (ts, id) order, ei of type
+    step_types[i-1], whole-span <= span_s, and for every level i with a
+    missing type, NO event of that type strictly between the CHOSEN e_{i-1}
+    and e_i (ES EQL missing-event semantics). `runs=N` is just N repeated
+    entries in step_types."""
+    from collections import defaultdict
+
+    missing = missing or {}
+    by_key = defaultdict(list)
+    for r in rows:
+        by_key[keys_of(r)].append(r)
+    out = []
+    k = len(step_types)
+    for key, evs in by_key.items():
+        evs = sorted(evs, key=lambda r: (r[1], r[0]))
+
+        def gap_clean(j, i_idx, level):
+            t = missing.get(level)
+            return t is None or all(
+                evs[m][4] != t for m in range(j + 1, i_idx)
+            )
+
+        def chain(end_idx, level, last_ts):
+            e = evs[end_idx]
+            if e[4] != step_types[level - 1]:
+                return False
+            if level == 1:
+                return (last_ts - e[1]).total_seconds() <= span_s
+            return any(
+                gap_clean(j, end_idx, level) and chain(j, level - 1, last_ts)
+                for j in range(end_idx)
+            )
+
+        for i, e in enumerate(evs):
+            if e[4] != step_types[k - 1]:
+                continue
+            if any(gap_clean(j, i, k) and chain(j, k - 1, e[1])
+                   for j in range(i)):
+                out.append((key, e[0]))
+    return sorted(out)
+
+
+@pytest.mark.parametrize("seed", [21, 22, 23])
+def test_runs_and_missing_match_bruteforce(spark, seed):
+    from engine.eql import eql_sequence_spec
+
+    rows = _gen(seed)
+    # [t0] with runs=2  ![t3]  [t1]  — two t0s, then a t1 whose gap back to
+    # the second t0 holds no t3
+    got = sorted(
+        (r["user"], r["event_id"])
+        for r in eql_sequence_spec(
+            _df(spark, rows),
+            "user",
+            "ts",
+            [
+                ("event", F.col("etype") == "t0", 2),
+                ("missing", F.col("etype") == "t3"),
+                ("event", F.col("etype") == "t1"),
+            ],
+            maxspan_seconds=30,
+        ).collect()
+    )
+    want = _brute_spec(
+        rows, lambda r: r[2], ["t0", "t0", "t1"], 30, missing={3: "t3"}
+    )
+    assert got == want, f"seed={seed}"
+
+
+@pytest.mark.parametrize("seed", [31, 32])
+def test_missing_mid_gap_matches_bruteforce(spark, seed):
+    from engine.eql import eql_sequence_spec
+
+    rows = _gen(seed)
+    # [t0] ![t4] [t1] [t2] — the missing slot sits in the FIRST gap
+    got = sorted(
+        (r["user"], r["event_id"])
+        for r in eql_sequence_spec(
+            _df(spark, rows),
+            "user",
+            "ts",
+            [
+                ("event", F.col("etype") == "t0"),
+                ("missing", F.col("etype") == "t4"),
+                ("event", F.col("etype") == "t1"),
+                ("event", F.col("etype") == "t2"),
+            ],
+            maxspan_seconds=30,
+        ).collect()
+    )
+    want = _brute_spec(
+        rows, lambda r: r[2], ["t0", "t1", "t2"], 30, missing={2: "t4"}
+    )
+    assert got == want, f"seed={seed}"
+
+
+def test_runs_needs_distinct_events_and_missing_blocks(spark):
+    """Hand-pinned semantics: runs=2 needs two DISTINCT qualifying events
+    (one event never satisfies two levels); a missing-pred event inside the
+    guarded gap kills the match, outside it does not."""
+    from engine.eql import eql_sequence_spec
+
+    def run(rows):
+        return sorted(
+            r["event_id"]
+            for r in eql_sequence_spec(
+                _df(spark, rows),
+                "user",
+                "ts",
+                [
+                    ("event", F.col("etype") == "t0", 2),
+                    ("missing", F.col("etype") == "t3"),
+                    ("event", F.col("etype") == "t1"),
+                ],
+                maxspan_seconds=600,
+            ).collect()
+        )
+
+    t = lambda s: BASE + timedelta(seconds=s)
+    # one t0 only → no match
+    assert run([(0, t(0), 1, 0, "t0"), (1, t(5), 1, 0, "t1")]) == []
+    # two t0s → match
+    assert run([(0, t(0), 1, 0, "t0"), (1, t(2), 1, 0, "t0"),
+                (2, t(5), 1, 0, "t1")]) == [2]
+    # t3 between the 2nd t0 and the t1 → blocked
+    assert run([(0, t(0), 1, 0, "t0"), (1, t(2), 1, 0, "t0"),
+                (2, t(3), 1, 0, "t3"), (3, t(5), 1, 0, "t1")]) == []
+    # t3 BEFORE the 2nd t0 → the guarded gap is clean → match
+    assert run([(0, t(0), 1, 0, "t0"), (1, t(1), 1, 0, "t3"),
+                (2, t(2), 1, 0, "t0"), (3, t(5), 1, 0, "t1")]) == [3]
+
+
+def test_spec_validation():
+    from engine.eql import eql_sequence_spec
+
+    with pytest.raises(ValueError, match="precede the first"):
+        eql_sequence_spec(
+            None, "u", "ts",
+            [("missing", F.lit(True)), ("event", F.lit(True)),
+             ("event", F.lit(True))], 10,
+        )
+    with pytest.raises(ValueError, match="end the sequence"):
+        eql_sequence_spec(
+            None, "u", "ts",
+            [("event", F.lit(True)), ("missing", F.lit(True))], 10,
+        )
+    with pytest.raises(ValueError, match="runs"):
+        eql_sequence_spec(
+            None, "u", "ts",
+            [("event", F.lit(True), 0), ("event", F.lit(True))], 10,
+        )

@@ -40,8 +40,9 @@ def _write_pages_files(pdf, path, n_files):
 @pytest.fixture(scope="module")
 def pages_dir(tmp_path_factory):
     base = str(tmp_path_factory.mktemp("stream_pages"))
-    # distinct urls per file: cross-batch upsert-by-url is out of scope for
-    # the incremental indexer (documented; needs an id-map service at scale)
+    # distinct urls per file: these tests pin the re-crawl-free baseline;
+    # cross-batch upsert-by-url has its own equivalence test below
+    # (test_cross_batch_recrawl_upsert_matches_batch)
     pdf = generate_pages(120, seed=11)
     pdf = pdf.drop_duplicates(subset=["url"], keep="last").reset_index(drop=True)
     _write_pages_files(pdf, base, n_files=3)
@@ -233,3 +234,82 @@ def test_incremental_indexer_accepts_refined_stream(spark, pages_dir, tmp_path):
     q.awaitTermination(120)
     st = idxr._load_state()
     assert st["n_docs"] == spark.read.parquet(pages_dir).count()
+
+
+def test_cross_batch_recrawl_upsert_matches_batch(spark, tmp_path):
+    """J5 latest-wins upsert (VERDICT r04 #4): a url re-crawled in a LATER
+    micro-batch supersedes its earlier live doc — including a re-crawl
+    arriving TWO batches late, a two-hop supersede chain, and a stale
+    out-of-order arrival that must be dropped. compact() output is value-
+    identical to a batch build over the latest crawl of every url."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from engine.index import build_index
+    from engine.pages import _TEMPLATE, generate_pages
+    from engine.refine import refine_pages
+    from engine.searcher import LoadedIndex
+
+    def page(url, ts, text):
+        return {
+            "url": url, "warc_ts": ts,
+            "html": _TEMPLATE.format(page=0, text=text).encode(),
+            "text": text, "lang": "en",
+        }
+
+    t0 = dt.datetime(2024, 3, 1)
+    day = dt.timedelta(days=1)
+    bg = generate_pages(45, seed=23).drop_duplicates(
+        subset=["url"], keep="last"
+    ).reset_index(drop=True)
+    f0 = pd.concat([bg.iloc[:15], pd.DataFrame([
+        page("https://up.test/a", t0, "alpha beta zzorig"),
+        page("https://up.test/b", t0, "alpha gamma zzfirst"),
+    ])], ignore_index=True)
+    f1 = pd.concat([bg.iloc[15:30], pd.DataFrame([
+        page("https://up.test/b", t0 + day, "alpha gamma zzsecond"),
+        page("https://up.test/c", t0, "delta zzkeep"),
+    ])], ignore_index=True)
+    f2 = pd.concat([bg.iloc[30:], pd.DataFrame([
+        # re-crawl of /a arriving 2 batches late — must supersede zzorig
+        page("https://up.test/a", t0 + 3 * day, "alpha beta zzlate"),
+        # second hop of the /b chain — supersedes zzsecond
+        page("https://up.test/b", t0 + 2 * day, "alpha gamma zzthird"),
+        # STALE out-of-order arrival for /c (older ts) — must be dropped
+        page("https://up.test/c", t0 - 3 * day, "delta zzstale"),
+    ])], ignore_index=True)
+
+    pages_path = str(tmp_path / "up_pages")
+    os.makedirs(pages_path)
+    for i, f in enumerate((f0, f1, f2)):
+        pq.write_table(
+            pa.Table.from_pandas(f, preserve_index=False),
+            os.path.join(pages_path, f"pages-{i:03d}.parquet"),
+            coerce_timestamps="us", allow_truncated_timestamps=True,
+        )
+
+    root = str(tmp_path / "up_inc")
+    idx = IncrementalIndexer(root, n_buckets=4, block_size=32)
+    q = idx.writer(stream_pages(spark, pages_path, max_files_per_trigger=1)).start()
+    q.awaitTermination(240)
+    assert len(idx._load_state()["batches"]) == 3
+    inc = LoadedIndex(spark, idx.compact(spark))
+
+    # superseded / stale texts are gone; the latest crawls are live
+    for tok, n in [("zzorig", 0), ("zzfirst", 0), ("zzsecond", 0),
+                   ("zzstale", 0), ("zzlate", 1), ("zzthird", 1), ("zzkeep", 1)]:
+        assert len(inc.search(tok, k=5).collect()) == n, tok
+
+    # full value-identity with a batch build over the same corpus
+    batch_root = str(tmp_path / "up_batch")
+    allp = spark.createDataFrame(pd.concat([f0, f1, f2], ignore_index=True))
+    docs = refine_pages(allp).select("doc_id", "text")
+    build_index(spark, docs, batch_root, n_buckets=4, block_size=32)
+    bat = LoadedIndex(spark, batch_root)
+    assert inc.manifest.n_docs == bat.manifest.n_docs
+    assert abs(inc.manifest.avgdl - bat.manifest.avgdl) < 1e-9
+    for query in ["alpha beta", "delta", "the table"]:
+        a = [r["score"] for r in inc.search(query, k=10).collect()]
+        b = [r["score"] for r in bat.search(query, k=10).collect()]
+        assert a == b, (query, a, b)
