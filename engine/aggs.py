@@ -972,3 +972,27 @@ def rate_agg(df, ts_col: str, value_col: str | None = None) -> "DataFrame":
         .agg(F.round(total / F.lit(24.0), 4).alias("rate_per_hour"))
         .orderBy("bucket")
     )
+
+
+def serial_diff_agg(
+    ev: DataFrame, ts_col: str, unit: str = "day", lag: int = 7
+) -> DataFrame:
+    """ES serial_diff pipeline aggregation [public: ES serial differencing
+    agg docs]: doc_count minus the doc_count `lag` buckets earlier over a
+    date_histogram bucket frame (the classic seasonality-removal lag-7).
+    The first `lag` buckets have no predecessor and emit NULL, as ES skips
+    them. The window runs over the BUCKET frame (≤ thousands of rows after
+    the hash-agg), never the raw events — same single-partition-is-fine
+    shape as moving_fn/derivative."""
+    from pyspark.sql import Window
+
+    b = ev.groupBy(F.date_trunc(unit, F.col(ts_col)).alias("bucket")).agg(
+        F.count("*").alias("doc_count")
+    )
+    w = Window.orderBy("bucket")
+    return (
+        b.withColumn(
+            "serial_diff", F.col("doc_count") - F.lag("doc_count", lag).over(w)
+        )
+        .orderBy("bucket")
+    )

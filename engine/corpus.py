@@ -26,6 +26,18 @@ def with_tokens(docs: DataFrame, text_col: str = "text", analyzer: str = "standa
         from .tokenizer import french_tokens_expr
 
         toks = french_tokens_expr(toks)
+    elif analyzer == "german":
+        from .tokenizer import german_tokens_expr
+
+        toks = german_tokens_expr(toks)
+    elif analyzer == "edge_ngram":
+        from .tokenizer import edge_tokens_expr
+
+        toks = edge_tokens_expr(toks)
+    elif analyzer == "shingle":
+        from .tokenizer import shingle_tokens_expr
+
+        toks = shingle_tokens_expr(toks)
     elif analyzer == "synonyms":
         from .tokenizer import SYNONYM_FOLD
 

@@ -332,3 +332,42 @@ def geo_bounding_box_search(
         .orderBy("event_id")
         .limit(k)
     )
+
+
+def geo_distance_rings_agg(
+    ev: DataFrame,
+    center_lat: float,
+    center_lon: float,
+    edges: list[float],
+    value_col: str = "value",
+) -> DataFrame:
+    """ES geo_distance aggregation [public: ES geo_distance agg docs]:
+    concentric distance rings around a pinned origin, one bucket per range
+    (from inclusive, to exclusive) with doc_count and an avg sub-metric.
+    Bucket keys use the ES "from-to" label form ("*-2000.0", "2000.0-*").
+    One scan, one hash-agg; the haversine expression codegens into the scan
+    — no UDF, no extra shuffle beyond the groupBy exchange."""
+    if not edges or sorted(edges) != list(edges):
+        raise ValueError("edges must be a non-empty ascending list")
+    d = with_synthetic_coords(ev).withColumn(
+        "_d",
+        F.round(
+            haversine_km(
+                F.col("lat"), F.col("lon"), F.lit(center_lat), F.lit(center_lon)
+            ),
+            4,
+        ),
+    )
+    ring = F.when(F.col("_d") < edges[0], F.lit(f"*-{edges[0]}"))
+    for lo, hi in zip(edges, edges[1:]):
+        ring = ring.when(F.col("_d") < hi, F.lit(f"{lo}-{hi}"))
+    ring = ring.otherwise(F.lit(f"{edges[-1]}-*"))
+    return (
+        d.withColumn("ring", ring)
+        .groupBy("ring")
+        .agg(
+            F.count("*").alias("doc_count"),
+            F.round(F.avg(value_col), 4).alias("avg_value"),
+        )
+        .orderBy("ring")
+    )

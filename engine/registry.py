@@ -6951,3 +6951,271 @@ FROM active a JOIN firsts f USING (user_id)
 GROUP BY 1, 2 ORDER BY 1, 2
 """,
 )
+
+
+# ============================================================================
+# round-5b: analyzer breadth (german + index-time edge_ngram / shingle),
+# binary-quantized ANN rescore, geo_distance rings, serial_diff
+# ============================================================================
+
+_ANALYZED_CORPUS_CACHE: dict[tuple, tuple] = {}
+
+
+def _built_corpus_analyzed(spark: SparkSession, sf_dir: str, analyzer: str):
+    """Analyzer-parameterized twin of _built_corpus: the whole filter chain
+    is fused into the one-Arrow-pass corpus_base exactly like the
+    english/french variants (map-side combine, no token-row explode)."""
+    key = (analyzer,) + _cache_key(spark, sf_dir)
+    if key not in _ANALYZED_CORPUS_CACHE:
+        from .corpus import corpus_base, exploded_tf
+
+        docs = read_fixture(spark, sf_dir, "documents")
+        base = corpus_base(docs, analyzer=analyzer).cache()
+        tf = exploded_tf(base).select("term", "doc_id", "tf", "dl")
+        ds = base.select("doc_id", "dl")
+        ts = term_stats(tf).cache()
+        n, avgdl = corpus_stats(ds)
+        _ANALYZED_CORPUS_CACHE[key] = (tf, ds, ts, n, avgdl)
+    return _ANALYZED_CORPUS_CACHE[key]
+
+
+def _analyzed_bm25_tail(term_in: str, k: int) -> str:
+    """Shared BM25 tail for the analyzed-corpus oracles: tf/dl/avgdl/df are
+    recomputed over whatever `toks(doc_id, term)` CTE the caller stacked on
+    top, then Lucene-BM25-scored for the analyzed query terms."""
+    return f"""
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / stats.avgdl)) ) AS score
+  FROM tf
+  JOIN (SELECT term, count(*) AS df FROM tf GROUP BY 1) df USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats
+  WHERE tf.term IN ({term_in})
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score, 4) AS score FROM scores
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+_DE_QUERY = "die scannen und joinen filtern spärk"
+
+
+def _q_bm25_german(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `german` analyzer config (pinned Snowball-subset stopwords +
+    minimal German stemmer, engine.tokenizer.german_minimal_stem) on BOTH
+    sides: the query analyzes to [scan, join, filter, spark] (die/und
+    dropped; scannen → scan via -nen, joinen → join via -en,
+    filtern → filter via final -n, spärk → spark via the umlaut fold) and
+    scores against the german-analyzed corpus stats."""
+    tf, ds, ts, n, avgdl = _built_corpus_analyzed(spark, sf_dir, "german")
+    return exact_search(
+        tf, ds, ts, n, avgdl, _DE_QUERY, k=10, mode="or", analyzer="german"
+    )
+
+
+def _german_oracle() -> str:
+    """DuckDB replay of the german chain: stop filter, umlaut fold, then the
+    single-strip rule ladder as one CASE (the rules are mutually exclusive
+    by construction, unlike french's sequential chain)."""
+    from .tokenizer import GERMAN_STOPWORDS, analyze
+
+    qterms = analyze(_DE_QUERY, "german")
+    stop_in = ", ".join(f"'{w}'" for w in sorted(GERMAN_STOPWORDS))
+    term_in = ", ".join(f"'{t}'" for t in qterms)
+    return f"""
+WITH tok0 AS (
+  SELECT doc_id, t FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                         FROM documents)
+  WHERE t NOT IN ({stop_in})
+),
+s0 AS (SELECT doc_id,
+         CASE WHEN length(t) >= 5
+              THEN replace(replace(replace(t, 'ä', 'a'), 'ö', 'o'), 'ü', 'u')
+              ELSE t END AS w,
+         length(t) >= 5 AS elig
+       FROM tok0),
+toks AS (SELECT doc_id,
+           CASE WHEN NOT elig THEN w
+                WHEN length(w) > 6 AND w LIKE '%nen' THEN substr(w, 1, length(w) - 3)
+                WHEN length(w) > 5 AND w LIKE '%en' THEN substr(w, 1, length(w) - 2)
+                WHEN length(w) > 5 AND (w LIKE '%n' OR w LIKE '%e' OR w LIKE '%s')
+                     THEN substr(w, 1, length(w) - 1)
+                ELSE w END AS term
+         FROM s0),
+""" + _analyzed_bm25_tail(term_in, 10)
+
+
+register("bm25_german", _q_bm25_german, _german_oracle())
+
+
+_EDGE_QUERY = "cust filt"
+
+
+def _q_bm25_edge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """search_as_you_type via an INDEX-TIME edge_ngram chain [public: ES
+    edge_ngram token filter]: the corpus indexes every token's 3..5-char
+    prefixes; the typed prefixes 'cust filt' analyze with `standard` and
+    score as two EXACT term lookups in the gram index — no dictionary
+    expansion at query time (contrast bm25_prefix, which expands the
+    vocabulary per query). BM25 stats (df/dl/avgdl) are the gram stream's."""
+    tf, ds, ts, n, avgdl = _built_corpus_analyzed(spark, sf_dir, "edge_ngram")
+    return exact_search(tf, ds, ts, n, avgdl, _EDGE_QUERY, k=10, mode="or")
+
+
+def _edge_oracle() -> str:
+    from .tokenizer import EDGE_MAX_GRAM, EDGE_MIN_GRAM, analyze
+
+    qterms = analyze(_EDGE_QUERY, "standard")
+    term_in = ", ".join(f"'{t}'" for t in qterms)
+    grams = "\n  UNION ALL ".join(
+        f"SELECT doc_id, substr(t, 1, {g}) AS term FROM tok0 WHERE length(t) >= {g}"
+        for g in range(EDGE_MIN_GRAM, EDGE_MAX_GRAM + 1)
+    )
+    return f"""
+WITH tok0 AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+),
+toks AS (
+  {grams}
+),
+""" + _analyzed_bm25_tail(term_in, 10)
+
+
+register("bm25_edge_ngram", _q_bm25_edge, _edge_oracle())
+
+
+_SHINGLE_QUERY = "sort merge"
+
+
+def _q_bm25_shingle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-time shingle chain [public: ES shingle token filter,
+    output_unigrams=true, max_shingle_size=2]: the corpus indexes unigrams
+    AND adjacent bigrams; the match query analyzes with the SAME chain, so
+    'sort merge' scores as the disjunction [sort, merge, 'sort merge'] —
+    adjacency pays off as a plain term hit (no positions read at query
+    time), the phrase-acceleration trade Lucene documents for shingles."""
+    tf, ds, ts, n, avgdl = _built_corpus_analyzed(spark, sf_dir, "shingle")
+    return exact_search(
+        tf, ds, ts, n, avgdl, _SHINGLE_QUERY, k=10, mode="or", analyzer="shingle"
+    )
+
+
+def _shingle_oracle() -> str:
+    from .tokenizer import analyze
+
+    qterms = analyze(_SHINGLE_QUERY, "shingle")
+    term_in = ", ".join(f"'{t}'" for t in qterms)
+    return f"""
+WITH l AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+toks AS (
+  SELECT doc_id, unnest(l) AS term FROM l
+  UNION ALL
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i + 1]))
+           AS term
+  FROM l
+),
+""" + _analyzed_bm25_tail(term_in, 10)
+
+
+register("bm25_shingle", _q_bm25_shingle, _shingle_oracle())
+
+
+def _q_ann_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantized coarse + exact-cosine rescore (ann.
+    hamming_rescore_topk — ES BBQ-style): sign-bit Hamming top-50
+    candidates via xor+bit_count on two packed words, cosine top-10 over
+    the survivors only."""
+    from .ann import hamming_rescore_topk
+
+    emb = read_fixture(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 3).select("embedding").collect()[0][0]
+    return hamming_rescore_topk(
+        emb, [float(x) for x in q], k=10, n_candidates=50
+    )
+
+
+register(
+    "ann_hamming_rescore",
+    _q_ann_hamming,
+    """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 3),
+h AS (SELECT e.vec_id, e.embedding,
+        list_sum(list_transform(range(1, 65),
+            i -> CASE WHEN (CAST(e.embedding[i] AS DOUBLE) > 0)
+                       <> (CAST(q.qv[i] AS DOUBLE) > 0) THEN 1 ELSE 0 END))
+          AS ham
+      FROM embeddings e CROSS JOIN q),
+c AS (SELECT vec_id, embedding FROM h ORDER BY ham ASC, vec_id ASC LIMIT 50)
+SELECT c.vec_id, round(
+    list_sum(list_transform(range(1, 65),
+        i -> CAST(c.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+  / (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(c.embedding[i] AS DOUBLE)**2)))
+   * sqrt(list_sum(list_transform(range(1, 65), i -> CAST(q.qv[i] AS DOUBLE)**2)))), 4)
+  AS cosine
+FROM c CROSS JOIN q
+ORDER BY cosine DESC, vec_id ASC LIMIT 10
+""",
+)
+
+
+def _q_geo_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES geo_distance aggregation (geo.geo_distance_rings_agg): concentric
+    rings around the search_geo_distance origin with doc_count + avg(value)
+    per ring — one scan, one hash-agg, haversine in codegen."""
+    from .geo import geo_distance_rings_agg
+
+    return geo_distance_rings_agg(
+        _ev(spark, sf_dir), 40.5, -74.5, [2000.0, 5000.0, 10000.0]
+    )
+
+
+register(
+    "agg_geo_distance",
+    _q_geo_rings,
+    """
+WITH pts AS (SELECT value, CAST(user_id % 179 - 89 AS DOUBLE) + 0.5 AS lat,
+                    CAST(event_id % 359 - 179 AS DOUBLE) + 0.5 AS lon
+             FROM events),
+d AS (SELECT value, round(2.0 * 6371.0 * asin(sqrt(
+         sin(radians(40.5 - lat)/2) * sin(radians(40.5 - lat)/2)
+         + cos(radians(lat)) * cos(radians(40.5))
+           * sin(radians(-74.5 - lon)/2) * sin(radians(-74.5 - lon)/2))), 4) AS d
+      FROM pts),
+r AS (SELECT value, CASE WHEN d < 2000.0 THEN '*-2000.0'
+                         WHEN d < 5000.0 THEN '2000.0-5000.0'
+                         WHEN d < 10000.0 THEN '5000.0-10000.0'
+                         ELSE '10000.0-*' END AS ring FROM d)
+SELECT ring, count(*) AS doc_count, round(avg(value), 4) AS avg_value
+FROM r GROUP BY ring ORDER BY ring
+""",
+)
+
+
+def _q_serial_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES serial_diff pipeline agg (aggs.serial_diff_agg): lag-7 differenced
+    daily doc_count over the bucket frame."""
+    from .aggs import serial_diff_agg
+
+    return serial_diff_agg(_ev(spark, sf_dir), "ts", unit="day", lag=7)
+
+
+register(
+    "agg_serial_diff",
+    _q_serial_diff,
+    """
+WITH b AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+                  count(*) AS doc_count
+           FROM events GROUP BY 1)
+SELECT bucket, doc_count,
+       doc_count - lag(doc_count, 7) OVER (ORDER BY bucket) AS serial_diff
+FROM b ORDER BY bucket
+""",
+)

@@ -39,13 +39,27 @@ def parse_query(query: str, analyzer: str = "standard") -> ParsedQuery:
     query terms too (ES analyzes match queries with the field's analyzer)."""
     from .tokenizer import analyze
 
+    pos_words: list[str] = []
+    neg_words: list[str] = []
+    for raw in query.split():
+        (neg_words if raw.startswith("-") else pos_words).append(raw.lstrip("-"))
     pos: list[str] = []
     neg: list[str] = []
-    for raw in query.split():
-        target = neg if raw.startswith("-") else pos
-        for tok in analyze(raw.lstrip("-"), analyzer):
-            if tok not in target:
-                target.append(tok)
+    # the positive words analyze as ONE stream, not word-by-word: identical
+    # for every token-local analyzer (standard/english/french/german/
+    # synonyms/edge_ngram map or filter each token independently), and
+    # REQUIRED for stream-level chains — the shingle analyzer must see
+    # adjacent query words to form the same bigram terms the index holds.
+    # Negated words are removed before analysis (pinned: a shingle may form
+    # across a removed -word; negation of a multi-word unit isn't part of
+    # this query syntax).
+    for tok in analyze(" ".join(pos_words), analyzer):
+        if tok not in pos:
+            pos.append(tok)
+    for w in neg_words:
+        for tok in analyze(w, analyzer):
+            if tok not in neg:
+                neg.append(tok)
     return ParsedQuery(pos, neg)
 
 

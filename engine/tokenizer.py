@@ -97,6 +97,77 @@ def _french(toks: list[str]) -> list[str]:
     return [french_minimal_stem(t) for t in toks if t not in FRENCH_STOPWORDS]
 
 
+# ES `german` analyzer config (VERDICT r04 "What's missing" #2, round-5b):
+# pinned literal subset of the Snowball German stop list [public] + a
+# minimal German stemmer in the mold of Lucene's GermanMinimalStemFilter
+# [public: Lucene analysis/de; Savoy, "Morphologie et recherche
+# d'information"]. Like the english/french configs, deliberately the
+# SQL-expressible MINIMAL chain so the DuckDB twin replays it exactly.
+GERMAN_STOPWORDS = frozenset(
+    "aber alle als also am an auch auf aus bei bin bis bist da damit das "
+    "dass dein dem den der des dich die dies diese dir doch du durch ein "
+    "eine einem einen einer eines er es für hab habe hat hatte hier ich "
+    "ihr ihre im in ist ja jede jedem jeden jeder jedes kann kein mein "
+    "mich mir mit muss nach nicht noch nun nur ob oder ohne sehr sein "
+    "seine sich sie sind so über um und uns unser unter viel vom von vor "
+    "war warum was wenn wer wie wieder will wir wird wo zu zum zur".split()
+)
+
+
+def german_minimal_stem(tok: str) -> str:
+    """Pinned minimal German stemmer: tokens < 5 chars pass through
+    untouched (no umlaut fold either); else fold umlauts (ä→a, ö→o, ü→u),
+    then strip at most ONE plural marker — -nen when len > 6
+    (lehrerinnen → lehrerin), else -en when len > 5 (frauen → frau), else
+    a final n/e/s when len > 5 (filtern → filter, spalte → spalt,
+    tables → table). Lucene's GermanMinimalStemFilter differs in corner
+    cases (this is the pinned, SQL-replayable subset — the german LIGHT
+    stemmer's -er/-est handling is deliberately absent)."""
+    if len(tok) < 5:
+        return tok
+    tok = tok.replace("ä", "a").replace("ö", "o").replace("ü", "u")
+    if len(tok) > 6 and tok.endswith("nen"):
+        return tok[:-3]
+    if len(tok) > 5:
+        if tok.endswith("en"):
+            return tok[:-2]
+        if tok[-1] in "nes":
+            return tok[:-1]
+    return tok
+
+
+def _german(toks: list[str]) -> list[str]:
+    return [german_minimal_stem(t) for t in toks if t not in GERMAN_STOPWORDS]
+
+
+# INDEX-TIME edge_ngram filter [public: ES edge_ngram token filter /
+# search_as_you_type]: each token emits its min_gram..max_gram prefixes
+# (tokens shorter than min_gram emit nothing; no preserve_original —
+# pinned). The search side analyzes with `standard`, so a typed prefix is
+# ONE exact term lookup in the gram index instead of a query-time
+# dictionary expansion (contrast bm25_prefix) — the classic index-bigger /
+# query-cheaper trade, which is the right one at 100 TB query volume.
+EDGE_MIN_GRAM = 3
+EDGE_MAX_GRAM = 5
+
+
+def _edge_ngrams(toks: list[str]) -> list[str]:
+    return [
+        t[:g]
+        for t in toks
+        for g in range(EDGE_MIN_GRAM, min(len(t), EDGE_MAX_GRAM) + 1)
+    ]
+
+
+# INDEX-TIME shingle filter [public: ES shingle token filter docs]: emit
+# unigrams AND adjacent 2-shingles joined by one space (output_unigrams=
+# true, max_shingle_size=2, the ES defaults). A phrase whose analyzer
+# matches becomes a plain term lookup on the shingle term — positions never
+# need to be read at query time.
+def _shingles(toks: list[str]) -> list[str]:
+    return list(toks) + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+
+
 # Index-time synonym CONTRACTION (VERDICT r04 #10) [public: ES synonym /
 # synonym_graph token filter with `expand: false` — "a, b => a" folds every
 # set member to the first entry AT INDEX TIME, so df/cf/positions/dl are
@@ -114,7 +185,10 @@ def _synonyms(toks: list[str]) -> list[str]:
     return [SYNONYM_FOLD.get(t, t) for t in toks]
 
 
-ANALYZERS = ("standard", "english", "french", "synonyms")
+ANALYZERS = (
+    "standard", "english", "french", "german", "synonyms",
+    "edge_ngram", "shingle",
+)
 
 
 def s_stem(tok: str) -> str:
@@ -147,8 +221,14 @@ def analyze(text: str, analyzer: str = "standard") -> list[str]:
         return _english(toks)
     if analyzer == "french":
         return _french(toks)
+    if analyzer == "german":
+        return _german(toks)
     if analyzer == "synonyms":
         return _synonyms(toks)
+    if analyzer == "edge_ngram":
+        return _edge_ngrams(toks)
+    if analyzer == "shingle":
+        return _shingles(toks)
     return toks
 
 
@@ -214,6 +294,60 @@ def french_tokens_expr(toks):
     return F.transform(stopped, _stem)
 
 
+def german_tokens_expr(toks):
+    """Column form of the german chain (stopwords + minimal stemmer) over an
+    `array<string>` of standard-analyzer tokens — pure Catalyst higher-order
+    functions, no UDF. Rule order and guards mirror german_minimal_stem
+    exactly (equivalence pinned by tests/test_german.py)."""
+
+    def _stem(t):
+        f = F.translate(t, "äöü", "aou")
+        drop3 = f.substr(F.lit(1), F.length(f) - F.lit(3))
+        drop2 = f.substr(F.lit(1), F.length(f) - F.lit(2))
+        drop1 = f.substr(F.lit(1), F.length(f) - F.lit(1))
+        last = f.substr(F.length(f), F.lit(1))
+        return (
+            F.when(F.length(t) < 5, t)
+            .when((F.length(f) > 6) & f.endswith("nen"), drop3)
+            .when((F.length(f) > 5) & f.endswith("en"), drop2)
+            .when((F.length(f) > 5) & last.isin("n", "e", "s"), drop1)
+            .otherwise(f)
+        )
+
+    stopped = F.filter(toks, lambda t: ~t.isin(*sorted(GERMAN_STOPWORDS)))
+    return F.transform(stopped, _stem)
+
+
+def edge_tokens_expr(toks):
+    """Column form of the index-time edge_ngram chain — flatten(transform)
+    over the token array, whole-stage codegen, no UDF. Mirrors _edge_ngrams
+    exactly (equivalence pinned by tests/test_index_time_analyzers.py)."""
+
+    def _grams(t):
+        seq = F.sequence(
+            F.lit(EDGE_MIN_GRAM), F.least(F.lit(EDGE_MAX_GRAM), F.length(t))
+        )
+        return F.when(
+            F.length(t) >= EDGE_MIN_GRAM,
+            F.transform(seq, lambda g: t.substr(F.lit(1), g)),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return F.flatten(F.transform(toks, _grams))
+
+
+def shingle_tokens_expr(toks):
+    """Column form of the index-time shingle chain (unigrams + adjacent
+    2-shingles) — zip_with over two slices, no UDF. Mirrors _shingles
+    exactly (equivalence pinned by tests/test_index_time_analyzers.py)."""
+    n1 = F.greatest(F.size(toks) - F.lit(1), F.lit(0))
+    sh = F.zip_with(
+        F.slice(toks, F.lit(1), n1),
+        F.slice(toks, F.lit(2), n1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    return F.concat(toks, sh)
+
+
 def tokenize(text: str) -> list[str]:
     """Analyze one string → token list (B2 + B3). Pure-Python reference form."""
     if text is None:
@@ -256,7 +390,10 @@ def make_term_counts_udf(analyzer: str = "standard"):
         raise ValueError(f"unknown analyzer {analyzer!r}; one of {ANALYZERS}")
     english = analyzer == "english"
     french = analyzer == "french"
+    german = analyzer == "german"
     synonyms = analyzer == "synonyms"
+    edge = analyzer == "edge_ngram"
+    shingle = analyzer == "shingle"
 
     @F.pandas_udf(_TC_SCHEMA)
     def term_counts(s: pd.Series) -> pd.Series:
@@ -274,8 +411,22 @@ def make_term_counts_udf(analyzer: str = "standard"):
                     french_minimal_stem(t) for t in it
                     if t not in FRENCH_STOPWORDS
                 )
+            elif german:
+                it = (
+                    german_minimal_stem(t) for t in it
+                    if t not in GERMAN_STOPWORDS
+                )
             elif synonyms:
                 it = (SYNONYM_FOLD.get(t, t) for t in it)
+            elif edge:
+                it = (
+                    t[:g]
+                    for t in it
+                    for g in range(EDGE_MIN_GRAM, min(len(t), EDGE_MAX_GRAM) + 1)
+                )
+            elif shingle:
+                kept = [t for t in it]
+                it = kept + [f"{a} {b}" for a, b in zip(kept, kept[1:])]
             c = Counter(it)
             terms.append(list(c.keys()))
             tfs.append(list(c.values()))
