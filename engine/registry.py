@@ -7219,3 +7219,89 @@ SELECT bucket, doc_count,
 FROM b ORDER BY bucket
 """,
 )
+
+
+# --- ES|QL subset compiler (engine.esql): three pipeline shapes -------------
+
+
+def _q_esql_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL `FROM | WHERE | STATS ... BY | SORT | LIMIT` compiled to a
+    Catalyst plan (engine.esql.esql): the WHERE pushes into the scan, STATS
+    is one partial+final hash aggregate, SORT+LIMIT fuse to TakeOrdered."""
+    from .esql import esql
+
+    return esql(
+        'FROM events | WHERE value >= 20 AND event_type != "view" '
+        "| STATS n = COUNT(*), total = ROUND(SUM(value), 4), "
+        "users = COUNT_DISTINCT(user_id) BY event_type "
+        "| SORT event_type | LIMIT 10",
+        lambda name: read_fixture(spark, sf_dir, name),
+    )
+
+
+register(
+    "esql_stats",
+    _q_esql_stats,
+    """
+SELECT event_type, count(*) AS n, round(sum(value), 4) AS total,
+       count(DISTINCT user_id) AS users
+FROM events WHERE value >= 20 AND event_type <> 'view'
+GROUP BY event_type ORDER BY event_type LIMIT 10
+""",
+)
+
+
+def _q_esql_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL `RENAME | LOOKUP JOIN | STATS BY` — the lookup table broadcasts
+    (ES|QL lookup-index contract: the dim side is small), the main stream
+    never shuffles for the join; plan pinned in tests/test_esql.py."""
+    from .esql import esql
+
+    return esql(
+        "FROM customer | RENAME c_nationkey AS n_nationkey "
+        "| LOOKUP JOIN nation ON n_nationkey "
+        "| STATS customers = COUNT(*), acct = ROUND(SUM(c_acctbal), 4) BY n_name "
+        "| SORT customers DESC, n_name ASC | LIMIT 5",
+        lambda name: read_fixture(spark, sf_dir, name),
+    )
+
+
+register(
+    "esql_lookup_join",
+    _q_esql_lookup,
+    """
+SELECT n_name, count(*) AS customers, round(sum(c_acctbal), 4) AS acct
+FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name ORDER BY customers DESC, n_name ASC LIMIT 5
+""",
+)
+
+
+def _q_esql_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL `EVAL` row functions (later evals see earlier columns) +
+    WHERE/KEEP/SORT — all pure codegen expressions, no UDF."""
+    from .esql import esql
+
+    return esql(
+        'FROM documents | EVAL toks = TO_LONG(LENGTH(text) - LENGTH(REPLACE(text, " ", "")) + 1), '
+        "chars_per_tok = ROUND(n_chars / toks, 4) "
+        "| WHERE toks >= 50 | KEEP doc_id, toks, chars_per_tok "
+        "| SORT chars_per_tok DESC, doc_id ASC | LIMIT 15",
+        lambda name: read_fixture(spark, sf_dir, name),
+    )
+
+
+register(
+    "esql_eval",
+    _q_esql_eval,
+    """
+WITH t AS (
+  SELECT doc_id,
+         CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS toks,
+         n_chars
+  FROM documents)
+SELECT doc_id, toks, round(n_chars / toks, 4) AS chars_per_tok
+FROM t WHERE toks >= 50
+ORDER BY chars_per_tok DESC, doc_id ASC LIMIT 15
+""",
+)

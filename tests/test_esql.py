@@ -1,0 +1,117 @@
+"""ES|QL subset compiler (engine.esql): grammar, expression semantics, and
+pipe composition against hand-built frames. The three driver queries
+(esql_stats / esql_lookup_join / esql_eval) get their value checks from the
+DuckDB twins; these tests pin the parser itself."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from engine.esql import _lex, _split_pipes, esql
+
+
+def _resolve_for(spark):
+    ev = spark.createDataFrame(
+        [
+            (0, "click", 10.0, 1, dt.datetime(2024, 1, 1, 5)),
+            (1, "view", 3.5, 1, dt.datetime(2024, 1, 1, 9)),
+            (2, "click", 20.0, 2, dt.datetime(2024, 1, 2, 5)),
+            (3, "purchase", 100.0, 2, dt.datetime(2024, 1, 2, 7)),
+            (4, "click", None, 3, dt.datetime(2024, 1, 3, 1)),
+        ],
+        "event_id long, event_type string, value double, user_id long, ts timestamp",
+    )
+    dim = spark.createDataFrame(
+        [("click", "cheap"), ("purchase", "dear")], "event_type string, tier string"
+    )
+    return {"events": ev, "tiers": dim}.__getitem__
+
+
+def test_split_pipes_respects_strings():
+    assert _split_pipes('FROM t | WHERE a == "x|y" | LIMIT 3') == [
+        "FROM t", 'WHERE a == "x|y"', "LIMIT 3"
+    ]
+
+
+def test_lex_keywords_and_ops():
+    kinds = [k for k, _ in _lex('from t where a >= 1.5 and b != "zz"')]
+    assert kinds == ["kw", "ident", "kw", "ident", "op", "number", "kw",
+                     "ident", "op", "string"]
+
+
+def test_where_eval_keep_sort(spark):
+    out = esql(
+        'FROM events | WHERE value >= 10 AND event_type != "view" '
+        "| EVAL v2 = ROUND(value * 2, 1), flag = value > 15 "
+        "| KEEP event_id, v2, flag | SORT v2 DESC, event_id ASC | LIMIT 2",
+        _resolve_for(spark),
+    ).collect()
+    assert [(r["event_id"], r["v2"], r["flag"]) for r in out] == [
+        (3, 200.0, True), (2, 40.0, True)
+    ]
+
+
+def test_stats_by_and_count_star_vs_col(spark):
+    out = esql(
+        "FROM events | STATS n = COUNT(*), nv = COUNT(value), "
+        "total = SUM(value), users = COUNT_DISTINCT(user_id) BY event_type "
+        "| SORT event_type",
+        _resolve_for(spark),
+    ).collect()
+    got = {r["event_type"]: (r["n"], r["nv"], r["total"], r["users"]) for r in out}
+    # COUNT(*) counts rows, COUNT(col) skips the NULL value in event 4
+    assert got["click"] == (3, 2, 30.0, 3)
+    assert got["purchase"] == (1, 1, 100.0, 1)
+    assert got["view"] == (1, 1, 3.5, 1)
+
+
+def test_stats_global_no_by(spark):
+    out = esql("FROM events | STATS n = COUNT(*)", _resolve_for(spark)).collect()
+    assert out[0]["n"] == 5
+
+
+def test_lookup_join_is_left_and_broadcast(spark):
+    df = esql(
+        "FROM events | LOOKUP JOIN tiers ON event_type "
+        "| STATS n = COUNT(*) BY tier | SORT n DESC, tier ASC",
+        _resolve_for(spark),
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    rows = {r["tier"]: r["n"] for r in df.collect()}
+    assert rows == {"cheap": 3, None: 1, "dear": 1}  # left join keeps 'view'
+
+
+def test_like_in_is_null_rename_drop(spark):
+    out = esql(
+        'FROM events | WHERE event_type LIKE "c*" OR event_type IN ("purchase") '
+        "| RENAME event_type AS kind | DROP ts "
+        "| WHERE value IS NOT NULL | SORT event_id | KEEP event_id, kind",
+        _resolve_for(spark),
+    ).collect()
+    assert [(r["event_id"], r["kind"]) for r in out] == [
+        (0, "click"), (2, "click"), (3, "purchase")
+    ]
+
+
+def test_date_trunc_and_functions(spark):
+    out = esql(
+        'FROM events | EVAL day = DATE_TRUNC("day", ts), '
+        'up = TO_UPPER(SUBSTRING(event_type, 1, 2)) '
+        "| STATS n = COUNT(*) BY day | SORT day",
+        _resolve_for(spark),
+    ).collect()
+    assert [r["n"] for r in out] == [2, 2, 1]
+
+
+def test_errors_are_loud(spark):
+    r = _resolve_for(spark)
+    with pytest.raises(ValueError, match="must start with FROM"):
+        esql("WHERE x == 1", r)
+    with pytest.raises(ValueError, match="unknown function"):
+        esql("FROM events | EVAL x = NO_SUCH_FN(value)", r)
+    with pytest.raises(ValueError, match="unsupported command|unknown command"):
+        esql("FROM events | GROK ts", r)
+    with pytest.raises(ValueError, match="unknown function"):
+        esql("FROM events | STATS x = MODE(value)", r)
