@@ -996,3 +996,35 @@ def serial_diff_agg(
         )
         .orderBy("bucket")
     )
+
+
+def variable_width_histogram_agg(
+    ev: DataFrame, field: str = "value", buckets: int = 4, tiebreak: str = "event_id"
+) -> DataFrame:
+    """ES variable_width_histogram [public: ES variable_width_histogram agg]
+    — pinned DETERMINISTIC variant. ES clusters values with a one-pass
+    online algorithm whose buckets depend on shard doc order; that is not
+    replayable, so the pinned semantics here are equal-depth buckets:
+    ntile(buckets) over (value, tiebreak) order, then min/max/avg/count per
+    bucket — the same "bucket widths follow data density" contract with a
+    deterministic assignment both engines compute identically.
+
+    Scale note: ntile needs a global ordering (one-partition window). At
+    100 TB swap the window for precomputed quantile edges (approx or the
+    pack.py range-bucket prefix-sum shape) and a CASE assignment — the
+    fixture-scale form keeps the exact equal-depth tie handling the DuckDB
+    twin replays."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col(field).asc(), F.col(tiebreak).asc())
+    return (
+        ev.withColumn("bucket", F.ntile(buckets).over(w))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("doc_count"),
+            F.round(F.min(field), 4).alias("min_v"),
+            F.round(F.max(field), 4).alias("max_v"),
+            F.round(F.avg(field), 4).alias("avg_v"),
+        )
+        .orderBy("bucket")
+    )

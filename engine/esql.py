@@ -16,6 +16,8 @@ broadcast for LOOKUP JOIN, partial aggregation for STATS):
       | DROP col [, ...]
       | RENAME old AS new [, ...]
       | LOOKUP JOIN <table> ON <col>              (left join, broadcast dim)
+      | DISSECT col "%{a}-%{b}"                   (separator extraction)
+      | GROK col "src%{INT:snum}"                 (pattern-library extraction)
 
 Expressions: literals (double-quoted strings, numbers, TRUE/FALSE/NULL),
 columns, arithmetic (+ - * / %), comparisons (== != < <= > >=), NOT/AND/OR,
@@ -24,8 +26,9 @@ and the pinned scalar functions in _FUNCS. STATS aggregations: COUNT(*),
 COUNT, SUM, AVG, MIN, MAX, COUNT_DISTINCT, MEDIAN, PERCENTILE(x, p).
 
 Pinned narrowings vs full ES|QL (each raises, never silently misparses):
-no ROW/SHOW/ENRICH/DISSECT/GROK/MV_* multivalue semantics, no KEEP/DROP
-wildcards, DATE_TRUNC takes a quoted unit ("day") instead of a time literal.
+no ROW/SHOW/ENRICH/MV_* multivalue semantics, no KEEP/DROP wildcards,
+DATE_TRUNC takes a quoted unit ("day") instead of a time literal, GROK
+covers the pattern-library subset in _GROK_PATTERNS.
 
 Scale shape: FROM is a pruned parquet scan (WHERE/KEEP push into it), STATS
 is one partial+final hash aggregate, LOOKUP JOIN broadcasts the lookup table
@@ -55,7 +58,8 @@ _TOKEN_RE = re.compile(
 
 _KEYWORDS = frozenset(
     "from where eval stats by sort limit keep drop rename as asc desc "
-    "and or not like in is null true false lookup join on nulls first last".split()
+    "and or not like in is null true false lookup join on nulls first last "
+    "dissect grok".split()
 )
 
 
@@ -347,6 +351,72 @@ def _expr_from(tokens: list) -> Column:
     return _c(node)
 
 
+# --- DISSECT / GROK pattern compilers ----------------------------------------
+# [public: ES|QL DISSECT/GROK processing commands; the same pattern syntax as
+# the ES ingest pipeline's dissect/grok processors]. Both compile to ONE Java
+# regex evaluated via regexp_extract per extracted field — the dialect subset
+# used (\d \w \S, non-greedy, anchors) behaves identically in Java and RE2,
+# so the DuckDB twins replay the exact regex. Pinned divergence vs ES: a
+# non-matching row yields '' (regexp_extract's no-match value on both
+# engines), not null.
+
+_GROK_PATTERNS = {
+    "WORD": r"\w+",
+    "INT": r"[+-]?\d+",
+    "NUMBER": r"[+-]?\d+(?:\.\d+)?",
+    "NOTSPACE": r"\S+",
+    "DATA": r".*?",
+    "GREEDYDATA": r".*",
+    "IP": r"(?:\d{1,3}\.){3}\d{1,3}",
+    "USERNAME": r"[a-zA-Z0-9._-]+",
+}
+
+
+def _compile_dissect(pattern: str) -> tuple[str, list[str]]:
+    """'%{a}-%{b}' → anchored regex with one non-greedy group per ref (the
+    last ref greedy, as dissect consumes to end-of-string)."""
+    parts = re.split(r"(%\{[^}]*\})", pattern)
+    regex, names = ["^"], []
+    for part in parts:
+        if not part:
+            continue
+        m = re.fullmatch(r"%\{([A-Za-z_][A-Za-z_0-9]*)\}", part)
+        if m:
+            names.append(m.group(1))
+            regex.append("(.*?)")
+        else:
+            regex.append(re.escape(part))
+    if not names:
+        raise ValueError("ES|QL: DISSECT pattern has no %{field} refs")
+    s = "".join(regex) + "$"
+    if s.endswith("(.*?)$"):
+        s = s[: -len("(.*?)$")] + "(.*)$"
+    return s, names
+
+
+def _compile_grok(pattern: str) -> tuple[str, list[str]]:
+    """'src%{INT:snum}' → anchored regex; %{SYNTAX:name} captures, %{SYNTAX}
+    matches without capturing."""
+    names, out, pos = [], ["^"], 0
+    refs = list(re.finditer(r"%\{([A-Z0-9_]+)(?::([A-Za-z_][A-Za-z_0-9]*))?\}", pattern))
+    if not refs:
+        raise ValueError("ES|QL: GROK pattern has no %{SYNTAX} refs")
+    for m in refs:
+        out.append(re.escape(pattern[pos : m.start()]))
+        syntax, name = m.group(1), m.group(2)
+        sub = _GROK_PATTERNS.get(syntax)
+        if sub is None:
+            raise ValueError(f"ES|QL: unknown grok pattern %{{{syntax}}}")
+        if name:
+            names.append(name)
+            out.append(f"({sub})")
+        else:
+            out.append(f"(?:{sub})")
+        pos = m.end()
+    out.append(re.escape(pattern[pos:]))
+    return "".join(out) + "$", names
+
+
 # --- pipe splitter + command compiler ----------------------------------------
 
 
@@ -494,6 +564,15 @@ def esql(query: str, resolve: Callable[[str], DataFrame]) -> DataFrame:
                     p.next()
                     continue
                 break
+        elif cmd in ("dissect", "grok"):
+            src = p.expect("ident")
+            k2, pat = p.next()
+            if k2 != "string":
+                raise ValueError(f"ES|QL: {cmd.upper()} needs a quoted pattern")
+            compiler = _compile_dissect if cmd == "dissect" else _compile_grok
+            regex, names = compiler(_unquote(pat))
+            for i, nm in enumerate(names, start=1):
+                df = df.withColumn(nm, F.regexp_extract(F.col(src), regex, i))
         elif cmd == "lookup":
             if not p.eat_kw("join"):
                 raise ValueError("ES|QL: expected LOOKUP JOIN")

@@ -7305,3 +7305,58 @@ FROM t WHERE toks >= 50
 ORDER BY chars_per_tok DESC, doc_id ASC LIMIT 15
 """,
 )
+
+
+def _q_esql_grok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL DISSECT + GROK processing commands (engine.esql): separator and
+    pattern-library field extraction compiled to regexp_extract codegen —
+    the same patterns the ES ingest pipeline's dissect/grok processors use."""
+    from .esql import esql
+
+    return esql(
+        'FROM documents | EVAL tag = CONCAT(lang, "-", source) '
+        '| DISSECT tag "%{l}-%{s}" '
+        '| GROK source "src%{INT:snum}" '
+        "| EVAL snum = TO_LONG(snum) "
+        "| STATS docs = COUNT(*), langs = COUNT_DISTINCT(l) BY snum "
+        "| SORT snum | LIMIT 25",
+        lambda name: read_fixture(spark, sf_dir, name),
+    )
+
+
+register(
+    "esql_grok_dissect",
+    _q_esql_grok,
+    r"""
+WITH t AS (SELECT lang || '-' || source AS tag, source FROM documents),
+g AS (SELECT regexp_extract(tag, '^(.*?)-(.*)$', 1) AS l,
+             CAST(regexp_extract(source, '^src([+-]?\d+)$', 1) AS BIGINT) AS snum
+      FROM t)
+SELECT snum, count(*) AS docs, count(DISTINCT l) AS langs
+FROM g GROUP BY snum ORDER BY snum LIMIT 25
+""",
+)
+
+
+def _q_vwh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES variable_width_histogram, pinned equal-depth variant
+    (aggs.variable_width_histogram_agg): ntile(4) buckets over
+    (value, event_id) order — deterministic where ES's online clustering is
+    shard-order-dependent; divergence documented in the function."""
+    from .aggs import variable_width_histogram_agg
+
+    return variable_width_histogram_agg(_ev(spark, sf_dir), "value", buckets=4)
+
+
+register(
+    "agg_variable_width_histogram",
+    _q_vwh,
+    """
+WITH b AS (SELECT value, ntile(4) OVER (ORDER BY value ASC, event_id ASC) AS bucket
+           FROM events)
+SELECT bucket, count(*) AS doc_count,
+       round(min(value), 4) AS min_v, round(max(value), 4) AS max_v,
+       round(avg(value), 4) AS avg_v
+FROM b GROUP BY bucket ORDER BY bucket
+""",
+)

@@ -105,6 +105,27 @@ def test_date_trunc_and_functions(spark):
     assert [r["n"] for r in out] == [2, 2, 1]
 
 
+def test_dissect_and_grok(spark):
+    out = esql(
+        'FROM events | EVAL tag = CONCAT(event_type, "-", TO_STRING(user_id)) '
+        '| DISSECT tag "%{kind}-%{uid}" '
+        '| GROK tag "%{WORD:w}-%{INT:n}" '
+        "| WHERE event_id == 3 | KEEP kind, uid, w, n",
+        _resolve_for(spark),
+    ).collect()
+    assert [tuple(r) for r in out] == [("purchase", "2", "purchase", "2")]
+
+
+def test_dissect_last_field_is_greedy(spark):
+    out = esql(
+        'FROM events | EVAL tag = CONCAT(event_type, "-", "a-b") '
+        '| DISSECT tag "%{head}-%{rest}" | WHERE event_id == 0 | KEEP head, rest',
+        _resolve_for(spark),
+    ).collect()
+    # first separator binds the non-greedy head; the LAST ref takes the rest
+    assert [tuple(r) for r in out] == [("click", "a-b")]
+
+
 def test_errors_are_loud(spark):
     r = _resolve_for(spark)
     with pytest.raises(ValueError, match="must start with FROM"):
@@ -112,6 +133,8 @@ def test_errors_are_loud(spark):
     with pytest.raises(ValueError, match="unknown function"):
         esql("FROM events | EVAL x = NO_SUCH_FN(value)", r)
     with pytest.raises(ValueError, match="unsupported command|unknown command"):
-        esql("FROM events | GROK ts", r)
+        esql("FROM events | ENRICH policy", r)
+    with pytest.raises(ValueError, match="unknown grok pattern"):
+        esql('FROM events | GROK event_type "%{EMAILADDRESS:e}"', r)
     with pytest.raises(ValueError, match="unknown function"):
         esql("FROM events | STATS x = MODE(value)", r)
