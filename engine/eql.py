@@ -517,3 +517,40 @@ def cohort_retention(
         .agg(F.count("*").alias("n_keys"))
         .orderBy("cohort", "age")
     )
+
+
+def eql_pipes(
+    results: DataFrame,
+    pipes: list[tuple[str, object]],
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """ES EQL pipe surface [public: EQL pipe reference — head, tail, count,
+    unique]: post-process a query/sequence RESULT set in (ts, id) order,
+    the order the EQL engine emits. head/tail keep the first/last N
+    results; unique keeps the earliest result per field value; count
+    collapses to one row. Every pipe runs over result rows (the sequence
+    already reduced the raw stream), so these sorts and windows are
+    result-frame-sized, never corpus-sized."""
+    from pyspark.sql import Window
+
+    df = results
+    for op, arg in pipes:
+        if op == "head":
+            df = df.orderBy(F.col(ts_col).asc(), F.col(id_col).asc()).limit(int(arg))
+        elif op == "tail":
+            df = df.orderBy(F.col(ts_col).desc(), F.col(id_col).desc()).limit(int(arg))
+        elif op == "count":
+            df = df.agg(F.count("*").alias("count"))
+        elif op == "unique":
+            w = Window.partitionBy(str(arg)).orderBy(
+                F.col(ts_col).asc(), F.col(id_col).asc()
+            )
+            df = (
+                df.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+        else:
+            raise ValueError(f"unknown EQL pipe {op!r}")
+    return df

@@ -59,7 +59,7 @@ _TOKEN_RE = re.compile(
 _KEYWORDS = frozenset(
     "from where eval stats by sort limit keep drop rename as asc desc "
     "and or not like in is null true false lookup join on nulls first last "
-    "dissect grok".split()
+    "dissect grok mv_expand".split()
 )
 
 
@@ -151,6 +151,20 @@ def _fn_date_trunc(args):
     return ("col", F.date_trunc(str(unit), _c(args[1])))
 
 
+def _fn_case(args):
+    # ES|QL CASE(cond1, val1 [, cond2, val2 ...] [, default])
+    if len(args) < 2:
+        raise ValueError("ES|QL: CASE needs condition/value pairs")
+    rest = list(args)
+    default = rest.pop() if len(rest) % 2 == 1 else None
+    col = F.when(_c(rest[0]), _c(rest[1]))
+    for j in range(2, len(rest), 2):
+        col = col.when(_c(rest[j]), _c(rest[j + 1]))
+    if default is not None:
+        col = col.otherwise(_c(default))
+    return ("col", col)
+
+
 _FUNCS: dict[str, Callable] = {
     "round": _fn_round,
     "abs": lambda a: ("col", F.abs(_c(a[0]))),
@@ -174,6 +188,7 @@ _FUNCS: dict[str, Callable] = {
     ),
     "substring": _fn_substring,
     "date_trunc": _fn_date_trunc,
+    "case": _fn_case,
 }
 
 _AGGS: dict[str, Callable] = {
@@ -564,6 +579,12 @@ def esql(query: str, resolve: Callable[[str], DataFrame]) -> DataFrame:
                     p.next()
                     continue
                 break
+        elif cmd == "mv_expand":
+            # ES|QL MV_EXPAND: one row per element of a multivalued column
+            # (explode, null/empty arrays drop the row — pinned to explode's
+            # semantics, ES keeps a null row for null fields)
+            col = p.expect("ident")
+            df = df.withColumn(col, F.explode(col))
         elif cmd in ("dissect", "grok"):
             src = p.expect("ident")
             k2, pat = p.next()

@@ -7360,3 +7360,49 @@ SELECT bucket, count(*) AS doc_count,
 FROM b GROUP BY bucket ORDER BY bucket
 """,
 )
+
+
+def _q_eql_pipes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES EQL pipes over a sequence result (eql.eql_pipes): `sequence by
+    user_id [view] [purchase] | unique user_id | head 10` — earliest
+    completion per user, first 10 overall in (ts, id) order."""
+    from .eql import eql_pipes, eql_sequence
+
+    ev = read_fixture(spark, sf_dir, "events")
+    seq = eql_sequence(
+        ev, "user_id", "ts",
+        F.col("event_type") == "view",
+        F.col("event_type") == "purchase",
+        7200,
+    )
+    return eql_pipes(seq, [("unique", "user_id"), ("head", 10)])
+
+
+register(
+    "eql_sequence_pipes",
+    _q_eql_pipes,
+    """
+WITH rel AS (
+  SELECT user_id, event_id, ts,
+         event_type = 'view' AS is1, event_type = 'purchase' AS is2
+  FROM events WHERE event_type IN ('view', 'purchase')),
+m AS (
+  SELECT user_id, event_id, ts, is2,
+         max(CASE WHEN is1 THEN ts END) OVER (
+           PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last1
+  FROM rel),
+seq AS (
+  SELECT user_id, event_id, ts,
+         CAST(floor(epoch(ts) - epoch(last1)) AS BIGINT) AS gap_seconds
+  FROM m
+  WHERE is2 AND last1 IS NOT NULL
+    AND epoch(ts) - epoch(last1) BETWEEN 0 AND 7200),
+uniq AS (
+  SELECT * FROM seq
+  QUALIFY row_number() OVER (PARTITION BY user_id
+                             ORDER BY ts ASC, event_id ASC) = 1)
+SELECT user_id, event_id, ts, gap_seconds FROM uniq
+ORDER BY ts ASC, event_id ASC LIMIT 10
+""",
+)

@@ -126,6 +126,25 @@ def test_dissect_last_field_is_greedy(spark):
     assert [tuple(r) for r in out] == [("click", "a-b")]
 
 
+def test_case_function_and_mv_expand(spark):
+    out = esql(
+        'FROM events | EVAL band = CASE(value >= 100, "big", value >= 10, "mid", "small") '
+        "| STATS n = COUNT(*) BY band | SORT band",
+        _resolve_for(spark),
+    ).collect()
+    # NULL value falls to the default branch ("small"), like SQL CASE ELSE
+    assert {r["band"]: r["n"] for r in out} == {"big": 1, "mid": 2, "small": 2}
+
+    vecs = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [3.0])], "vid long, xs array<double>"
+    )
+    out = esql(
+        "FROM vecs | MV_EXPAND xs | STATS n = COUNT(*), total = SUM(xs)",
+        {"vecs": vecs}.__getitem__,
+    ).collect()
+    assert (out[0]["n"], out[0]["total"]) == (3, 6.0)
+
+
 def test_errors_are_loud(spark):
     r = _resolve_for(spark)
     with pytest.raises(ValueError, match="must start with FROM"):
