@@ -371,3 +371,52 @@ def geo_distance_rings_agg(
         )
         .orderBy("ring")
     )
+
+
+def geo_line_agg(
+    ev: DataFrame,
+    group_by: str = "user_id",
+    size: int = 10,
+) -> DataFrame:
+    """ES geo_line aggregation [public: ES geo_line agg docs]: aggregate the
+    points of each bucket into a LINESTRING ordered by a sort field,
+    truncated to the first `size` points (ES caps at size, default 10k).
+    ES emits GeoJSON; the pinned output here is the equivalent WKT-style
+    string ("lon lat, lon lat, …") plus the ES-reported `complete` flag
+    (false when the track was truncated).
+
+    Scale shape: one hash aggregate on the bucket key — collect_list gathers
+    only that key's points, array_sort orders them inside the row, and
+    slice() caps the payload at `size` BEFORE stringification, so executor
+    memory per group is O(points-per-key), never corpus-sized. All built-in
+    expressions (no UDF, no window): the sort is per-row array_sort, not a
+    global orderBy."""
+    pts = with_synthetic_coords(ev)
+    # struct sorts lexicographically by field order → (ts, event_id) gives
+    # the deterministic ES sort-field order with a unique tiebreak
+    gathered = pts.groupBy(group_by).agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "lon", "lat"))
+        ).alias("pts")
+    )
+    head = F.slice(F.col("pts"), 1, size)
+    line = F.concat_ws(
+        ", ",
+        F.transform(
+            head,
+            lambda p: F.concat_ws(
+                " ",
+                F.format_number(p["lon"], 1),
+                F.format_number(p["lat"], 1),
+            ),
+        ),
+    )
+    return (
+        gathered.select(
+            F.col(group_by),
+            F.size("pts").alias("n_points"),
+            (F.size("pts") <= size).alias("complete"),
+            line.alias("line"),
+        )
+        .orderBy(group_by)
+    )

@@ -7406,3 +7406,215 @@ SELECT user_id, event_id, ts, gap_seconds FROM uniq
 ORDER BY ts ASC, event_id ASC LIMIT 10
 """,
 )
+
+
+# --- ES multi_match type=cross_fields: term-centric blended scoring ---------
+
+
+def _q_cross_fields(
+    query_terms: list[str], fields: list[tuple[str, float]],
+    tie_breaker: float, k: int,
+) -> Callable:
+    """ES `multi_match` type=cross_fields [public: ES multi_match docs +
+    Lucene BlendedTermQuery]: term-centric — every TERM must be findable in
+    ANY of the fields, and each term contributes ONE score blended across
+    fields (vs best_fields/most_fields, which are field-centric). Pinned
+    blend, mirrored exactly by the twin: per-field document frequencies are
+    blended as df_blended(t) = max_f df(t, f) (Lucene's BlendedTermQuery max
+    heuristic), each field scores tf against ITS OWN length norms with the
+    blended idf, and the per-term cross-field combination is dis_max +
+    tie_breaker. Doc score = sum over terms.
+
+    Plan shape: per-field tf frames union into one frame tagged by field
+    (one analyzer pass per field, same as most_fields); the blended-df table
+    is V-row-bounded → broadcast; two hash aggregates (term-level dismax,
+    doc-level sum), no windows, no row explosion beyond the tf explode."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .corpus import corpus_base, exploded_tf
+
+        docs = read_fixture(spark, sf_dir, "documents")
+        tagged, dfs = [], []
+        n_docs = None
+        for field, boost in fields:
+            base = corpus_base(docs.select("doc_id", F.col(field).alias("text")))
+            tf = exploded_tf(base).filter(F.col("term").isin(query_terms))
+            ds = base.select("doc_id", "dl")
+            n, avgdl = corpus_stats(ds)
+            n_docs = n  # same table → same N for every field
+            tagged.append(
+                tf.select(
+                    "doc_id", "term", "tf", "dl",
+                    F.lit(float(avgdl)).alias("avgdl"),
+                    F.lit(float(boost)).alias("boost"),
+                )
+            )
+            dfs.append(
+                term_stats(tf.select("term", "doc_id", "tf"))
+                .filter(F.col("term").isin(query_terms))
+                .select("term", "df")
+            )
+        allf = tagged[0]
+        for t in tagged[1:]:
+            allf = allf.unionByName(t)
+        alldf = dfs[0]
+        for d in dfs[1:]:
+            alldf = alldf.unionByName(d)
+        bdf = alldf.groupBy("term").agg(F.max("df").alias("bdf"))
+        from .bm25 import idf_expr, tf_norm_expr
+
+        partial = (
+            idf_expr(F.col("bdf"), F.lit(n_docs))
+            * tf_norm_expr(F.col("tf"), F.col("dl"), F.col("avgdl"))
+            * F.col("boost")
+        )
+        per_term = (
+            allf.join(F.broadcast(bdf), "term")
+            .select("doc_id", "term", partial.alias("p"))
+            .groupBy("doc_id", "term")
+            .agg(
+                (F.max("p") + F.lit(tie_breaker) * (F.sum("p") - F.max("p"))).alias("s")
+            )
+        )
+        return (
+            per_term.groupBy("doc_id")
+            .agg(F.round(F.sum("s"), 4).alias("score"))
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(k)
+        )
+
+    return run
+
+
+def _cross_fields_oracle(
+    query_terms: list[str], fields: list[tuple[str, float]],
+    tie_breaker: float, k: int,
+) -> str:
+    terms_in = ", ".join(f"'{t}'" for t in query_terms)
+    parts = []
+    for field, boost in fields:
+        parts.append(
+            f"""
+SELECT tf.doc_id, tf.term, {boost} AS boost, tf.tf, dl.dl, stats.avgdl, df.df
+FROM (SELECT doc_id, term, count(*) AS tf FROM
+        (SELECT doc_id, unnest(string_split({field}, ' ')) AS term FROM documents)
+      GROUP BY 1,2) tf
+JOIN (SELECT term, count(DISTINCT doc_id) AS df FROM
+        (SELECT doc_id, unnest(string_split({field}, ' ')) AS term FROM documents)
+      GROUP BY 1) df USING (term)
+JOIN (SELECT doc_id, len(string_split({field}, ' ')) AS dl FROM documents) dl USING (doc_id)
+CROSS JOIN (SELECT avg(len(string_split({field}, ' '))) AS avgdl FROM documents) stats
+WHERE tf.term IN ({terms_in})"""
+        )
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH per_field AS ({union}),
+n AS (SELECT count(*) AS n_docs FROM documents),
+bdf AS (SELECT term, max(df) AS bdf FROM per_field GROUP BY term),
+partials AS (
+  SELECT pf.doc_id, pf.term,
+         ln(1 + (n.n_docs - bdf.bdf + 0.5) / (bdf.bdf + 0.5))
+         * pf.tf / (pf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * pf.dl / pf.avgdl))
+         * pf.boost AS p
+  FROM per_field pf JOIN bdf USING (term) CROSS JOIN n),
+per_term AS (
+  SELECT doc_id, term,
+         max(p) + {tie_breaker} * (sum(p) - max(p)) AS s
+  FROM partials GROUP BY doc_id, term)
+SELECT doc_id, round(sum(s), 4) AS score
+FROM per_term GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+register(
+    "bm25_cross_fields",
+    _q_cross_fields(["table", "src3"], [("text", 1.0), ("source", 2.0)], 0.2, 10),
+    _cross_fields_oracle(["table", "src3"], [("text", 1.0), ("source", 2.0)], 0.2, 10),
+)
+
+
+# --- ES retriever tree: text-similarity reranker over a BM25 retriever ------
+
+
+def _q_rerank_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retriever (search.rerank_cosine): BM25 top-50 candidates,
+    lexical-VSM-cosine second-stage scorer, reranked top-10 — the ES
+    text_similarity_reranker retriever shape with a deterministic pinned
+    similarity in place of the inference endpoint."""
+    from .search import rerank_cosine
+
+    tf, ds, ts, n, avgdl = _built_corpus(spark, sf_dir)
+    return rerank_cosine(tf, ds, ts, n, avgdl, "table scan", first_k=50, k=10)
+
+
+register(
+    "search_rerank_cosine",
+    _q_rerank_cosine,
+    f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / stats.avgdl)) ) AS score
+  FROM tf
+  JOIN (SELECT term, count(*) AS df FROM tf GROUP BY 1) df USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats
+  WHERE tf.term IN ('table', 'scan')
+  GROUP BY tf.doc_id),
+stage1 AS (
+  SELECT doc_id, round(score, 4) AS first_score
+  FROM scores ORDER BY round(score, 4) DESC, doc_id ASC LIMIT 50),
+norms AS (
+  SELECT doc_id, sqrt(sum(tf * tf)) AS dnorm FROM tf
+  WHERE doc_id IN (SELECT doc_id FROM stage1) GROUP BY doc_id),
+dots AS (
+  SELECT doc_id, sum(tf) AS dot FROM tf
+  WHERE term IN ('table', 'scan')
+    AND doc_id IN (SELECT doc_id FROM stage1) GROUP BY doc_id)
+SELECT s.doc_id, s.first_score,
+       round(coalesce(d.dot, 0) / (n.dnorm * sqrt(2)), 4) AS score
+FROM stage1 s
+JOIN norms n USING (doc_id)
+LEFT JOIN dots d USING (doc_id)
+ORDER BY score DESC, doc_id ASC
+LIMIT 10
+""",
+)
+
+
+# --- ES geo_line aggregation -------------------------------------------------
+
+
+def _q_geo_line(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .geo import geo_line_agg
+
+    ev = read_fixture(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    return geo_line_agg(ev, group_by="user_id", size=10)
+
+
+register(
+    "agg_geo_line",
+    _q_geo_line,
+    """
+WITH pts AS (
+  SELECT user_id, ts, event_id,
+         CAST(user_id % 179 - 89 AS DOUBLE) + 0.5 AS lat,
+         CAST(event_id % 359 - 179 AS DOUBLE) + 0.5 AS lon
+  FROM events WHERE user_id < 40),
+g AS (
+  SELECT user_id, count(*) AS n_points,
+         list(printf('%.1f %.1f', lon, lat) ORDER BY ts ASC, event_id ASC) AS pl
+  FROM pts GROUP BY user_id)
+SELECT user_id, n_points, n_points <= 10 AS complete,
+       array_to_string(pl[1:10], ', ') AS line
+FROM g ORDER BY user_id
+""",
+)

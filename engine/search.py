@@ -17,6 +17,8 @@ mode='or' → bool.should disjunction (D5). Tie-break score DESC, doc_id ASC
 
 from __future__ import annotations
 
+import math
+
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -997,6 +999,65 @@ def sparse_vector_topk(
         .select("doc_id", (w[F.col("term")] * F.col("tf")).alias("_c"))
         .groupBy("doc_id")
         .agg(F.round(F.sum("_c"), 4).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
+def rerank_cosine(
+    tf: DataFrame,
+    doc_stats: DataFrame,
+    term_stats: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    query: str,
+    first_k: int = 50,
+    k: int = 10,
+) -> DataFrame:
+    """Two-stage retriever [public: ES retriever tree — text_similarity
+    reranker over a standard retriever]: stage 1 retrieves the BM25 top
+    `first_k` candidates; stage 2 re-scores ONLY those candidates with a
+    similarity model and returns the reranked top `k`. ES calls an inference
+    endpoint for stage 2; no model exists in this sandbox, so the pinned
+    stand-in is the classic lexical VSM cosine (raw-tf vectors, query tf=1):
+
+        cos(q, d) = sum_{t in q} tf_td / (sqrt(|q|) * sqrt(sum_t tf_td^2))
+
+    deterministic and SQL-replayable, while the retriever SHAPE (bounded
+    candidate set, second-stage scorer, rerank-then-cut) is the real ES one.
+
+    Scale shape: stage 2 touches only first_k rows' postings — the candidate
+    doc_id set broadcasts into a semi-join on the tf frame, so the rerank
+    costs one bounded scan regardless of corpus size; the doc-norm aggregate
+    runs over those ≤first_k docs only. Output: (doc_id, first_score,
+    score), ordered by the rerank score."""
+    q = parse_query(query)
+    stage1 = exact_search(
+        tf, doc_stats, term_stats, n_docs, avgdl, query, k=first_k, mode="or"
+    ).select("doc_id", F.col("score").alias("first_score"))
+    cand_tf = tf.join(F.broadcast(stage1.select("doc_id")), "doc_id")
+    norms = cand_tf.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("tf") * F.col("tf"))).alias("dnorm")
+    )
+    dots = (
+        cand_tf.filter(F.col("term").isin(q.terms))
+        .groupBy("doc_id")
+        .agg(F.sum("tf").alias("dot"))
+    )
+    qnorm = math.sqrt(len(q.terms))
+    return (
+        stage1
+        .join(F.broadcast(norms), "doc_id")
+        .join(F.broadcast(dots), "doc_id", "left")
+        .select(
+            "doc_id",
+            "first_score",
+            F.round(
+                F.coalesce(F.col("dot"), F.lit(0.0))
+                / (F.col("dnorm") * F.lit(qnorm)),
+                4,
+            ).alias("score"),
+        )
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
         .limit(k)
     )
