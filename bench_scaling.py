@@ -2,9 +2,11 @@
 """Scaling-efficiency evidence for the north rule (BASELINE.json:2,14).
 
 No real multi-executor cluster exists in the sandbox, so per the driver
-instruction the SAME spark-submit job runs at two parallelism levels —
-local[8] (N) and local[32] (4N) — on the SAME input, and we report
-throughput at both plus efficiency = (T_N / T_4N) / 4.
+instruction the SAME spark-submit job runs at two parallelism levels on
+the SAME input, and we report throughput at both plus efficiency
+= (T_N / T_4N) / 4. Each level is taskset-pinned to exactly N host cores
+(see _pin) so "N cores" is true by construction for the JVM and its
+Python/Arrow workers alike.
 
 The job is the full north-rule pipeline via the real packaging path:
 
@@ -92,6 +94,20 @@ TRIALS = int(os.environ.get("SCALING_TRIALS", "2"))
 COOLDOWN_SEC = int(os.environ.get("SCALING_COOLDOWN", "120"))
 
 
+def _pin(cpus: int) -> list[str]:
+    """Bind the whole process tree (JVM + its GC/JIT pools + the SEPARATE
+    Python/Arrow worker processes) to exactly `cpus` host cores. Without
+    this, "local[1]" is NOT a one-core configuration on a 32-core host:
+    the pandas/Arrow UDF stages run in separate Python processes that
+    pipeline with the JVM on a second core, and the JVM sizes ~20 GC + JIT
+    threads for the full host — measured 1085.7 docs/s unpinned vs 685.5
+    pinned for the identical local[1] build (+58% borrowed from idle host
+    cores), which structurally deflates any N→4N efficiency computed from
+    unpinned walls. taskset makes "N cores" true by construction, exactly
+    as an N-core executor container is cgroup-bounded on a real cluster."""
+    return ["taskset", "-c", f"0-{cpus - 1}" if cpus > 1 else "0"]
+
+
 def run_pairs(n_lo: int, n_hi: int, pages: str, zip_path: str):
     """TRIALS interleaved (hi, lo) pairs. The host's capacity drifts on a
     minutes timescale (noisy neighbors, kernel-time contention), so running
@@ -127,7 +143,7 @@ def run_pairs(n_lo: int, n_hi: int, pages: str, zip_path: str):
 def _run_once(cpus: int, pages: str, zip_path: str) -> dict:
     out = f"/tmp/engine_scaling_idx_{cpus}"
     shutil.rmtree(out, ignore_errors=True)
-    cmd = [
+    cmd = _pin(cpus) + [
         "spark-submit",
         "--master", f"local[{cpus}]",
         "--driver-memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
@@ -158,6 +174,7 @@ def _run_once(cpus: int, pages: str, zip_path: str) -> dict:
     line = [l for l in proc.stdout.splitlines() if l.startswith("{")]
     if proc.returncode != 0 or not line:
         sys.stderr.write(proc.stderr[-4000:])
+        sys.stderr.write("\n--- stdout tail ---\n" + proc.stdout[-4000:])
         raise SystemExit(f"local[{cpus}] run failed (rc={proc.returncode})")
     res = json.loads(line[-1])
     res["submit_wall_sec"] = round(wall, 3)
@@ -207,7 +224,8 @@ def _run_control_once(cpus: int) -> float:
         "s.stop()\n"
     )
     proc = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True, timeout=600
+        _pin(cpus) + [sys.executable, "-c", code],
+        capture_output=True, text=True, timeout=600,
     )
     for line in proc.stdout.splitlines():
         if line.startswith("CTL"):
@@ -250,7 +268,8 @@ def _run_shuffle_control_once(cpus: int) -> float:
         "s.stop()\n"
     )
     proc = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True, timeout=900
+        _pin(cpus) + [sys.executable, "-c", code],
+        capture_output=True, text=True, timeout=900,
     )
     for line in proc.stdout.splitlines():
         if line.startswith("CTL"):
@@ -323,6 +342,14 @@ def main() -> None:
         f"Same `spark-submit --py-files` index-build job, same {N_PAGES}-page\n"
         f"synthetic corpus, two parallelism levels local[{n_lo}] vs local[{n_hi}]\n"
         "(sandbox proxy for N vs 4N executors per the driver instruction).\n"
+        f"Each level is `taskset`-pinned to exactly its {n_lo} / {n_hi} host\n"
+        "cores — JVM, GC/JIT pools, AND the separate Python/Arrow worker\n"
+        "processes — because an unpinned local[N] on a 32-core host is not an\n"
+        "N-core machine: the 1-core level pipelines its Python workers on a\n"
+        "second core and gets ~20 host-sized GC/JIT threads, measured +58%\n"
+        "docs/s vs the same pinned run, structurally deflating the computed\n"
+        "efficiency. Pinning bounds each level the way a real executor\n"
+        "container is cgroup-bounded; both controls run pinned identically.\n"
         f"{TRIALS} interleaved (hi, lo) trial pairs. The HEADLINE efficiency\n"
         "is computed from the per-level BEST walls in the table below (the\n"
         "conservative estimator — no pair selection); median and best\n"

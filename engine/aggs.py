@@ -1028,3 +1028,126 @@ def variable_width_histogram_agg(
         )
         .orderBy("bucket")
     )
+
+
+def change_point_agg(
+    ev: DataFrame, ts_col: str, unit: str = "day", value_col: str | None = None
+) -> DataFrame:
+    """ES `change_point` pipeline aggregation [public: ES change_point agg
+    docs] — pinned DETERMINISTIC variant. ES fits several candidate models
+    (step_change, spike, dip, trend_change) and reports the best p-value;
+    that model search is not replayable, so the pinned semantics here are
+    the classic CUSUM estimator for a mean shift: over the date_histogram
+    bucket frame, S_t = cumsum(x_t - mean(x)); the change point is the
+    bucket maximizing |S_t| (ties -> earliest bucket; the last bucket has
+    no right side and is excluded), reported with the mean up to and after
+    the split and the shift direction.
+
+    Scale shape: one hash-agg over the raw events, then three windows over
+    the BUCKET frame (<= thousands of rows), the same
+    single-partition-is-fine shape as moving_fn/serial_diff. The raw table
+    is never windowed."""
+    from pyspark.sql import Window
+
+    x = (F.count("*") if value_col is None else F.sum(value_col)).alias("x")
+    b = ev.groupBy(F.date_trunc(unit, F.col(ts_col)).alias("bucket")).agg(x)
+    w_all = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_cum = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_after = Window.orderBy("bucket").rowsBetween(1, Window.unboundedFollowing)
+    s = (
+        b.withColumn(
+            "cusum", F.sum(F.col("x") - F.avg("x").over(w_all)).over(w_cum)
+        )
+        .withColumn("mean_before", F.avg("x").over(w_cum))
+        .withColumn("mean_after", F.avg("x").over(w_after))
+        .where(F.col("mean_after").isNotNull())
+    )
+    return (
+        s.orderBy(F.abs(F.col("cusum")).desc(), F.col("bucket").asc())
+        .limit(1)
+        .select(
+            F.col("bucket").alias("change_point"),
+            F.round("cusum", 4).alias("cusum"),
+            F.round("mean_before", 4).alias("mean_before"),
+            F.round("mean_after", 4).alias("mean_after"),
+            F.when(F.col("mean_after") > F.col("mean_before"), F.lit("increase"))
+            .otherwise(F.lit("decrease"))
+            .alias("direction"),
+        )
+    )
+
+
+def bucket_correlation_agg(
+    ev: DataFrame, field: str = "value", interval: float = 10.0
+) -> DataFrame:
+    """ES `bucket_correlation` pipeline aggregation with the
+    `count_correlation` function [public: ES bucket_correlation agg docs] —
+    Pearson correlation between per-bucket doc counts of a histogram and an
+    indicator vector. The indicator pinned here is the linear ramp
+    1..n_buckets (the canonical "is the metric trending with the buckets"
+    probe); ES takes the vector verbatim, the ramp keeps the query
+    self-contained. One hash-agg to the bucket frame, one window for the
+    ramp index, one corr() aggregate — the raw table is scanned once."""
+    from pyspark.sql import Window
+
+    b = ev.groupBy(
+        (F.floor(F.col(field) / F.lit(interval)) * F.lit(interval)).alias(
+            "bucket"
+        )
+    ).agg(F.count("*").alias("doc_count"))
+    idx = F.row_number().over(Window.orderBy("bucket"))
+    return b.withColumn("indicator", idx.cast("double")).agg(
+        F.round(F.corr("doc_count", "indicator"), 4).alias("correlation"),
+        F.count("*").alias("n_buckets"),
+    )
+
+
+def terms_ordered_by_metric_agg(
+    df: DataFrame, field: str, metric_col: str, size: int = 10
+) -> DataFrame:
+    """ES `terms` aggregation ordered by a sub-aggregation metric
+    [public: ES terms agg `order` param]: buckets ranked by avg(metric)
+    instead of doc_count (order: {"avg_m": "desc"}), ties on the key.
+    Same one-shuffle hash-agg as terms_agg; the ordering runs on the bucket
+    frame so the top-k is a coordinator-sized TakeOrdered."""
+    return (
+        df.groupBy(field)
+        .agg(
+            F.count("*").alias("doc_count"),
+            F.round(F.avg(metric_col), 4).alias("avg_metric"),
+        )
+        .orderBy(F.col("avg_metric").desc(), F.col(field).asc())
+        .limit(size)
+    )
+
+
+def reverse_nested_agg(
+    items: DataFrame,
+    parent_key: str,
+    bucket_field: str,
+    predicate,
+    size: int = 10,
+) -> DataFrame:
+    """ES `reverse_nested` aggregation [public: ES reverse_nested agg docs]:
+    inside a nested context (one row per nested item), bucket by an item
+    field and report BOTH the nested doc_count and the count of distinct
+    PARENT documents per bucket — the join back to the parent level that
+    reverse_nested exists for. Our nested representation is the items table
+    keyed by parent_key (registry search_nested pins the same
+    lineitem-under-orders shape). One hash-agg with a distinct count; Spark
+    rewrites count(DISTINCT) into a two-stage partial aggregate, no shuffle
+    beyond the groupBy key exchange."""
+    return (
+        items.where(predicate)
+        .groupBy(bucket_field)
+        .agg(
+            F.count("*").alias("doc_count"),
+            F.countDistinct(parent_key).alias("parent_count"),
+        )
+        .orderBy(F.col("doc_count").desc(), F.col(bucket_field).asc())
+        .limit(size)
+    )

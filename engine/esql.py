@@ -59,7 +59,7 @@ _TOKEN_RE = re.compile(
 _KEYWORDS = frozenset(
     "from where eval stats by sort limit keep drop rename as asc desc "
     "and or not like in is null true false lookup join on nulls first last "
-    "dissect grok mv_expand".split()
+    "dissect grok mv_expand change_point".split()
 )
 
 
@@ -585,6 +585,49 @@ def esql(query: str, resolve: Callable[[str], DataFrame]) -> DataFrame:
             # semantics, ES keeps a null row for null fields)
             col = p.expect("ident")
             df = df.withColumn(col, F.explode(col))
+        elif cmd == "change_point":
+            # ES|QL CHANGE_POINT value [ON key] [public: ES|QL change_point
+            # command] — pinned DETERMINISTIC variant, same estimator as
+            # aggs.change_point_agg: ES fits candidate models and reports a
+            # p-value; here S_t = cumsum(x - mean(x)) over rows ordered by
+            # the ON key, and the |S_t|-argmax row (ties → earliest key;
+            # the last row has no right side and is excluded) is marked
+            # type='step_change' with the CUSUM statistic in `cusum` (the
+            # deterministic stand-in for ES's pvalue — divergence
+            # documented). Runs over bucket-frame inputs (the command
+            # follows a STATS in practice), never corpus-sized rows.
+            from pyspark.sql import Window
+
+            val = p.expect("ident")
+            key = p.expect("ident") if p.eat_kw("on") else "@timestamp"
+            w_all = Window.orderBy(key).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+            w_cum = Window.orderBy(key).rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+            w_after = Window.orderBy(key).rowsBetween(
+                1, Window.unboundedFollowing
+            )
+            cus = F.sum(F.col(val) - F.avg(val).over(w_all)).over(w_cum)
+            df = df.withColumn(
+                "_cusum", F.when(F.avg(val).over(w_after).isNotNull(), cus)
+            )
+            rn = F.row_number().over(
+                Window.orderBy(
+                    F.abs(F.col("_cusum")).desc_nulls_last(), F.col(key).asc()
+                )
+            )
+            df = (
+                df.withColumn("_rn", rn)
+                .withColumn(
+                    "type", F.when(F.col("_rn") == 1, F.lit("step_change"))
+                )
+                .withColumn(
+                    "cusum", F.when(F.col("_rn") == 1, F.round("_cusum", 4))
+                )
+                .drop("_cusum", "_rn")
+            )
         elif cmd in ("dissect", "grok"):
             src = p.expect("ident")
             k2, pat = p.next()

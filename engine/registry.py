@@ -7618,3 +7618,147 @@ SELECT user_id, n_points, n_points <= 10 AS complete,
 FROM g ORDER BY user_id
 """,
 )
+
+
+# --- ES change_point / bucket_correlation pipeline aggs + terms order /
+# --- reverse_nested (round-5d) ----------------------------------------------
+
+
+def _q_change_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES change_point pipeline agg (aggs.change_point_agg): CUSUM
+    mean-shift argmax over the daily doc_count series."""
+    from .aggs import change_point_agg
+
+    return change_point_agg(_ev(spark, sf_dir), "ts", unit="day")
+
+
+register(
+    "agg_change_point",
+    _q_change_point,
+    """
+WITH b AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+                  CAST(count(*) AS DOUBLE) AS x
+           FROM events GROUP BY 1),
+m AS (SELECT bucket, x, avg(x) OVER () AS mean_all FROM b),
+s AS (SELECT bucket, x,
+             sum(x - mean_all) OVER (ORDER BY bucket
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum,
+             avg(x) OVER (ORDER BY bucket
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mean_before,
+             avg(x) OVER (ORDER BY bucket
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS mean_after
+      FROM m)
+SELECT bucket AS change_point, round(cusum, 4) AS cusum,
+       round(mean_before, 4) AS mean_before, round(mean_after, 4) AS mean_after,
+       CASE WHEN mean_after > mean_before THEN 'increase' ELSE 'decrease' END
+         AS direction
+FROM s WHERE mean_after IS NOT NULL
+ORDER BY abs(cusum) DESC, bucket ASC LIMIT 1
+""",
+)
+
+
+def _q_bucket_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES bucket_correlation (count_correlation) pipeline agg
+    (aggs.bucket_correlation_agg): Pearson r between histogram doc_counts
+    and the linear-ramp indicator."""
+    from .aggs import bucket_correlation_agg
+
+    return bucket_correlation_agg(_ev(spark, sf_dir), "value", interval=10.0)
+
+
+register(
+    "agg_bucket_correlation",
+    _q_bucket_correlation,
+    """
+WITH b AS (SELECT floor(value / 10.0) * 10.0 AS bucket, count(*) AS doc_count
+           FROM events GROUP BY 1),
+i AS (SELECT doc_count,
+             CAST(row_number() OVER (ORDER BY bucket) AS DOUBLE) AS indicator
+      FROM b)
+SELECT round(corr(doc_count, indicator), 4) AS correlation,
+       count(*) AS n_buckets
+FROM i
+""",
+)
+
+
+def _q_terms_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES terms agg ordered by a sub-agg metric
+    (aggs.terms_ordered_by_metric_agg): l_returnflag buckets ranked by
+    avg(l_extendedprice) desc."""
+    from .aggs import terms_ordered_by_metric_agg
+
+    li = read_fixture(spark, sf_dir, "lineitem")
+    return terms_ordered_by_metric_agg(li, "l_returnflag", "l_extendedprice", size=5)
+
+
+register(
+    "agg_terms_ordered_by_metric",
+    _q_terms_ordered,
+    """
+SELECT l_returnflag, count(*) AS doc_count,
+       round(avg(l_extendedprice), 4) AS avg_metric
+FROM lineitem GROUP BY l_returnflag
+ORDER BY avg_metric DESC, l_returnflag ASC LIMIT 5
+""",
+)
+
+
+def _q_reverse_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES reverse_nested agg (aggs.reverse_nested_agg): nested items =
+    lineitem under orders (the search_nested shape); bucket the nested level
+    by l_returnflag for high-quantity items, count items AND distinct parent
+    orders per bucket."""
+    from .aggs import reverse_nested_agg
+
+    li = read_fixture(spark, sf_dir, "lineitem")
+    return reverse_nested_agg(
+        li, "l_orderkey", "l_returnflag", F.col("l_quantity") >= 30, size=10
+    )
+
+
+register(
+    "agg_reverse_nested",
+    _q_reverse_nested,
+    """
+SELECT l_returnflag, count(*) AS doc_count,
+       count(DISTINCT l_orderkey) AS parent_count
+FROM lineitem WHERE l_quantity >= 30
+GROUP BY l_returnflag ORDER BY doc_count DESC, l_returnflag ASC LIMIT 10
+""",
+)
+
+
+def _q_esql_change_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL CHANGE_POINT command (engine.esql): daily STATS series piped
+    through the CUSUM change-point marker, filtered to the marked row."""
+    from .esql import esql
+
+    return esql(
+        'FROM events | EVAL day = DATE_TRUNC("day", ts) '
+        "| STATS x = COUNT(*) BY day | CHANGE_POINT x ON day "
+        "| WHERE type IS NOT NULL | KEEP day, x, type, cusum",
+        lambda name: read_fixture(spark, sf_dir, name),
+    )
+
+
+register(
+    "esql_change_point",
+    _q_esql_change_point,
+    """
+WITH b AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                  count(*) AS x
+           FROM events GROUP BY 1),
+m AS (SELECT day, x, avg(x) OVER () AS mean_all FROM b),
+s AS (SELECT day, x,
+             sum(x - mean_all) OVER (ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum,
+             avg(x) OVER (ORDER BY day
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS mean_after
+      FROM m)
+SELECT day, x, 'step_change' AS type, round(cusum, 4) AS cusum
+FROM s WHERE mean_after IS NOT NULL
+ORDER BY abs(cusum) DESC, day ASC LIMIT 1
+""",
+)
