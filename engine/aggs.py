@@ -1151,3 +1151,23 @@ def reverse_nested_agg(
         .orderBy(F.col("doc_count").desc(), F.col(bucket_field).asc())
         .limit(size)
     )
+
+
+def transform_latest(
+    df: DataFrame, unique_key: str, sort_col: str, tiebreak: str
+) -> DataFrame:
+    """ES transform `latest` mode [public: ES transforms docs]: the most
+    recent document per unique key, deterministic via an id tiebreak (ES
+    breaks ties by internal doc order — unreplayable, so the tiebreak column
+    is pinned). KEYED window (partitioned by the unique key) — one shuffle
+    on the key, no global window, scales like any groupBy."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(unique_key).orderBy(
+        F.col(sort_col).desc(), F.col(tiebreak).desc()
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )

@@ -7762,3 +7762,78 @@ FROM s WHERE mean_after IS NOT NULL
 ORDER BY abs(cusum) DESC, day ASC LIMIT 1
 """,
 )
+
+
+# --- ES ingest pipeline + transform latest (round-5e) ------------------------
+
+
+def _q_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ingest pipeline (engine.ingest.apply_pipeline): ordered processor
+    chain — set/rename/gsub/convert/uppercase/fingerprint/enrich/drop — all
+    compiled into one zero-shuffle codegen projection (enrich broadcasts its
+    lookup, the ES enrich-index contract)."""
+    from .ingest import apply_pipeline
+
+    lang_dim = spark.createDataFrame(
+        [("en", "germanic"), ("de", "germanic"), ("fr", "romance"),
+         ("es", "romance"), ("zh", "sinitic")],
+        "lang string, family string",
+    )
+    docs = _docs(spark, sf_dir)
+    out = apply_pipeline(
+        docs,
+        [
+            {"set": {"field": "pipeline", "value": "web-refine"}},
+            {"rename": {"field": "source", "target_field": "src"}},
+            {"gsub": {"field": "src", "pattern": "[^0-9]", "replacement": ""}},
+            {"convert": {"field": "src", "type": "long", "target_field": "src_num"}},
+            {"uppercase": {"field": "lang", "target_field": "lang_uc"}},
+            {"fingerprint": {"fields": ["doc_id", "lang"], "target_field": "fp"}},
+            {"enrich": {"policy_name": "lang_dim", "match_field": "lang"}},
+            {"drop": {"if": "n_chars < 100"}},
+        ],
+        resolve=lambda name: {"lang_dim": lang_dim}[name],
+    )
+    return (
+        out.select("doc_id", "pipeline", "src_num", "lang_uc", "family", "fp")
+        .orderBy("doc_id")
+        .limit(25)
+    )
+
+
+register(
+    "ingest_pipeline",
+    _q_ingest_pipeline,
+    """
+WITH dim(lang, family) AS (VALUES ('en', 'germanic'), ('de', 'germanic'),
+                                  ('fr', 'romance'), ('es', 'romance'),
+                                  ('zh', 'sinitic'))
+SELECT d.doc_id, 'web-refine' AS pipeline,
+       CAST(regexp_replace(d.source, '[^0-9]', '', 'g') AS BIGINT) AS src_num,
+       upper(d.lang) AS lang_uc, dim.family,
+       md5(CAST(d.doc_id AS VARCHAR) || '|' || d.lang) AS fp
+FROM documents d LEFT JOIN dim USING (lang)
+WHERE NOT (d.n_chars < 100)
+ORDER BY d.doc_id LIMIT 25
+""",
+)
+
+
+def _q_transform_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES transform latest mode (aggs.transform_latest): newest event per
+    user, ts desc with event_id tiebreak, keyed window."""
+    from .aggs import transform_latest
+
+    return transform_latest(_ev(spark, sf_dir), "user_id", "ts", "event_id")
+
+
+register(
+    "transform_latest",
+    _q_transform_latest,
+    """
+SELECT event_id, ts, user_id, event_type, value, props FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events) WHERE rn = 1
+""",
+)

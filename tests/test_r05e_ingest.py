@@ -1,0 +1,167 @@
+"""Round-5e: ES ingest-pipeline processors and transform latest mode."""
+
+import datetime as dt
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "Hello World", "en", "src12", 200),
+            (2, "Bonjour", "fr", "src3", 50),
+            (3, "Hallo Welt", "de", "src7", 300),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+def test_set_rename_remove_convert(spark):
+    from engine.ingest import apply_pipeline
+
+    out = apply_pipeline(
+        _docs(spark),
+        [
+            {"set": {"field": "tag", "value": "x"}},
+            {"rename": {"field": "source", "target_field": "src"}},
+            {"gsub": {"field": "src", "pattern": "[^0-9]", "replacement": ""}},
+            {"convert": {"field": "src", "type": "long"}},
+            {"remove": {"field": "text"}},
+        ],
+    ).collect()
+    assert all(r["tag"] == "x" for r in out)
+    assert {r["doc_id"]: r["src"] for r in out} == {1: 12, 2: 3, 3: 7}
+    assert "text" not in out[0].asDict()
+
+
+def test_set_copy_from_and_no_override(spark):
+    from engine.ingest import apply_pipeline
+
+    out = apply_pipeline(
+        _docs(spark),
+        [
+            {"set": {"field": "lang2", "copy_from": "lang"}},
+            {"set": {"field": "lang2", "value": "xx", "override": False}},
+        ],
+    ).collect()
+    assert {r["lang2"] for r in out} == {"en", "fr", "de"}
+
+
+def test_case_trim_split_join_append(spark):
+    from engine.ingest import apply_pipeline
+
+    df = spark.createDataFrame([("  a b  ",)], "s string")
+    out = apply_pipeline(
+        df,
+        [
+            {"trim": {"field": "s"}},
+            {"uppercase": {"field": "s", "target_field": "u"}},
+            {"split": {"field": "s", "separator": " "}},
+            {"join": {"field": "s", "separator": "-", "target_field": "j"}},
+            {"append": {"field": "s", "value": ["c", "c"], "allow_duplicates": False}},
+        ],
+    ).collect()[0]
+    assert out["u"] == "A B"
+    assert out["j"] == "a-b"
+    assert out["s"] == ["a", "b", "c"]
+
+
+def test_csv_and_date(spark):
+    from engine.ingest import apply_pipeline
+
+    df = spark.createDataFrame([("3,foo,2024-05-01",)], "line string")
+    out = apply_pipeline(
+        df,
+        [
+            {"csv": {"field": "line", "target_fields": ["n", "name", "d"]}},
+            {"date": {"field": "d", "formats": ["yyyy/MM/dd", "yyyy-MM-dd"],
+                      "target_field": "ts"}},
+        ],
+    ).collect()[0]
+    assert (out["n"], out["name"]) == ("3", "foo")
+    assert out["ts"] == dt.datetime(2024, 5, 1)
+
+
+def test_fingerprint_matches_md5(spark):
+    from engine.ingest import apply_pipeline
+
+    out = apply_pipeline(
+        _docs(spark), [{"fingerprint": {"fields": ["doc_id", "lang"]}}]
+    ).collect()
+    for r in out:
+        want = hashlib.md5(f"{r['doc_id']}|{r['lang']}".encode()).hexdigest()
+        assert r["fingerprint"] == want
+
+
+def test_drop_if_and_conditional_set(spark):
+    from engine.ingest import apply_pipeline
+
+    out = apply_pipeline(
+        _docs(spark),
+        [
+            {"set": {"field": "grade", "value": "long", "if": "n_chars >= 200"}},
+            {"drop": {"if": "n_chars < 100"}},
+        ],
+    ).collect()
+    got = {r["doc_id"]: r["grade"] for r in out}
+    assert got == {1: "long", 3: "long"}
+    assert 2 not in got
+
+
+def test_enrich_broadcasts_and_script_raises(spark):
+    from engine.ingest import apply_pipeline
+
+    dim = spark.createDataFrame(
+        [("en", "germanic"), ("fr", "romance")], "lang string, family string"
+    )
+    out = apply_pipeline(
+        _docs(spark),
+        [{"enrich": {"policy_name": "dim", "match_field": "lang"}}],
+        resolve=lambda n: {"dim": dim}[n],
+    )
+    assert "BroadcastHashJoin" in out._jdf.queryExecution().executedPlan().toString()
+    assert {r["doc_id"]: r["family"] for r in out.collect()} == {
+        1: "germanic", 2: "romance", 3: None,
+    }
+    with pytest.raises(NotImplementedError):
+        apply_pipeline(_docs(spark), [{"script": {"source": "ctx.x = 1"}}])
+    with pytest.raises(ValueError, match="unsupported processor"):
+        apply_pipeline(_docs(spark), [{"frobnicate": {}}])
+
+
+def test_pipeline_is_single_stage_projection(spark):
+    """The whole expression chain must collapse into a scan + project —
+    no shuffle, no UDF (the 100-TB shape claimed in the module docstring)."""
+    from engine.ingest import apply_pipeline
+
+    out = apply_pipeline(
+        _docs(spark),
+        [
+            {"set": {"field": "tag", "value": "x"}},
+            {"gsub": {"field": "source", "pattern": "[^0-9]", "replacement": ""}},
+            {"fingerprint": {"fields": ["doc_id", "lang"]}},
+            {"drop": {"if": "n_chars < 100"}},
+        ],
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_transform_latest_keyed_window(spark):
+    from engine.aggs import transform_latest
+
+    base = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [
+            (1, 10, base + dt.timedelta(hours=1)),
+            (2, 10, base + dt.timedelta(hours=2)),  # latest for user 10
+            (3, 20, base + dt.timedelta(hours=2)),
+            (4, 20, base + dt.timedelta(hours=2)),  # tie -> higher event_id
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    out = transform_latest(df, "user_id", "ts", "event_id").collect()
+    assert {r["user_id"]: r["event_id"] for r in out} == {10: 2, 20: 4}
