@@ -59,7 +59,7 @@ _TOKEN_RE = re.compile(
 _KEYWORDS = frozenset(
     "from where eval stats by sort limit keep drop rename as asc desc "
     "and or not like in is null true false lookup join on nulls first last "
-    "dissect grok mv_expand change_point".split()
+    "dissect grok mv_expand change_point enrich with sample".split()
 )
 
 
@@ -637,6 +637,45 @@ def esql(query: str, resolve: Callable[[str], DataFrame]) -> DataFrame:
             regex, names = compiler(_unquote(pat))
             for i, nm in enumerate(names, start=1):
                 df = df.withColumn(nm, F.regexp_extract(F.col(src), regex, i))
+        elif cmd == "enrich":
+            # ES|QL ENRICH policy ON match_field [WITH f1, f2] [public:
+            # ES|QL enrich command]: enrich indexes are small by contract —
+            # broadcast left join; the main stream never shuffles (same
+            # shape as LOOKUP JOIN).
+            policy = p.expect("ident")
+            if not p.eat_kw("on"):
+                raise ValueError("ES|QL: ENRICH needs ON <match_field>")
+            key = p.expect("ident")
+            lookup = resolve(policy)
+            if p.eat_kw("with"):
+                cols = [p.expect("ident")]
+                while p.peek() == ("op", ","):
+                    p.next()
+                    cols.append(p.expect("ident"))
+                lookup = lookup.select(key, *cols)
+            df = df.join(F.broadcast(lookup), on=key, how="left")
+        elif cmd == "sample":
+            # ES|QL SAMPLE probability [ON col] [public: ES|QL sample
+            # command] — pinned DETERMINISTIC variant: ES samples randomly,
+            # which is not oracle-checkable, so the pinned semantics hash a
+            # key column (ON col; default the frame's first column) with the
+            # samplers' SQL-portable multiplicative hash and keep rows where
+            # hash % 1000 < probability·1000 (divergence documented, same
+            # idiom as random_sampler). Pure codegen filter on the scan.
+            from .sample import portable_hash_expr
+
+            k2, v2 = p.next()
+            if k2 != "number":
+                raise ValueError("ES|QL: SAMPLE needs a probability")
+            prob = float(v2)
+            if not 0 < prob <= 1:
+                raise ValueError(
+                    f"ES|QL: SAMPLE probability must be in (0, 1]: {prob}"
+                )
+            key = p.expect("ident") if p.eat_kw("on") else df.columns[0]
+            df = df.filter(
+                (portable_hash_expr(key) % 1000) < int(round(prob * 1000))
+            )
         elif cmd == "lookup":
             if not p.eat_kw("join"):
                 raise ValueError("ES|QL: expected LOOKUP JOIN")

@@ -42,8 +42,22 @@ def make_pyfiles_zip(out_path: str | None = None) -> str:
 
 
 def ensure_workers_can_import(spark: SparkSession) -> None:
-    """Idempotently addPyFile the engine zip to this session's executors."""
+    """Idempotently addPyFile the engine zip to this session's executors.
+
+    No-op when an engine zip was already shipped at submit time (spark-submit
+    --py-files, visible in spark.submit.pyFiles / spark.files): every executor
+    already has that zip, and re-zipping here would race the working tree —
+    if engine/*.py changed on disk since submit, addPyFile of a same-named,
+    different-content zip makes Spark abort the whole app ("exists and does
+    not match contents"). The zip shipped at submit IS the job's code; the
+    working tree is not."""
     sc = spark.sparkContext
+    shipped = " ".join(
+        sc.getConf().get(k, "") or ""
+        for k in ("spark.submit.pyFiles", "spark.files")
+    )
+    if "engine_pyfiles" in shipped:
+        return
     if getattr(sc, _SENT_KEY, False):
         return
     sc.addPyFile(make_pyfiles_zip())

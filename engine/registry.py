@@ -7837,3 +7837,65 @@ SELECT event_id, ts, user_id, event_type, value, props FROM (
   FROM events) WHERE rn = 1
 """,
 )
+
+
+# --- ES|QL ENRICH + SAMPLE (round-5e) -----------------------------------------
+
+
+def _q_esql_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL ENRICH command (engine.esql): documents enriched with a
+    language-family policy (broadcast left join of the small enrich index),
+    aggregated per family."""
+    from .esql import esql
+
+    lang_dim = spark.createDataFrame(
+        [("en", "germanic"), ("de", "germanic"), ("fr", "romance"),
+         ("es", "romance"), ("zh", "sinitic")],
+        "lang string, family string",
+    )
+    return esql(
+        "FROM documents | ENRICH lang_policy ON lang WITH family "
+        "| STATS docs = COUNT(*), chars = SUM(n_chars) BY family "
+        "| SORT family",
+        lambda name: lang_dim
+        if name == "lang_policy"
+        else read_fixture(spark, sf_dir, name),
+    )
+
+
+register(
+    "esql_enrich",
+    _q_esql_enrich,
+    """
+WITH dim(lang, family) AS (VALUES ('en', 'germanic'), ('de', 'germanic'),
+                                  ('fr', 'romance'), ('es', 'romance'),
+                                  ('zh', 'sinitic'))
+SELECT family, count(*) AS docs, sum(n_chars) AS chars
+FROM documents LEFT JOIN dim USING (lang)
+GROUP BY family ORDER BY family
+""",
+)
+
+
+def _q_esql_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL SAMPLE command (engine.esql): deterministic portable-hash
+    quarter-sample of events, then one aggregate (ES samples randomly —
+    pinned divergence documented in the compiler)."""
+    from .esql import esql
+
+    return esql(
+        "FROM events | SAMPLE 0.25 ON event_id "
+        "| STATS n = COUNT(*), avg_v = ROUND(AVG(value), 4)",
+        lambda name: read_fixture(spark, sf_dir, name),
+    )
+
+
+register(
+    "esql_sample",
+    _q_esql_sample,
+    f"""
+SELECT count(*) AS n, round(avg(value), 4) AS avg_v
+FROM events
+WHERE ({_PORTABLE_HASH_SQL.replace('doc_id', 'event_id')}) % 1000 < 250
+""",
+)

@@ -165,3 +165,42 @@ def test_transform_latest_keyed_window(spark):
     )
     out = transform_latest(df, "user_id", "ts", "event_id").collect()
     assert {r["user_id"]: r["event_id"] for r in out} == {10: 2, 20: 4}
+
+
+def test_esql_enrich_with_projection_and_broadcast(spark):
+    from engine.esql import esql
+
+    dim = spark.createDataFrame(
+        [("en", "germanic", "x"), ("fr", "romance", "y")],
+        "lang string, family string, junk string",
+    )
+    out = esql(
+        "FROM docs | ENRICH pol ON lang WITH family | SORT doc_id",
+        lambda n: {"docs": _docs(spark), "pol": dim}[n],
+    )
+    assert "junk" not in out.columns  # WITH projects the enrich fields
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert [r["family"] for r in out.collect()] == ["germanic", "romance", None]
+
+    with pytest.raises(ValueError, match="ENRICH needs ON"):
+        esql("FROM docs | ENRICH pol", lambda n: _docs(spark))
+
+
+def test_esql_sample_is_deterministic_hash_filter(spark):
+    from engine.esql import esql
+    from engine.sample import portable_hash_expr
+
+    docs = _docs(spark)
+    out = esql(
+        "FROM docs | SAMPLE 0.5 ON doc_id | KEEP doc_id",
+        lambda n: docs,
+    ).collect()
+    want = (
+        docs.filter((portable_hash_expr("doc_id") % 1000) < 500)
+        .select("doc_id").collect()
+    )
+    assert sorted(r["doc_id"] for r in out) == sorted(r["doc_id"] for r in want)
+
+    with pytest.raises(ValueError, match="probability"):
+        esql("FROM docs | SAMPLE 1.5", lambda n: docs)
