@@ -54,6 +54,10 @@ HEADLINE = [
     # analyzer chain (stopword + minimal-stem Catalyst exprs + exact BM25)
     "text_span_dedup",
     "bm25_french",
+    # round-5d/e additions (additive, same policy): the ingest processor
+    # chain (zero-shuffle codegen projection + broadcast enrich over the
+    # documents table) — the new ingest surface's headline shape
+    "ingest_pipeline",
 ]
 
 
