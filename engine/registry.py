@@ -7899,3 +7899,140 @@ FROM events
 WHERE ({_PORTABLE_HASH_SQL.replace('doc_id', 'event_id')}) % 1000 < 250
 """,
 )
+
+
+# --- ES _analyze API (round-5e) -----------------------------------------------
+
+
+def _q_analyze_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `_analyze` API [public: ES analyze API docs]: run a pinned text
+    through the standard tokenizer + `english` filter chain and return one
+    row per emitted token with its position. Positions count the ORIGINAL
+    token stream, so removed stopwords leave gaps — ES's position-increment
+    behavior. Tokenization is the engine's Arrow UDF; the filter chain is
+    the same Catalyst exprs the index path uses (tokenizer.english_tokens_expr)."""
+    from .tokenizer import ENGLISH_STOPWORDS, english_tokens_expr, tokenize_udf
+
+    text = "The tables hold many queries and the merges stream briskly"
+    df = spark.createDataFrame([(text,)], "text string")
+    pos_tok = df.select(
+        F.posexplode(tokenize_udf(F.col("text"))).alias("position", "t")
+    )
+    return (
+        pos_tok.where(~F.col("t").isin(*sorted(ENGLISH_STOPWORDS)))
+        .select(
+            "position",
+            F.element_at(english_tokens_expr(F.array(F.col("t"))), 1).alias(
+                "token"
+            ),
+        )
+        .orderBy("position")
+    )
+
+
+def _analyze_api_oracle() -> str:
+    from .tokenizer import ENGLISH_STOPWORDS
+
+    stop_in = ", ".join(f"'{w}'" for w in sorted(ENGLISH_STOPWORDS))
+    return f"""
+WITH s AS (SELECT string_split(
+    lower('The tables hold many queries and the merges stream briskly'),
+    ' ') AS l),
+z AS (SELECT CAST(unnest(range(length(l))) AS INTEGER) AS position,
+             unnest(l) AS t
+      FROM s)
+SELECT position, {_english_stem_sql('t')} AS token
+FROM z WHERE t NOT IN ({stop_in})
+ORDER BY position
+"""
+
+
+register("analyze_api", _q_analyze_api, _analyze_api_oracle())
+
+
+# --- ES Graph explore API (round-5e) -------------------------------------------
+
+
+def _q_graph_explore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES Graph explore API [public: ES graph explore docs]: one-hop
+    expansion from a seed term. Vertices = the JLH-most-significant terms in
+    the seed's match set (same estimator as agg_significant_text);
+    connections = seed→vertex edges (doc_count = co-occurrence docs, weight
+    = JLH) plus vertex↔vertex edges where two vertices co-occur in seed docs.
+    The vertex list is a bounded top-k collect (same pattern as the hot-term
+    list); pair counting runs only over the fg tf frame restricted to those
+    k terms — never an all-pairs corpus join."""
+    seed, k = "scan", 6
+    tf, ds, ts, n, avgdl = _built_corpus(spark, sf_dir)
+    fg_ids = tf.filter(F.col("term") == seed).select("doc_id").distinct()
+    fg_n = fg_ids.count()
+    fg_tf = tf.join(F.broadcast(fg_ids), "doc_id").select("doc_id", "term")
+    fg_df = fg_tf.groupBy("term").agg(F.count("*").alias("fg_df"))
+    jlh = (
+        fg_df.join(ts.select("term", "df"), "term")
+        .where(F.col("term") != seed)
+        .select(
+            "term",
+            "fg_df",
+            F.round(
+                (F.col("fg_df") / F.lit(float(fg_n)) - F.col("df") / F.lit(float(n)))
+                * (F.col("fg_df") / F.lit(float(fg_n)))
+                / (F.col("df") / F.lit(float(n))),
+                4,
+            ).alias("weight"),
+        )
+        .orderBy(F.col("weight").desc(), F.col("term").asc())
+        .limit(k)
+    )
+    verts = [r["term"] for r in jlh.collect()]  # bounded: k terms
+    seed_edges = jlh.select(
+        F.lit(seed).alias("source"),
+        F.col("term").alias("target"),
+        F.col("fg_df").cast("long").alias("doc_count"),
+        "weight",
+    )
+    vt = fg_tf.where(F.col("term").isin(verts))
+    pair_edges = (
+        vt.alias("a")
+        .join(vt.alias("b"), "doc_id")
+        .where(F.col("a.term") < F.col("b.term"))
+        .groupBy(F.col("a.term").alias("source"), F.col("b.term").alias("target"))
+        .agg(F.count("*").alias("doc_count"))
+        .withColumn("weight", F.lit(None).cast("double"))
+    )
+    return seed_edges.unionByName(pair_edges).orderBy("source", "target")
+
+
+register(
+    "graph_explore",
+    _q_graph_explore,
+    """
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS (SELECT doc_id, term FROM toks GROUP BY 1, 2),
+bg AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+fgids AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'scan'),
+fgn AS (SELECT count(*) AS fg_n FROM fgids),
+fg AS (SELECT term, count(*) AS fg_df FROM tf JOIN fgids USING (doc_id) GROUP BY 1),
+verts AS (
+  SELECT fg.term, fg.fg_df,
+         round((fg.fg_df / CAST(fgn.fg_n AS DOUBLE) - bg.df / CAST(n.n_docs AS DOUBLE))
+             * (fg.fg_df / CAST(fgn.fg_n AS DOUBLE)) / (bg.df / CAST(n.n_docs AS DOUBLE)), 4)
+           AS weight
+  FROM fg JOIN bg USING (term) CROSS JOIN n CROSS JOIN fgn
+  WHERE fg.term <> 'scan'
+  ORDER BY weight DESC, term ASC LIMIT 6),
+seed_edges AS (
+  SELECT 'scan' AS source, term AS target, CAST(fg_df AS BIGINT) AS doc_count,
+         weight
+  FROM verts),
+vt AS (SELECT t.doc_id, t.term FROM tf t JOIN fgids USING (doc_id)
+       WHERE t.term IN (SELECT term FROM verts)),
+pair_edges AS (
+  SELECT a.term AS source, b.term AS target, count(*) AS doc_count,
+         CAST(NULL AS DOUBLE) AS weight
+  FROM vt a JOIN vt b USING (doc_id) WHERE a.term < b.term GROUP BY 1, 2)
+SELECT * FROM seed_edges UNION ALL SELECT * FROM pair_edges
+ORDER BY source, target
+""",
+)

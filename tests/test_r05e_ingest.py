@@ -204,3 +204,17 @@ def test_esql_sample_is_deterministic_hash_filter(spark):
 
     with pytest.raises(ValueError, match="probability"):
         esql("FROM docs | SAMPLE 1.5", lambda n: docs)
+
+
+def test_analyze_api_keeps_position_gaps(spark):
+    """_analyze reports original-stream positions: removed stopwords leave
+    gaps (ES position-increment semantics)."""
+    import __spark_entry__ as se
+
+    out = se.queries()["analyze_api"](spark, "/root/testdata/sf0.001").collect()
+    got = [(r["position"], r["token"]) for r in out]
+    # 'The'(0), 'and'(5), 'the'(6) are stopwords -> positions 0/5/6 absent
+    assert got == [
+        (1, "table"), (2, "hold"), (3, "many"), (4, "query"),
+        (7, "merge"), (8, "stream"), (9, "briskly"),
+    ]
