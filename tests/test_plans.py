@@ -228,3 +228,33 @@ def test_funnel_no_expand(spark, sf_dir, qs):
     agg = per_key.agg(F.sum("r1"), F.sum("r2"), F.sum("r3"))
     p = agg._jdf.queryExecution().executedPlan().toString()
     assert "Expand" not in p
+
+
+def test_change_point_single_scan(spark, qs, sf_dir):
+    """E59: the CUSUM estimator must derive everything from ONE events scan
+    (one hash agg to the bucket frame, windows on top) — a second scan
+    would double the 100-TB read."""
+    p = _plan(spark, qs, "agg_change_point", sf_dir)
+    assert p.count("Scan parquet") == 1, p
+
+
+def test_terms_ordered_is_take_ordered(spark, qs, sf_dir):
+    """E61: order-by-metric top-k must fuse to TakeOrderedAndProject, never
+    a global sort of the bucket frame."""
+    p = _plan(spark, qs, "agg_terms_ordered_by_metric", sf_dir)
+    assert "TakeOrderedAndProject" in p, p
+
+
+def test_transform_latest_window_is_keyed(spark, qs, sf_dir):
+    """E63: the latest-per-key window must be hash-partitioned by the unique
+    key (a global single-partition window would serialize the corpus)."""
+    p = _plan(spark, qs, "transform_latest", sf_dir)
+    assert "hashpartitioning(user_id" in p, p
+
+
+def test_ingest_pipeline_enrich_broadcasts(spark, qs, sf_dir):
+    """D80: the enrich lookup must broadcast; the documents stream must not
+    shuffle for the join."""
+    p = _plan(spark, qs, "ingest_pipeline", sf_dir)
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
