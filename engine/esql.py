@@ -189,6 +189,62 @@ _FUNCS: dict[str, Callable] = {
     "substring": _fn_substring,
     "date_trunc": _fn_date_trunc,
     "case": _fn_case,
+    # string surface [public: ES|QL string functions]
+    "trim": lambda a: ("col", F.trim(_c(a[0]))),
+    "ltrim": lambda a: ("col", F.ltrim(_c(a[0]))),
+    "rtrim": lambda a: ("col", F.rtrim(_c(a[0]))),
+    "left": lambda a: (
+        "col",
+        F.substring(_c(a[0]), 1, int(_lit_of(a[1], "LEFT length"))),
+    ),
+    "right": lambda a: (
+        "col",
+        F.substring(
+            _c(a[0]),
+            -int(_lit_of(a[1], "RIGHT length")),
+            int(_lit_of(a[1], "RIGHT length")),
+        ),
+    ),
+    # ES|QL SPLIT takes a LITERAL delimiter, not a regex — quote it for
+    # Spark's regex-based split
+    "split": lambda a: (
+        "col",
+        F.split(_c(a[0]), re.escape(str(_lit_of(a[1], "SPLIT delimiter")))),
+    ),
+    # math surface [public: ES|QL math functions]
+    "sqrt": lambda a: ("col", F.sqrt(_c(a[0]))),
+    "pow": lambda a: ("col", F.pow(_c(a[0]), _c(a[1]))),
+    "log10": lambda a: ("col", F.log10(_c(a[0]))),
+    "exp": lambda a: ("col", F.exp(_c(a[0]))),
+    # ES|QL LOG(x) is natural log; LOG(base, x) two-arg form
+    "log": lambda a: (
+        "col",
+        F.log(_c(a[0])) if len(a) == 1
+        else F.log(float(_lit_of(a[0], "LOG base")), _c(a[1])),
+    ),
+    # multivalue surface [public: ES|QL mv functions]
+    "mv_count": lambda a: ("col", F.size(_c(a[0]))),
+    "mv_min": lambda a: ("col", F.array_min(_c(a[0]))),
+    "mv_max": lambda a: ("col", F.array_max(_c(a[0]))),
+    "mv_avg": lambda a: (
+        "col",
+        F.aggregate(
+            _c(a[0]), F.lit(0.0), lambda acc, x: acc + x.cast("double")
+        )
+        / F.size(_c(a[0])),
+    ),
+    "mv_sum": lambda a: (
+        "col",
+        F.aggregate(
+            _c(a[0]), F.lit(0.0), lambda acc, x: acc + x.cast("double")
+        ),
+    ),
+    # ES|QL DATE_FORMAT(format, date) — Java datetime pattern, same
+    # pattern language Spark uses
+    "date_format": lambda a: (
+        "col",
+        F.date_format(_c(a[1]), str(_lit_of(a[0], "DATE_FORMAT pattern"))),
+    ),
 }
 
 _AGGS: dict[str, Callable] = {

@@ -8036,3 +8036,59 @@ SELECT * FROM seed_edges UNION ALL SELECT * FROM pair_edges
 ORDER BY source, target
 """,
 )
+
+
+def _q_esql_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL scalar/multivalue function surface (engine.esql _FUNCS):
+    SPLIT → MV_COUNT/MV_MIN, LEFT, SQRT/ROUND, DATE_FORMAT over a STATS
+    bucket — all pure codegen expressions."""
+    from .esql import esql
+
+    return esql(
+        'FROM documents | EVAL words = SPLIT(text, " ") '
+        "| EVAL wc = TO_LONG(MV_COUNT(words)), wmin = MV_MIN(words), "
+        'pref = LEFT(text, 5), r = ROUND(SQRT(TO_DOUBLE(n_chars)), 4) '
+        "| WHERE wc >= 40 | KEEP doc_id, wc, wmin, pref, r "
+        "| SORT wc DESC, doc_id ASC | LIMIT 15",
+        lambda name: read_fixture(spark, sf_dir, name),
+    )
+
+
+register(
+    "esql_functions",
+    _q_esql_functions,
+    """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS wc,
+       list_aggregate(string_split(text, ' '), 'min') AS wmin,
+       substr(text, 1, 5) AS pref,
+       round(sqrt(CAST(n_chars AS DOUBLE)), 4) AS r
+FROM documents
+WHERE len(string_split(text, ' ')) >= 40
+ORDER BY wc DESC, doc_id ASC LIMIT 15
+""",
+)
+
+
+def _q_esql_date_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL DATE_FORMAT + DATE_TRUNC composition: weekly buckets labeled
+    yyyy-MM-dd, one hash agg."""
+    from .esql import esql
+
+    return esql(
+        'FROM events | EVAL wk = DATE_FORMAT("yyyy-MM-dd", DATE_TRUNC("week", ts)) '
+        "| STATS n = COUNT(*), total = ROUND(SUM(value), 4) BY wk "
+        "| SORT wk | LIMIT 30",
+        lambda name: read_fixture(spark, sf_dir, name),
+    )
+
+
+register(
+    "esql_date_format",
+    _q_esql_date_format,
+    """
+SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS wk,
+       count(*) AS n, round(sum(value), 4) AS total
+FROM events GROUP BY wk ORDER BY wk LIMIT 30
+""",
+)

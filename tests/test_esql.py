@@ -152,8 +152,47 @@ def test_errors_are_loud(spark):
     with pytest.raises(ValueError, match="unknown function"):
         esql("FROM events | EVAL x = NO_SUCH_FN(value)", r)
     with pytest.raises(ValueError, match="unsupported command|unknown command"):
+        esql("FROM events | INLINESTATS n = COUNT(*)", r)
+    with pytest.raises(ValueError, match="ENRICH needs ON"):
         esql("FROM events | ENRICH policy", r)
     with pytest.raises(ValueError, match="unknown grok pattern"):
         esql('FROM events | GROK event_type "%{EMAILADDRESS:e}"', r)
     with pytest.raises(ValueError, match="unknown function"):
         esql("FROM events | STATS x = MODE(value)", r)
+
+
+def test_string_math_and_mv_functions(spark):
+    r = _resolve_for(spark)
+    df = spark.createDataFrame(
+        [(1, "a.b.c", [2.0, 4.0]), (2, "x.y", [6.0])],
+        "rid long, dotted string, xs array<double>",
+    )
+    out = esql(
+        'FROM t | EVAL parts = SPLIT(dotted, "."), np = MV_COUNT(parts), '
+        "lo = MV_MIN(xs), avg_x = MV_AVG(xs), tot = MV_SUM(xs), "
+        'l2 = LEFT(dotted, 1), r2 = RIGHT(dotted, 1), '
+        "lg = ROUND(LOG(2, TO_DOUBLE(np * 2)), 4) "
+        "| SORT rid | KEEP rid, np, lo, avg_x, tot, l2, r2, lg",
+        {"t": df}.__getitem__,
+    ).collect()
+    # SPLIT's delimiter is literal — '.' must NOT behave as regex-any
+    assert (out[0]["np"], out[1]["np"]) == (3, 2)
+    assert (out[0]["lo"], out[0]["avg_x"], out[0]["tot"]) == (2.0, 3.0, 6.0)
+    assert (out[0]["l2"], out[0]["r2"]) == ("a", "c")
+    assert out[0]["lg"] == 2.5850  # log2(6)
+    assert out[1]["lg"] == 2.0  # log2(4)
+
+
+def test_trim_and_date_format(spark):
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [("  pad  ", dt.datetime(2024, 3, 7, 15, 0))], "s string, ts timestamp"
+    )
+    out = esql(
+        'FROM t | EVAL t1 = TRIM(s), t2 = LTRIM(s), t3 = RTRIM(s), '
+        'd = DATE_FORMAT("yyyy-MM-dd", DATE_TRUNC("week", ts))',
+        {"t": df}.__getitem__,
+    ).collect()[0]
+    assert (out["t1"], out["t2"], out["t3"]) == ("pad", "pad  ", "  pad")
+    assert out["d"] == "2024-03-04"  # Monday of that week
