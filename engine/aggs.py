@@ -1171,3 +1171,26 @@ def transform_latest(
         .where(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def terms_sum_other_agg(df: DataFrame, field: str, size: int = 5) -> DataFrame:
+    """ES `terms` agg `sum_other_doc_count` semantic [public: ES terms agg
+    response body]: the top-`size` buckets PLUS one `__other__` row holding
+    the doc count that fell outside them — the field ES reports so users
+    know how much the truncated bucket list hides (here computed exactly;
+    ES's per-shard approximation error is 0 in a single hash-agg). One
+    hash agg; the top-k split happens on the bucket frame."""
+    from pyspark.sql import Window
+
+    b = df.groupBy(field).agg(F.count("*").alias("doc_count"))
+    w = Window.orderBy(F.col("doc_count").desc(), F.col(field).asc())
+    ranked = b.withColumn("_rn", F.row_number().over(w))
+    top = ranked.where(F.col("_rn") <= size).drop("_rn")
+    other = (
+        ranked.where(F.col("_rn") > size)
+        .agg(F.coalesce(F.sum("doc_count"), F.lit(0)).alias("doc_count"))
+        .select(F.lit("__other__").alias(field), "doc_count")
+    )
+    return top.unionByName(other).orderBy(
+        F.col("doc_count").desc(), F.col(field).asc()
+    )

@@ -601,11 +601,30 @@ def esql(query: str, resolve: Callable[[str], DataFrame]) -> DataFrame:
             order = []
             while True:
                 col = F.col(p.expect("ident"))
-                if p.eat_kw("desc"):
-                    order.append(col.desc())
-                else:
+                desc = p.eat_kw("desc")
+                if not desc:
                     p.eat_kw("asc")
-                    order.append(col.asc())
+                # ES|QL NULLS FIRST / NULLS LAST [public: ES|QL sort]
+                nulls = None
+                if p.eat_kw("nulls"):
+                    if p.eat_kw("first"):
+                        nulls = "first"
+                    elif p.eat_kw("last"):
+                        nulls = "last"
+                    else:
+                        raise ValueError("ES|QL: expected FIRST/LAST after NULLS")
+                if desc:
+                    order.append(
+                        col.desc_nulls_first() if nulls == "first"
+                        else col.desc_nulls_last() if nulls == "last"
+                        else col.desc()
+                    )
+                else:
+                    order.append(
+                        col.asc_nulls_first() if nulls == "first"
+                        else col.asc_nulls_last() if nulls == "last"
+                        else col.asc()
+                    )
                 if p.peek() == ("op", ","):
                     p.next()
                     continue

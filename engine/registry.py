@@ -8092,3 +8092,28 @@ SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS wk,
 FROM events GROUP BY wk ORDER BY wk LIMIT 30
 """,
 )
+
+
+def _q_terms_sum_other(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES terms agg with sum_other_doc_count (aggs.terms_sum_other_agg):
+    top-5 document sources + the exact __other__ remainder row."""
+    from .aggs import terms_sum_other_agg
+
+    return terms_sum_other_agg(_docs(spark, sf_dir), "source", size=5)
+
+
+register(
+    "agg_terms_sum_other",
+    _q_terms_sum_other,
+    """
+WITH b AS (SELECT source, count(*) AS doc_count FROM documents GROUP BY 1),
+r AS (SELECT *, row_number() OVER (ORDER BY doc_count DESC, source ASC) AS rn
+      FROM b),
+top AS (SELECT source, doc_count FROM r WHERE rn <= 5),
+oth AS (SELECT '__other__' AS source,
+               CAST(coalesce(sum(doc_count), 0) AS BIGINT) AS doc_count
+        FROM r WHERE rn > 5)
+SELECT * FROM top UNION ALL SELECT * FROM oth
+ORDER BY doc_count DESC, source ASC
+""",
+)

@@ -196,3 +196,17 @@ def test_trim_and_date_format(spark):
     ).collect()[0]
     assert (out["t1"], out["t2"], out["t3"]) == ("pad", "pad  ", "  pad")
     assert out["d"] == "2024-03-04"  # Monday of that week
+
+
+def test_sort_nulls_first_last(spark):
+    r = _resolve_for(spark)
+    first = esql(
+        "FROM events | SORT value ASC NULLS FIRST | KEEP event_id | LIMIT 1", r
+    ).collect()
+    assert first[0]["event_id"] == 4  # the NULL-value event leads
+    last = esql(
+        "FROM events | SORT value DESC NULLS LAST | KEEP event_id, value", r
+    ).collect()
+    assert last[-1]["value"] is None and last[0]["value"] == 100.0
+    with pytest.raises(ValueError, match="FIRST/LAST after NULLS"):
+        esql("FROM events | SORT value NULLS SOMETIMES", r)

@@ -152,3 +152,17 @@ def test_esql_change_point_agrees_with_agg(spark):
     assert len(via_esql) == 1
     assert via_esql[0]["day"] == via_agg["change_point"]
     assert via_esql[0]["cusum"] == via_agg["cusum"]
+
+
+def test_terms_sum_other_exact_remainder(spark):
+    from engine.aggs import terms_sum_other_agg
+
+    df = spark.createDataFrame(
+        [("a",)] * 5 + [("b",)] * 3 + [("c",)] * 2 + [("d",)] * 1, "k string"
+    )
+    out = terms_sum_other_agg(df, "k", size=2).collect()
+    got = {r["k"]: r["doc_count"] for r in out}
+    assert got == {"a": 5, "b": 3, "__other__": 3}  # c(2)+d(1)
+    # no remainder -> explicit zero row, as ES reports sum_other_doc_count=0
+    out2 = terms_sum_other_agg(df, "k", size=10).collect()
+    assert {r["k"]: r["doc_count"] for r in out2}["__other__"] == 0
