@@ -487,3 +487,54 @@ def hamming_rescore_topk(
     )
     casted = coarse.withColumn(vec_col, F.col(vec_col).cast("array<double>"))
     return brute_force_topk(casted, query_vec, k=k, id_col=id_col, vec_col=vec_col)
+
+
+def maxsim_topk(
+    emb: "DataFrame",
+    query_vecs: list[list[float]],
+    group_size: int = 8,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "DataFrame":
+    """Late-interaction (ColBERT-style) MaxSim scoring [public: ES
+    `rank_vectors` maxSimDotProduct; Khattab & Zaharia 2020]: documents are
+    BAGS of token vectors; score(doc) = Σ_q max_d dot(q, d) over the query's
+    token vectors. The fixture's flat embedding table becomes multi-vector
+    docs by grouping `group_size` consecutive vec_ids (doc_id = vec_id //
+    group_size) — the plumbing a real corpus would carry as
+    array<array<float>>.
+
+    Scale shape: per-query dots are zip_with/aggregate codegen on the scan
+    (no UDF); ONE hash agg per doc computes every max simultaneously; top-k
+    is a TakeOrdered. At 100 TB the same plan applies after an IVF/LSH
+    candidate cut (compose with ivf/lsh_topk), exactly ES's
+    rescorer-over-candidates contract."""
+    from pyspark.sql import functions as F
+
+    doc = (F.col(id_col) / group_size).cast("long").alias("doc_id")
+    dots = []
+    for qi, q in enumerate(query_vecs):
+        qlit = F.array(*[F.lit(float(x)) for x in q])
+        dot = F.aggregate(
+            F.zip_with(
+                F.col(vec_col), qlit, lambda x, y: x.cast("double") * y
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        dots.append(dot.alias(f"_dot{qi}"))
+    per_vec = emb.select(doc, *dots)
+    maxes = [
+        F.max(f"_dot{qi}").alias(f"_m{qi}") for qi in range(len(query_vecs))
+    ]
+    scored = per_vec.groupBy("doc_id").agg(*maxes)
+    total = sum(
+        (F.col(f"_m{qi}") for qi in range(1, len(query_vecs))),
+        F.col("_m0"),
+    )
+    return (
+        scored.select("doc_id", F.round(total, 4).alias("maxsim"))
+        .orderBy(F.col("maxsim").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )

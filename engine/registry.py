@@ -8117,3 +8117,38 @@ SELECT * FROM top UNION ALL SELECT * FROM oth
 ORDER BY doc_count DESC, source ASC
 """,
 )
+
+
+# --- late-interaction MaxSim retrieval (round-5e) -------------------------------
+
+_MAXSIM_Q1 = [((i * 37) % 19 - 9) / 10.0 for i in range(64)]
+_MAXSIM_Q2 = [((i * 53) % 23 - 11) / 10.0 for i in range(64)]
+
+
+def _q_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES rank_vectors maxSimDotProduct (ann.maxsim_topk): two pinned query
+    token-vectors against 8-vector docs grouped from the embeddings table."""
+    from .ann import maxsim_topk
+
+    emb = read_fixture(spark, sf_dir, "embeddings")
+    return maxsim_topk(emb, [_MAXSIM_Q1, _MAXSIM_Q2], group_size=8, k=10)
+
+
+def _maxsim_oracle() -> str:
+    q1 = "[" + ", ".join(repr(x) for x in _MAXSIM_Q1) + "]"
+    q2 = "[" + ", ".join(repr(x) for x in _MAXSIM_Q2) + "]"
+    return f"""
+WITH q AS (SELECT {q1} AS q1, {q2} AS q2),
+d AS (SELECT CAST(floor(vec_id / 8) AS BIGINT) AS doc_id,
+             list_sum(list_transform(range(1, 65),
+                 i -> CAST(embedding[i] AS DOUBLE) * q1[i])) AS d1,
+             list_sum(list_transform(range(1, 65),
+                 i -> CAST(embedding[i] AS DOUBLE) * q2[i])) AS d2
+      FROM embeddings CROSS JOIN q)
+SELECT doc_id, round(max(d1) + max(d2), 4) AS maxsim
+FROM d GROUP BY doc_id
+ORDER BY maxsim DESC, doc_id ASC LIMIT 10
+"""
+
+
+register("ann_maxsim_topk", _q_maxsim, _maxsim_oracle())

@@ -166,3 +166,36 @@ def test_terms_sum_other_exact_remainder(spark):
     # no remainder -> explicit zero row, as ES reports sum_other_doc_count=0
     out2 = terms_sum_other_agg(df, "k", size=10).collect()
     assert {r["k"]: r["doc_count"] for r in out2}["__other__"] == 0
+
+
+def test_maxsim_matches_numpy_reference(spark):
+    import numpy as np
+
+    from engine.ann import maxsim_topk
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(24, 4).round(3)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(24)],
+        "vec_id long, embedding array<float>",
+    )
+    qs = [[1.0, 0.0, -1.0, 0.5], [0.2, 0.3, 0.0, -0.4]]
+    out = maxsim_topk(emb, qs, group_size=4, k=3).collect()
+    # numpy reference: docs of 4 consecutive vectors, sum of per-query maxes
+    docs = vecs.astype(np.float32).astype(np.float64).reshape(6, 4, 4)
+    scores = sorted(
+        ((d, round(sum((docs[d] @ np.array(q)).max() for q in qs), 4))
+         for d in range(6)),
+        key=lambda t: (-t[1], t[0]),
+    )[:3]
+    assert [(r["doc_id"], r["maxsim"]) for r in out] == scores
+
+
+def test_maxsim_is_single_scan_take_ordered(spark):
+    import __spark_entry__ as se
+
+    df = se.queries()["ann_maxsim_topk"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
