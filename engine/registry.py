@@ -8152,3 +8152,50 @@ ORDER BY maxsim DESC, doc_id ASC LIMIT 10
 
 
 register("ann_maxsim_topk", _q_maxsim, _maxsim_oracle())
+
+
+def _q_scripted_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES scripted similarity [public: ES similarity module, `scripted`
+    type]: a pinned custom TF-IDF-style script — weight = (1 + ln(tf)) ·
+    ln(N/df) / sqrt(dl) — swapped in for BM25 over the SAME tf/df/dl stats
+    frame the BM25 path uses (stats broadcast, no doc_id shuffle join):
+    the scorer is pluggable without touching the index."""
+    tf, ds, ts, n, avgdl = _built_corpus(spark, sf_dir)
+    w = (
+        tf.filter(F.col("term").isin(["merge", "join"]))
+        .join(F.broadcast(ts.select("term", "df")), "term")
+        .select(
+            "doc_id",
+            (
+                (F.lit(1.0) + F.log(F.col("tf")))
+                * F.log(F.lit(float(n)) / F.col("df"))
+                / F.sqrt(F.col("dl"))
+            ).alias("w"),
+        )
+    )
+    return (
+        w.groupBy("doc_id")
+        .agg(F.round(F.sum("w"), 4).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
+register(
+    "bm25_scripted_similarity",
+    _q_scripted_similarity,
+    """
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+s AS (SELECT tf.doc_id,
+             (1.0 + ln(tf.tf)) * ln(n.n_docs / CAST(df.df AS DOUBLE))
+               / sqrt(dl.dl) AS w
+      FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN n
+      WHERE tf.term IN ('merge', 'join'))
+SELECT doc_id, round(sum(w), 4) AS score FROM s GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC LIMIT 10
+""",
+)
