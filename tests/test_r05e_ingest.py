@@ -218,3 +218,40 @@ def test_analyze_api_keeps_position_gaps(spark):
         (1, "table"), (2, "hold"), (3, "many"), (4, "query"),
         (7, "merge"), (8, "stream"), (9, "briskly"),
     ]
+
+
+def test_ingest_pipeline_streams_identically(spark, tmp_path):
+    """D80 × J1: the processor chain is a stateless projection, so the SAME
+    apply_pipeline call must run unchanged on a readStream and produce the
+    batch result (availableNow, memory sink)."""
+    from engine.ingest import apply_pipeline
+
+    src = str(tmp_path / "docs_src")
+    _docs(spark).write.parquet(src)
+    procs = [
+        {"set": {"field": "tag", "value": "x"}},
+        {"gsub": {"field": "source", "pattern": "[^0-9]", "replacement": ""}},
+        {"convert": {"field": "source", "type": "long"}},
+        {"fingerprint": {"fields": ["doc_id", "lang"]}},
+        {"drop": {"if": "n_chars < 100"}},
+    ]
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        apply_pipeline(stream, procs)
+        .writeStream.format("memory")
+        .queryName("ingest_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        tuple(r) for r in spark.sql("SELECT * FROM ingest_stream").collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in apply_pipeline(spark.read.schema(schema).parquet(src), procs)
+        .collect()
+    )
+    assert got == want and len(got) == 2
