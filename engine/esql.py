@@ -255,6 +255,12 @@ _AGGS: dict[str, Callable] = {
     "max": F.max,
     "count_distinct": F.countDistinct,
     "median": F.median,
+    # ES|QL STD_DEV is the population standard deviation
+    "std_dev": F.stddev_pop,
+    # ES|QL VALUES returns the distinct values as a multivalue in undefined
+    # order — pinned SORTED here so results are deterministic and
+    # oracle-checkable (divergence documented)
+    "values": lambda c: F.array_sort(F.collect_set(c)),
 }
 
 

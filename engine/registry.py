@@ -8199,3 +8199,28 @@ SELECT doc_id, round(sum(w), 4) AS score FROM s GROUP BY doc_id
 ORDER BY score DESC, doc_id ASC LIMIT 10
 """,
 )
+
+
+def _q_esql_stats_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL extended STATS surface: STD_DEV (population), PERCENTILE, and
+    MEDIAN per event_type — one partial+final hash aggregate."""
+    from .esql import esql
+
+    return esql(
+        "FROM events | STATS sd = ROUND(STD_DEV(value), 4), "
+        "p90 = ROUND(PERCENTILE(value, 90), 4), med = MEDIAN(value) "
+        "BY event_type | SORT event_type",
+        lambda name: read_fixture(spark, sf_dir, name),
+    )
+
+
+register(
+    "esql_stats_extended",
+    _q_esql_stats_extended,
+    """
+SELECT event_type, round(stddev_pop(value), 4) AS sd,
+       round(quantile_cont(value, 0.90), 4) AS p90,
+       median(value) AS med
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+)

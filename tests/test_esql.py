@@ -210,3 +210,18 @@ def test_sort_nulls_first_last(spark):
     assert last[-1]["value"] is None and last[0]["value"] == 100.0
     with pytest.raises(ValueError, match="FIRST/LAST after NULLS"):
         esql("FROM events | SORT value NULLS SOMETIMES", r)
+
+
+def test_stats_std_dev_percentile_values(spark):
+    r = _resolve_for(spark)
+    out = esql(
+        "FROM events | STATS sd = ROUND(STD_DEV(value), 4), "
+        "p50 = PERCENTILE(value, 50), kinds = VALUES(event_type)",
+        r,
+    ).collect()[0]
+    # population stddev over [10, 3.5, 20, 100] (NULL skipped)
+    import statistics
+    want = round(statistics.pstdev([10.0, 3.5, 20.0, 100.0]), 4)
+    assert out["sd"] == want
+    assert out["p50"] == 15.0  # exact interpolated median of the 4 values
+    assert out["kinds"] == ["click", "purchase", "view"]  # pinned sorted
