@@ -16,19 +16,26 @@ broadcast for LOOKUP JOIN, partial aggregation for STATS):
       | DROP col [, ...]
       | RENAME old AS new [, ...]
       | LOOKUP JOIN <table> ON <col>              (left join, broadcast dim)
+      | ENRICH <policy> ON <col> [WITH f, ...]    (broadcast enrich index)
+      | SAMPLE <prob> [ON <col>]                  (deterministic hash variant)
+      | CHANGE_POINT <val> ON <key>               (deterministic CUSUM variant)
+      | MV_EXPAND col
       | DISSECT col "%{a}-%{b}"                   (separator extraction)
       | GROK col "src%{INT:snum}"                 (pattern-library extraction)
 
 Expressions: literals (double-quoted strings, numbers, TRUE/FALSE/NULL),
 columns, arithmetic (+ - * / %), comparisons (== != < <= > >=), NOT/AND/OR,
 `IN (lit, ...)`, `LIKE "pat*"` (ES|QL * wildcard → SQL %), `IS [NOT] NULL`,
-and the pinned scalar functions in _FUNCS. STATS aggregations: COUNT(*),
-COUNT, SUM, AVG, MIN, MAX, COUNT_DISTINCT, MEDIAN, PERCENTILE(x, p).
+and the pinned scalar/string/math/multivalue functions in _FUNCS. STATS
+aggregations: COUNT(*), COUNT, SUM, AVG, MIN, MAX, COUNT_DISTINCT, MEDIAN,
+STD_DEV, VALUES (pinned sorted), PERCENTILE(x, p), TOP(x, k, order).
 
 Pinned narrowings vs full ES|QL (each raises, never silently misparses):
-no ROW/SHOW/ENRICH/MV_* multivalue semantics, no KEEP/DROP wildcards,
-DATE_TRUNC takes a quoted unit ("day") instead of a time literal, GROK
-covers the pattern-library subset in _GROK_PATTERNS.
+no ROW/SHOW/INLINESTATS/FORK, no KEEP/DROP wildcards, DATE_TRUNC takes a
+quoted unit ("day") instead of a time literal, GROK covers the
+pattern-library subset in _GROK_PATTERNS, SAMPLE is the deterministic
+portable-hash variant and CHANGE_POINT the deterministic CUSUM variant
+(divergences documented at their command sites).
 
 Scale shape: FROM is a pruned parquet scan (WHERE/KEEP push into it), STATS
 is one partial+final hash aggregate, LOOKUP JOIN broadcasts the lookup table
@@ -376,7 +383,7 @@ def _parse_primary(p: _P):
         if p.peek() == ("op", "("):
             name = v.lower()
             p.next()
-            if p.allow_aggs and (name in _AGGS or name == "percentile"):
+            if p.allow_aggs and (name in _AGGS or name in ("percentile", "top")):
                 return _parse_agg_call(p, name)
             args = []
             if p.peek() != ("op", ")"):
@@ -387,7 +394,7 @@ def _parse_primary(p: _P):
             p.expect("op", ")")
             fn = _FUNCS.get(name)
             if fn is None:
-                kind = "aggregation" if name in _AGGS or name == "percentile" else "function"
+                kind = "aggregation" if name in _AGGS or name in ("percentile", "top") else "function"
                 raise ValueError(f"ES|QL: unknown {kind} {v!r} here")
             return fn(args)
         return ("col", F.col(v))
@@ -407,6 +414,21 @@ def _parse_agg_call(p: _P, name: str):
             q = _lit_of(_parse_expr(p), "PERCENTILE p")
             p.expect("op", ")")
             return ("col", F.percentile(_c(arg), float(q) / 100.0))
+        if name == "top":
+            # ES|QL TOP(col, k, "asc"|"desc") — the k greatest/least values
+            # of the group as a multivalue [public: ES|QL TOP agg]
+            arg = _parse_expr(p)
+            p.expect("op", ",")
+            k = int(_lit_of(_parse_expr(p), "TOP k"))
+            p.expect("op", ",")
+            order = str(_lit_of(_parse_expr(p), "TOP order")).lower()
+            p.expect("op", ")")
+            if order not in ("asc", "desc"):
+                raise ValueError(f"ES|QL: TOP order must be asc/desc: {order!r}")
+            sorted_vals = F.array_sort(F.collect_list(_c(arg)))
+            if order == "desc":
+                sorted_vals = F.reverse(sorted_vals)
+            return ("col", F.slice(sorted_vals, 1, k))
         if p.peek() == ("op", "*"):
             p.next()
             arg_col = None

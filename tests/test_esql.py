@@ -225,3 +225,15 @@ def test_stats_std_dev_percentile_values(spark):
     assert out["sd"] == want
     assert out["p50"] == 15.0  # exact interpolated median of the 4 values
     assert out["kinds"] == ["click", "purchase", "view"]  # pinned sorted
+
+
+def test_stats_top_aggregate(spark):
+    r = _resolve_for(spark)
+    out = esql(
+        'FROM events | STATS hi = TOP(value, 2, "desc"), lo = TOP(value, 2, "asc")',
+        r,
+    ).collect()[0]
+    assert out["hi"] == [100.0, 20.0]
+    assert out["lo"] == [3.5, 10.0]
+    with pytest.raises(ValueError, match="asc/desc"):
+        esql('FROM events | STATS x = TOP(value, 2, "sideways")', r)
