@@ -62,19 +62,31 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 # --- shingles ----------------------------------------------------------------
 
 
-def with_shingles(df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def with_shingles(
+    df: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hashed: bool = False,
+) -> DataFrame:
     """(id, shingle) rows: distinct word n-grams — built-ins only
-    (split + index-slide via transform over a sequence)."""
+    (split + index-slide via transform over a sequence).
+
+    hashed=True replaces the shingle string with xxhash64(shingle) BEFORE
+    the distinct, so the dedup exchange and every downstream join move an
+    8-byte key instead of an ~n-word string (64-bit birthday tolerance,
+    as in span_dedup/MinHash)."""
     toks = F.split(F.col(text_col), " ")
     sh = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
         lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
     )
-    return (
-        df.select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
-        .filter(F.length("shingle") > 0)
-        .distinct()
+    out = df.select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle")).filter(
+        F.length("shingle") > 0
     )
+    if hashed:
+        out = out.select("id", F.xxhash64("shingle").alias("shingle"))
+    return out.distinct()
 
 
 def ngram_jaccard_pairs(
@@ -95,8 +107,29 @@ def ngram_jaccard_pairs(
     per-doc sizes (standard practice — ubiquitous shingles carry no
     discriminative signal), bounding the join output at |shingles|·max_df².
     The hot-shingle list is tiny by construction and broadcast. Pass
-    max_df=None to disable (exact textbook Jaccard, small corpora only)."""
-    sh = with_shingles(df, n, text_col, id_col)
+    max_df=None to disable (exact textbook Jaccard, small corpora only).
+
+    The pair-producing self-join runs on xxhash64(shingle) — an 8-byte key
+    instead of an ~n-word string, which shrinks the two join exchanges and
+    their sort keys by an order of magnitude. A 64-bit birthday collision
+    would count one spurious shared shingle for one pair — the same
+    tolerance the span-dedup and MinHash paths already accept (and the
+    threshold filter makes a single phantom intersection inconsequential).
+
+    Pair generation uses PREFIX FILTERING [public: Bayardo et al. 2007
+    "Scaling Up All Pairs Similarity Search"; Xiao et al. PPJoin]: under any
+    globally consistent shingle order (ascending hash here), two sets with
+    J >= t MUST share a shingle among each one's first
+    |A| - ceil(t*|A|) + 1 shingles, so only PREFIX rows enter the
+    pair-producing self-join — at t=0.8 that is ~20% of the rows and
+    ~4% of the naive join's output. Survivor pairs (plus the implied
+    |B| >= t*|A| length filter) are then verified EXACTLY per pair with
+    array_intersect over the per-doc shingle arrays — identical
+    (id_a, id_b, jaccard) output to the naive all-shared-shingles join, at
+    a fraction of the shuffled volume. The naive join is quadratic in
+    per-shingle df and cannot survive web scale; this is its standard exact
+    replacement."""
+    sh = with_shingles(df, n, text_col, id_col, hashed=True)
     if max_df is not None:
         hot = (
             sh.groupBy("shingle")
@@ -105,22 +138,43 @@ def ngram_jaccard_pairs(
             .select("shingle")
         )
         sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
-    sh = sh.cache()
-    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count("*").alias("n_inter"))
+    arrs = (
+        sh.groupBy("id")
+        .agg(F.array_sort(F.collect_list("shingle")).alias("arr"))
+        .select("id", "arr", F.size("arr").alias("n_sh"))
+        .cache()
     )
+    t = float(threshold)
+    plen = (F.col("n_sh") - F.ceil(F.col("n_sh") * F.lit(t)) + F.lit(1)).cast("int")
+    prefix = arrs.select(
+        "id", "n_sh", F.explode(F.slice("arr", 1, plen)).alias("shingle")
+    )
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id"))
+            # J >= t implies t*|A| <= |B| <= |A|/t — prune before distinct
+            & (F.col("b.n_sh") * F.lit(t) <= F.col("a.n_sh"))
+            & (F.col("a.n_sh") * F.lit(t) <= F.col("b.n_sh")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    av = arrs.select(F.col("id").alias("id_a"), F.col("arr").alias("arr_a"),
+                     F.col("n_sh").alias("sh_a"))
+    bv = arrs.select(F.col("id").alias("id_b"), F.col("arr").alias("arr_b"),
+                     F.col("n_sh").alias("sh_b"))
+    n_inter = F.size(F.array_intersect("arr_a", "arr_b"))
     return (
-        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "sh_a"), "id_a")
-        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "sh_b"), "id_b")
+        cand.join(av, "id_a")
+        .join(bv, "id_b")
         .withColumn(
             "jaccard",
             F.round(
-                F.col("n_inter") / (F.col("sh_a") + F.col("sh_b") - F.col("n_inter")), 4
+                n_inter / (F.col("sh_a") + F.col("sh_b") - n_inter), 4
             ),
         )
         .filter(F.col("jaccard") >= threshold)
@@ -184,21 +238,73 @@ def _shingle_hashes(text: str, n: int, th) -> np.ndarray:
 
 
 def minhash_udf(k: int = 64, n: int = 3):
-    """Returns a pandas UDF: text → array<long> of k minhash values."""
+    """Returns a pandas UDF: text → array<long> of k minhash values.
+
+    Whole-batch vectorization (bit-identical to the per-doc reference form
+    `_shingle_hashes` + affine-min): tokens of the entire Arrow batch are
+    factorized once (each UNIQUE token blake2b-hashed once, then a C-level
+    take), the n-gram rolling hash runs over the single concatenated token
+    array (windows spanning doc boundaries are simply never indexed), and
+    the k affine min-hashes reduce per doc via np.minimum.reduceat — no
+    per-document Python beyond short-doc (< n tokens) stragglers."""
     a, b = _minhash_params(k)
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def mh(s: pd.Series) -> pd.Series:
         th = _token_hash_cache()
-
-        def one(text: str):
-            sh = _shingle_hashes(text or "", n, th)
-            # (a*h + b) mod M for all k × |sh| — vectorized outer product
-            with np.errstate(over="ignore"):
-                vals = (np.outer(a, sh) + b[:, None]) % _MERSENNE
-            return vals.min(axis=1).astype(np.int64).tolist()
-
-        return s.map(one)
+        tok_lists = [(t or "").split() for t in s]
+        lens = np.fromiter((len(t) for t in tok_lists), dtype=np.int64,
+                           count=len(tok_lists))
+        if len(tok_lists) == 0:
+            return pd.Series([], dtype=object)
+        all_toks: list[str] = []
+        for t in tok_lists:
+            all_toks.extend(t)
+        if all_toks:
+            codes, uniques = pd.factorize(np.asarray(all_toks, dtype=object))
+            lut = np.fromiter((th(u) for u in uniques), dtype=np.uint64,
+                              count=len(uniques))
+            hs_all = lut[codes]
+        else:
+            hs_all = np.zeros(0, dtype=np.uint64)
+        offs = np.zeros(len(lens) + 1, dtype=np.int64)
+        np.cumsum(lens, out=offs[1:])
+        # global rolling hash: acc[g] = poly of hs_all[g : g+n]; only
+        # in-document windows are gathered below
+        with np.errstate(over="ignore"):
+            if len(hs_all) >= n:
+                acc_all = hs_all[: len(hs_all) - n + 1].copy()
+                for j in range(1, n):
+                    acc_all *= _ROLL
+                    acc_all += hs_all[j : len(hs_all) - n + 1 + j]
+            else:
+                acc_all = np.zeros(0, dtype=np.uint64)
+        # per-doc shingle arrays: long docs slice the global window array;
+        # short docs (< n tokens, incl. empty) replay the reference loop
+        sh_parts: list[np.ndarray] = []
+        starts = np.zeros(len(lens), dtype=np.int64)
+        pos = 0
+        with np.errstate(over="ignore"):
+            for i, ln in enumerate(lens):
+                o = offs[i]
+                if ln > n:
+                    sh = acc_all[o : o + ln - n + 1]
+                elif ln == n:
+                    sh = acc_all[o : o + 1]
+                else:
+                    out = np.zeros(1, dtype=np.uint64)
+                    for j in range(ln):
+                        out = out * _ROLL + hs_all[o + j]
+                    sh = out
+                starts[i] = pos
+                pos += len(sh)
+                sh_parts.append(sh)
+            sh_cat = np.concatenate(sh_parts) if sh_parts else np.zeros(1, np.uint64)
+            # k × S affine transform, then segment-min per doc
+            vals = (a[:, None] * sh_cat[None, :] + b[:, None]) % _MERSENNE
+        mins = np.minimum.reduceat(vals, starts, axis=1)  # k × n_docs
+        sigs = mins.T.astype(np.int64)
+        return pd.Series(list(sigs))
 
     return mh
 
@@ -340,16 +446,15 @@ def simhash_near_dups(
         .select(
             F.col("x.id").alias("id_a"),
             F.col("y.id").alias("id_b"),
-            F.col("x.sig").alias("sig_a"),
-            F.col("y.sig").alias("sig_b"),
+            # exact-hamming verification BEFORE the distinct: bit_count is a
+            # codegen'd per-row op, so the dedup exchange then carries only
+            # true near-dup pairs instead of every banding candidate
+            F.bit_count(F.col("x.sig").bitwiseXOR(F.col("y.sig"))).alias("hamming"),
         )
+        .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
-    return (
-        pairs.withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
-    )
+    return pairs.select("id_a", "id_b", "hamming")
 
 
 # --- embedding-cosine near-dup -------------------------------------------------

@@ -638,11 +638,18 @@ def build_index(
     # per-term posting fetch is a pruned scan + pushdown range
     write_postings_shards(merged, os.path.join(out_root, "postings"))
     _lap("encode+merge+write")
-    build_term_dict(ts, n_buckets).write.mode("overwrite").parquet(
-        os.path.join(out_root, "term_dict")
-    )
+    # Output file sizing: these are narrow metadata tables (a few dozen
+    # bytes/row); writing them from every corpus partition yields a spray of
+    # KB-sized files plus per-task committer overhead. Target ~2M rows per
+    # output file — one file at fixture scale, still parallel at web scale.
+    n_meta_files = max(1, n_docs // 2_000_000)
+    build_term_dict(ts, n_buckets).coalesce(n_meta_files).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(out_root, "term_dict"))
     _lap("term_dict")
-    ds.write.mode("overwrite").parquet(os.path.join(out_root, "doc_stats"))
+    ds.coalesce(n_meta_files).write.mode("overwrite").parquet(
+        os.path.join(out_root, "doc_stats")
+    )
     _lap("doc_stats_sink")
     if _prof:
         print("ENGINE_PROFILE " + json.dumps(_laps), file=__import__("sys").stderr)

@@ -272,6 +272,10 @@ def refine_pages(
                 emitted[int(b)] = emitted.get(int(b), 0) + int(n)
             yield kept.drop(columns=["_b"])
 
+    # html_strip stays a SEPARATE vectorized UDF on purpose: consumers that
+    # never read `text` (counts, id-only joins) let Catalyst prune the
+    # Python projection entirely, which a strip fused into the opaque
+    # mapInPandas above would forbid.
     out_schema = "url string, warc_ts timestamp, html binary, lang string, doc_id long"
     docs = part.mapInPandas(dedup_rank, out_schema)
     return docs.withColumn("text", html_strip_udf(F.col("html"))).select(

@@ -66,6 +66,25 @@ def _built_corpus(spark: SparkSession, sf_dir: str):
 
 _TFPOS_CACHE: dict[tuple, DataFrame] = {}
 
+_FIELD_CORPUS_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _field_base(spark: SparkSession, sf_dir: str, field: str) -> DataFrame:
+    """ONE cached corpus_base per (sf_dir, field), shared by every
+    multi-field query family (most_fields/best_fields/combined_fields/
+    cross_fields). Uncached, each family re-ran the Arrow analyzer pass
+    up to 3x PER FIELD per invocation (corpus_stats collect, tf explode and
+    term_stats each re-derive the base)."""
+    key = (field,) + _cache_key(spark, sf_dir)
+    if key not in _FIELD_CORPUS_CACHE:
+        from .corpus import corpus_base
+
+        docs = read_fixture(spark, sf_dir, "documents")
+        _FIELD_CORPUS_CACHE[key] = corpus_base(
+            docs.select("doc_id", F.col(field).alias("text"))
+        ).cache()
+    return _FIELD_CORPUS_CACHE[key]
+
 
 def _tf_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ONE cached positional tf frame (doc_id, term, tf, positions) per
@@ -463,7 +482,7 @@ def _dir_tag(sf_dir: str) -> str:
 # Bump when the on-disk index layout (or the build config below) changes:
 # the tag changes with it, so stale caches from older formats are simply
 # never looked at again (and can be swept by hand).
-_CACHE_REV = "v2"
+_CACHE_REV = "v3"
 
 
 def _publish_dir(root: str, build_fn: Callable[[str], None]) -> None:
@@ -510,12 +529,28 @@ def _indexed(spark: SparkSession, sf_dir: str, fresh: bool = False):
 
         def _build(out: str) -> None:
             docs = read_fixture(spark, sf_dir, "documents").select("doc_id", "text")
+            # Scale-adaptive shard width: a fixed 256 made ~196 shards at
+            # 50k docs — x-thousands of (bucket, shard, salt) encode groups
+            # whose per-group Python/codec overhead dominated the build (and
+            # fragmented query-time posting fetches). Target ~16 doc-range
+            # shards, floored at 256 so the small correctness SFs
+            # (sf0.001/sf0.01) keep the EXACT layout they always had while
+            # still exercising the multi-shard WAND + merge path.
+            try:
+                import pyarrow.parquet as _pq
+
+                _n = _pq.ParquetFile(
+                    os.path.join(sf_dir, "documents.parquet")
+                ).metadata.num_rows
+            except Exception:
+                _n = 0
+            dps = max(256, -(-_n // 16))
             build_index(
                 spark,
                 docs,
                 out,
                 n_buckets=4,
-                docs_per_shard=256,  # >1 shard even at sf0.001 — exercises per-shard WAND + merge
+                docs_per_shard=dps,
                 n_segments=2,
                 hot_df=100,  # most fixture terms are hot → salting on the graded path
                 n_salts=4,
@@ -992,7 +1027,7 @@ def _q_multifield(query_terms: list[str], fields: list[tuple[str, float]], k: in
         docs = read_fixture(spark, sf_dir, "documents")
         partials = []
         for field, boost in fields:
-            base = corpus_base(docs.select("doc_id", F.col(field).alias("text")))
+            base = _field_base(spark, sf_dir, field)
             tf = exploded_tf(base)  # carries dl inline → no doc_stats join
             ds = base.select("doc_id", "dl")
             ts = term_stats(tf.select("term", "doc_id", "tf"))
@@ -1069,7 +1104,7 @@ def _q_best_fields(
         docs = read_fixture(spark, sf_dir, "documents")
         per_field = []
         for field, boost in fields:
-            base = corpus_base(docs.select("doc_id", F.col(field).alias("text")))
+            base = _field_base(spark, sf_dir, field)
             tf = exploded_tf(base)
             ds = base.select("doc_id", "dl")
             ts = term_stats(tf.select("term", "doc_id", "tf"))
@@ -4484,7 +4519,7 @@ def _q_combined_fields(
         docs = read_fixture(spark, sf_dir, "documents")
         tf_parts, dl_parts = [], []
         for field, boost in fields:
-            base = corpus_base(docs.select("doc_id", F.col(field).alias("text")))
+            base = _field_base(spark, sf_dir, field)
             tf_parts.append(
                 exploded_tf(base).select(
                     "doc_id", "term",
@@ -7437,7 +7472,7 @@ def _q_cross_fields(
         tagged, dfs = [], []
         n_docs = None
         for field, boost in fields:
-            base = corpus_base(docs.select("doc_id", F.col(field).alias("text")))
+            base = _field_base(spark, sf_dir, field)
             tf = exploded_tf(base).filter(F.col("term").isin(query_terms))
             ds = base.select("doc_id", "dl")
             n, avgdl = corpus_stats(ds)

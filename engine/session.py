@@ -46,6 +46,18 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # Scan parallelism floor (scale-adaptive, not a local-only constant):
+        # small fixture files (single-digit MB) otherwise scan as 1-2 tasks
+        # (ceil(bytes / max(openCost, bytes/minPartitionNum))), starving every
+        # scan-attached codegen/Arrow stage of cores. The floor is derived
+        # from the session's parallelism; at production input sizes
+        # bytes/minPartitionNum >> maxPartitionBytes so the 128 MB split cap
+        # still governs — these two knobs change nothing at 100 TB.
+        .config("spark.sql.files.minPartitionNum", str(n * 2))
+        .config(
+            "spark.sql.files.openCostInBytes",
+            os.environ.get("SPARK_GRAFT_OPEN_COST", "131072"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))

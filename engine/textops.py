@@ -369,69 +369,94 @@ def span_dedup(
     paragraphs and partial crawls that neither catches.
 
     Spark shape — the shuffle-sorted shingle variant of the paper's suffix
-    array (a suffix array is a sequential build; sorting shingle hashes
+    array (a suffix array is a sequential build; grouping shingle hashes
     distributes): per doc, the k-token shingle at every start offset is
     hashed JVM-side (transform over the token array — no UDF, no extra
-    shuffle); ONE exchange on the shingle hash ranks occurrences
-    (row_number over (hash) ordered by (doc_id, pos)); rank ≥ 2 occurrences
-    explode to their k covered positions (duplicates only — corpus-rare) and
-    anti-join the token stream; one final hash aggregate reassembles
-    documents. 64-bit shingle hashes keep the big exchange at ~16 B/row;
-    at 100 TB-corpus shingle counts, rare birthday collisions cost only a
-    spuriously removed span (the paper's method has the same tolerance).
+    shuffle); ONE hash-aggregate exchange on the shingle hash finds
+    duplicated hashes; their occurrences are recovered with a broadcast
+    join against a re-derived shingle stream and ranked by a window that
+    now only sees duplicate rows (duplicated hashes are corpus-rare, so
+    both the broadcast side and the window input are tiny — at true 100 TB
+    dup densities swap the broadcast for a shuffle join or bloom
+    pre-filter, the shape is otherwise unchanged). Covered positions
+    fold to one small array per affected doc; reassembly is then a pure
+    per-row array filter — the token stream is never exploded and never
+    shuffled. 64-bit shingle hashes keep the one big exchange at ~16 B/row;
+    rare birthday collisions cost only a spuriously removed span (the
+    paper's method has the same tolerance).
 
     Returns one row per input doc: (id_col, text [deduped], n_kept,
     n_removed). Docs shorter than k tokens pass through unchanged; a doc
     whose every token is covered (an exact duplicate of an earlier doc)
     comes back with empty text and n_kept = 0."""
+    from pyspark import StorageLevel
+
     toks = F.split(F.col(text_col), " ")
     base = docs.select(
         F.col(id_col), toks.alias("_toks"), F.size(toks).alias("_n")
     )
     starts = F.sequence(F.lit(0), F.col("_n") - F.lit(k))
-    sh = (
+    # Shingle hashing is the CPU-heavy pass (O(k) slice+hash per position);
+    # compute it ONCE into a compact persisted frame of longs (~8 B/token —
+    # an order of magnitude smaller than the corpus, disk-spillable at
+    # scale) so the duplicate-count aggregate and the dup-occurrence join
+    # both explode cheap long arrays instead of re-slicing token strings.
+    # xxhash64 over the slice ARRAY (not a concat_ws string) skips the
+    # per-shingle string allocation; tokens are split on ' ' so array
+    # equality == joined-string equality.
+    hashed = (
         base.filter(F.col("_n") >= k)
         .select(
             id_col,
-            F.posexplode(
-                F.transform(
-                    starts,
-                    lambda i: F.xxhash64(
-                        F.concat_ws(" ", F.slice("_toks", i + 1, k))
-                    ),
-                )
-            ).alias("pos", "sh"),
+            F.transform(
+                starts, lambda i: F.xxhash64(F.slice("_toks", i + 1, k))
+            ).alias("_hs"),
         )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sh = hashed.select(id_col, F.posexplode("_hs").alias("pos", "sh"))
+    # duplicated hashes via a count-only hash aggregate (primitive key and
+    # payload → HashAggregate, never SortAggregate) — replaces a row_number
+    # window (full exchange + SORT of EVERY shingle); the rank-the-first-
+    # occurrence window then runs only over occurrences of duplicated
+    # hashes, which are corpus-rare
+    dup_hashes = (
+        sh.groupBy("sh")
+        .agg(F.count("*").alias("_c"))
+        .filter(F.col("_c") >= 2)
+        .select("sh")
     )
     w = Window.partitionBy("sh").orderBy(F.col(id_col).asc(), F.col("pos").asc())
     dup = (
-        sh.withColumn("_rn", F.row_number().over(w))
+        sh.join(F.broadcast(dup_hashes), "sh")
+        .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") >= 2)
         .select(id_col, "pos")
     )
-    marked = dup.select(
-        id_col, F.explode(F.sequence("pos", F.col("pos") + F.lit(k - 1))).alias("pos")
-    ).distinct()
-    tok_rows = base.select(id_col, F.posexplode("_toks").alias("pos", "_t"))
-    kept = tok_rows.join(marked, [id_col, "pos"], "left_anti")
-    kept_agg = kept.groupBy(id_col).agg(
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "_t"))),
-                lambda s: s["_t"],
-            ),
-        ).alias("_kept_text"),
-        F.count("*").cast("bigint").alias("n_kept"),
+    # per-doc sorted array of covered token positions (dup-only → tiny)
+    removed = dup.groupBy(id_col).agg(
+        F.array_distinct(
+            F.flatten(
+                F.collect_list(F.sequence("pos", F.col("pos") + F.lit(k - 1)))
+            )
+        ).alias("_rm")
+    )
+    # reassembly is per-row: filter the token array by position — no token
+    # explode, no anti-join, no collect_list shuffle of the whole corpus
+    kept_toks = F.when(F.col("_rm").isNull(), F.col("_toks")).otherwise(
+        F.filter("_toks", lambda t, i: ~F.array_contains("_rm", i))
     )
     return (
-        base.join(kept_agg, id_col, "left")
+        base.join(F.broadcast(removed), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("_n"),
+            kept_toks.alias("_kept"),
+        )
         .select(
             id_col,
-            F.coalesce("_kept_text", F.lit("")).alias(text_col),
-            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
-            (F.col("_n") - F.coalesce("n_kept", F.lit(0)))
-            .cast("bigint")
-            .alias("n_removed"),
+            F.concat_ws(" ", "_kept").alias(text_col),
+            F.size("_kept").cast("bigint").alias("n_kept"),
+            (F.col("_n") - F.size("_kept")).cast("bigint").alias("n_removed"),
         )
     )

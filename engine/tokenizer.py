@@ -395,6 +395,29 @@ def make_term_counts_udf(analyzer: str = "standard"):
     edge = analyzer == "edge_ngram"
     shingle = analyzer == "shingle"
 
+    # token-local analyzer chains are memoized per worker process: natural
+    # language repeats tokens heavily, so the stem/stopword chain runs once
+    # per DISTINCT token instead of once per occurrence (same trick as
+    # dedup._token_hash_cache). None marks a dropped (stopword) token.
+    _token_memo: dict[str, str | None] = {}
+
+    def _mapped(t: str) -> str | None:
+        v = _token_memo.get(t, False)
+        if v is not False:
+            return v
+        if english:
+            v = None if t in ENGLISH_STOPWORDS else s_stem(t)
+        elif french:
+            v = None if t in FRENCH_STOPWORDS else french_minimal_stem(t)
+        elif german:
+            v = None if t in GERMAN_STOPWORDS else german_minimal_stem(t)
+        else:  # synonyms
+            v = SYNONYM_FOLD.get(t, t)
+        _token_memo[t] = v
+        return v
+
+    token_local = english or french or german or synonyms
+
     @F.pandas_udf(_TC_SCHEMA)
     def term_counts(s: pd.Series) -> pd.Series:
         from collections import Counter
@@ -404,20 +427,10 @@ def make_term_counts_udf(analyzer: str = "standard"):
         terms, tfs = [], []
         for ts in toks:
             it = (t for t in ts if len(t) <= MAX_TOKEN_LEN)
-            if english:
-                it = (s_stem(t) for t in it if t not in ENGLISH_STOPWORDS)
-            elif french:
+            if token_local:
                 it = (
-                    french_minimal_stem(t) for t in it
-                    if t not in FRENCH_STOPWORDS
+                    m for m in (_mapped(t) for t in it) if m is not None
                 )
-            elif german:
-                it = (
-                    german_minimal_stem(t) for t in it
-                    if t not in GERMAN_STOPWORDS
-                )
-            elif synonyms:
-                it = (SYNONYM_FOLD.get(t, t) for t in it)
             elif edge:
                 it = (
                     t[:g]
