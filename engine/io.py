@@ -48,6 +48,15 @@ _REBALANCE_MIN_BYTES = int(
     os.environ.get("SPARK_GRAFT_REBALANCE_MIN_BYTES", str(2 << 20))
 )
 _REBALANCE_ROW_BYTES = 64 << 10  # ~64 KB of file per partition
+# Only tables whose downstream work is CPU-heavy PER ROW (text analysis
+# UDFs, shingle explodes, vector math) gain from the rebalance exchange.
+# For pure columnar scan+aggregate tables (lineitem/orders/events) the
+# round-robin exchange of the full payload costs more than the extra
+# parallelism buys — measured: agg_date_histogram 0.5->1.8s when events was
+# rebalanced. Env-tunable (comma-separated) for other deployments.
+_REBALANCE_TABLES = frozenset(
+    os.environ.get("SPARK_GRAFT_REBALANCE_TABLES", "documents,embeddings").split(",")
+)
 
 
 def read_fixture(
@@ -62,7 +71,7 @@ def read_fixture(
     Callers that must stay scan-only can pass rebalance=False."""
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
-    if not rebalance:
+    if not rebalance or name not in _REBALANCE_TABLES:
         return df
     try:
         size = os.path.getsize(path)

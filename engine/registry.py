@@ -101,7 +101,12 @@ def _tf_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _bm25_query(query: str, k: int, mode: str) -> Callable:
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         tf, ds, ts, n, avgdl = _built_corpus(spark, sf_dir)
-        return exact_search(tf, ds, ts, n, avgdl, query, k=k, mode=mode)
+        # df_from_tf: tf IS the frame ts derives from, so per-term df comes
+        # from a tiny agg over the query-filtered tf instead of
+        # materializing the whole cached full-vocabulary term_stats
+        return exact_search(
+            tf, ds, ts, n, avgdl, query, k=k, mode=mode, df_from_tf=True
+        )
 
     return run
 
@@ -281,7 +286,7 @@ def _q_bm25_english(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf, ds, ts, n, avgdl = _built_corpus_english(spark, sf_dir)
     return exact_search(
         tf, ds, ts, n, avgdl, "the tables queries merge stream",
-        k=10, mode="or", analyzer="english",
+        k=10, mode="or", analyzer="english", df_from_tf=True,
     )
 
 
@@ -363,7 +368,8 @@ def _q_bm25_french(spark: SparkSession, sf_dir: str) -> DataFrame:
     and scores against the french-analyzed corpus stats."""
     tf, ds, ts, n, avgdl = _built_corpus_french(spark, sf_dir)
     return exact_search(
-        tf, ds, ts, n, avgdl, _FR_QUERY, k=10, mode="or", analyzer="french"
+        tf, ds, ts, n, avgdl, _FR_QUERY, k=10, mode="or", analyzer="french",
+        df_from_tf=True,
     )
 
 
@@ -1237,8 +1243,13 @@ def _ev(spark, sf_dir):
     return read_fixture(spark, sf_dir, "events")
 
 
-def _docs(spark, sf_dir):
-    return read_fixture(spark, sf_dir, "documents")
+def _docs(spark, sf_dir, rebalance: bool = False):
+    """documents reader. rebalance defaults OFF: most consumers are light
+    per-row (aggs, samples, lookups) and the reader's rebalance exchange is
+    pure overhead for them (measured +0.35 s on agg_cardinality_grouped at
+    sf1.0). Heavy text-compute consumers (dedup passes, quality scoring,
+    language id) opt in with rebalance=True."""
+    return read_fixture(spark, sf_dir, "documents", rebalance=rebalance)
 
 
 from .aggs import (  # noqa: E402
@@ -1975,7 +1986,7 @@ register(
 def _q_text_quality(spark, sf_dir):
     from .textops import quality_score
 
-    return quality_score(_docs(spark, sf_dir)).select(
+    return quality_score(_docs(spark, sf_dir, rebalance=True)).select(
         "doc_id", "n_tokens", "mean_token_len", "stopword_ratio", "alpha_ratio",
         "quality_score",
     )
@@ -2009,7 +2020,7 @@ register(
 def _q_token_counts(spark, sf_dir):
     from .textops import with_token_counts
 
-    return with_token_counts(_docs(spark, sf_dir)).select(
+    return with_token_counts(_docs(spark, sf_dir, rebalance=True)).select(
         "doc_id", "ws_tokens", "bpe_est_tokens"
     )
 
@@ -2027,7 +2038,7 @@ register(
 def _q_fingerprint(spark, sf_dir):
     from .textops import with_fingerprint
 
-    return with_fingerprint(_docs(spark, sf_dir)).select("doc_id", "fingerprint")
+    return with_fingerprint(_docs(spark, sf_dir, rebalance=True)).select("doc_id", "fingerprint")
 
 
 register(
@@ -2042,7 +2053,7 @@ register(
 def _q_ngram_jaccard(spark, sf_dir):
     from .dedup import ngram_jaccard_pairs
 
-    return ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.8, max_df=256)
+    return ngram_jaccard_pairs(_docs(spark, sf_dir, rebalance=True), n=3, threshold=0.8, max_df=256)
 
 
 register(
@@ -2078,7 +2089,7 @@ WHERE round(ni * 1.0 / (sa.n_sh + sb.n_sh - ni), 4) >= 0.8
 def _q_exact_dup_groups(spark, sf_dir):
     from .dedup import exact_duplicates
 
-    return exact_duplicates(_docs(spark, sf_dir)).select(
+    return exact_duplicates(_docs(spark, sf_dir, rebalance=True)).select(
         "fingerprint", "n_docs", "keep_id"
     )
 
@@ -2100,7 +2111,7 @@ register(
 def _q_minhash(spark, sf_dir):
     from .dedup import minhash_jaccard_estimate
 
-    return minhash_jaccard_estimate(_docs(spark, sf_dir), k=64).filter(
+    return minhash_jaccard_estimate(_docs(spark, sf_dir, rebalance=True), k=64).filter(
         F.col("est_jaccard") >= 0.7
     )
 
@@ -2111,7 +2122,7 @@ register("dedup_minhash_lsh", _q_minhash, None)
 def _q_simhash(spark, sf_dir):
     from .dedup import simhash_near_dups
 
-    return simhash_near_dups(_docs(spark, sf_dir), max_hamming=6)
+    return simhash_near_dups(_docs(spark, sf_dir, rebalance=True), max_hamming=6)
 
 
 register("dedup_simhash", _q_simhash, None)
@@ -2121,7 +2132,7 @@ def _q_lang_id(spark, sf_dir):
     from .textops import language_id_udf
 
     return (
-        _docs(spark, sf_dir)
+        _docs(spark, sf_dir, rebalance=True)
         .select(language_id_udf(F.col("text")).alias("pred_lang"))
         .groupBy("pred_lang")
         .agg(F.count("*").alias("n"))
@@ -2855,7 +2866,7 @@ register(
 def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import connected_components, ngram_jaccard_pairs
 
-    pairs = ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.8, max_df=256)
+    pairs = ngram_jaccard_pairs(_docs(spark, sf_dir, rebalance=True), n=3, threshold=0.8, max_df=256)
     return connected_components(pairs)
 
 
@@ -4304,7 +4315,10 @@ def _q_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix sums, no single-partition window)."""
     from .pack import pack_documents
 
-    docs = read_fixture(spark, sf_dir, "documents")
+    # rebalance=False: per-row work is a whitespace split count; the packing
+    # windows repartition by bucket themselves, so the reader's rebalance
+    # exchange is pure overhead (measured +0.15 s at sf1.0)
+    docs = read_fixture(spark, sf_dir, "documents", rebalance=False)
     return pack_documents(docs, seq_len=64).orderBy("doc_id")
 
 
@@ -5067,7 +5081,7 @@ def _q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     lost at least one token."""
     from .textops import span_dedup
 
-    docs = _docs(spark, sf_dir)
+    docs = _docs(spark, sf_dir, rebalance=True)
     return (
         span_dedup(docs, k=10)
         .filter(F.col("n_removed") > 0)
@@ -5420,7 +5434,11 @@ def _q_training_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     window)."""
     from .sample import training_shuffle
 
-    docs = _docs(spark, sf_dir)
+    # rebalance=False: the shuffle key is one xxhash per row — scan-light,
+    # and training_shuffle repartitions by (shard, key) itself anyway; the
+    # reader's rebalance exchange would be pure overhead here (measured
+    # +0.07 s at sf1.0)
+    docs = read_fixture(spark, sf_dir, "documents", rebalance=False)
     return (
         training_shuffle(docs, n_shards=8)
         .select("doc_id", "shuffle_key", "shard")

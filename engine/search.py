@@ -72,6 +72,7 @@ def score_terms(
     n_docs: int,
     avgdl: float,
     terms: list[str],
+    df_from_tf: bool = False,
 ) -> DataFrame:
     """Per-(doc, term) BM25 partial scores for the given terms.
 
@@ -79,9 +80,21 @@ def score_terms(
     stats side is tiny → broadcast join. When the tf frame carries `dl`
     inline (engine/corpus.exploded_tf does), the doc-length join is skipped
     entirely — one fewer full shuffle per query; otherwise dl joins as an
-    AQE-chosen hash/sort-merge. All arithmetic stays JVM-side (no UDF)."""
+    AQE-chosen hash/sort-merge. All arithmetic stays JVM-side (no UDF).
+
+    df_from_tf=True derives each term's document frequency from the tf
+    frame itself (count of (term, doc) rows == term_stats.df by
+    construction) instead of touching the term_stats frame — which, when
+    term_stats is an eagerly cached full-vocabulary aggregate, would
+    materialize ALL of it for a handful of query terms. ONLY valid when tf
+    is exactly the frame term_stats was computed from (the corpus-builder
+    tuples); callers that pass a doc-filtered tf with global stats (e.g.
+    per-index search) must keep the default."""
     tf_q = tf.filter(F.col("term").isin(terms))
-    ts_q = term_stats.filter(F.col("term").isin(terms))
+    if df_from_tf:
+        ts_q = tf_q.groupBy("term").agg(F.count("*").alias("df"))
+    else:
+        ts_q = term_stats.filter(F.col("term").isin(terms))
     joined = tf_q.join(F.broadcast(ts_q.select("term", "df")), "term")
     if "dl" not in tf.columns:
         joined = joined.join(doc_stats, "doc_id")
@@ -108,6 +121,7 @@ def scored_docs(
     mode: str = "or",
     min_should_match: int = 1,
     analyzer: str = "standard",
+    df_from_tf: bool = False,
 ) -> DataFrame:
     """Full BM25-scored match set → DataFrame(doc_id, score double,
     n_matched) with boolean semantics applied but NO ordering/limit — the
@@ -119,7 +133,10 @@ def scored_docs(
             [], "doc_id long, score double, n_matched long"
         )
     scored = (
-        score_terms(tf, doc_stats, term_stats, n_docs, avgdl, q.terms)
+        score_terms(
+            tf, doc_stats, term_stats, n_docs, avgdl, q.terms,
+            df_from_tf=df_from_tf,
+        )
         .groupBy("doc_id")
         .agg(F.sum("partial").alias("score"), F.count("*").alias("n_matched"))
     )
@@ -145,6 +162,7 @@ def exact_search(
     round_to: int | None = 4,
     min_should_match: int = 1,
     analyzer: str = "standard",
+    df_from_tf: bool = False,
 ) -> DataFrame:
     """D8 exact BM25 top-k → DataFrame(doc_id, score), deterministic order.
 
@@ -156,6 +174,7 @@ def exact_search(
     scored = scored_docs(
         tf, doc_stats, term_stats, n_docs, avgdl, query,
         mode=mode, min_should_match=min_should_match, analyzer=analyzer,
+        df_from_tf=df_from_tf,
     )
     score_col = F.round(F.col("score"), round_to) if round_to is not None else F.col("score")
     return (

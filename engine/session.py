@@ -46,18 +46,12 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        # Scan parallelism floor (scale-adaptive, not a local-only constant):
-        # small fixture files (single-digit MB) otherwise scan as 1-2 tasks
-        # (ceil(bytes / max(openCost, bytes/minPartitionNum))), starving every
-        # scan-attached codegen/Arrow stage of cores. The floor is derived
-        # from the session's parallelism; at production input sizes
-        # bytes/minPartitionNum >> maxPartitionBytes so the 128 MB split cap
-        # still governs — these two knobs change nothing at 100 TB.
-        .config("spark.sql.files.minPartitionNum", str(n * 2))
-        .config(
-            "spark.sql.files.openCostInBytes",
-            os.environ.get("SPARK_GRAFT_OPEN_COST", "131072"),
-        )
+        # NOTE on scan parallelism: the driver fixtures are single-ROW-GROUP
+        # parquet, so byte-split knobs (files.minPartitionNum /
+        # openCostInBytes) cannot raise real scan parallelism — they were
+        # tried and only added empty-split task overhead (~45 no-op tasks
+        # per scan). Scan-side parallelism for CPU-heavy tables comes from
+        # io.read_fixture's size-gated rebalance instead.
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
