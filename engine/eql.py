@@ -299,8 +299,17 @@ def funnel_conversion(
     if k < 2:
         raise ValueError(f"funnel_conversion needs >= 2 steps, got {k}")
     spark = events.sparkSession
+    # Pre-filter to rows matching ANY step before the key-partitioned window
+    # shuffle (guide §2.3 — shuffle fewer bytes): with no `until` and no
+    # `missing` slots (this funnel form has neither), rows matching no step
+    # are inert — every register (_is/_done/_l/_t0) is a running max that
+    # only updates on step-matching rows, so dropping non-matching rows
+    # changes no register value and no completion.
+    any_step = steps[0]
+    for s in steps[1:]:
+        any_step = any_step | s
     ann = _sequence_annotated(
-        events, [key_col], ts_col, steps, maxspan_seconds, id_col
+        events.filter(any_step), [key_col], ts_col, steps, maxspan_seconds, id_col
     )
     # distinct-keys-per-stage WITHOUT countDistinct: k conditional
     # count-distincts would Expand the annotated frame k-fold; a per-key

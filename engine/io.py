@@ -79,9 +79,13 @@ def read_fixture(
         return df
     if size >= _REBALANCE_MAX_BYTES or size < _REBALANCE_MIN_BYTES:
         return df
+    # Cap at 1x defaultParallelism: Python-stage tasks carry a fixed
+    # per-task handshake cost, so one wave of core-count tasks beats two
+    # (A/B at sf1.0, 50k docs: 24-32 parts 0.38-0.40 s vs 64 parts 0.55 s
+    # for the corpus analyzer pass).
     target = min(
         max(size // _REBALANCE_ROW_BYTES, 1),
-        spark.sparkContext.defaultParallelism * 2,
+        spark.sparkContext.defaultParallelism,
     )
     if target <= 1:
         return df

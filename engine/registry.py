@@ -1675,13 +1675,23 @@ def _tpch(spark, sf_dir, name):
 
 def _q_join_agg_topn(spark, sf_dir):
     """F3/F4/F8: customer⋈orders revenue top-10 — Catalyst broadcasts the
-    dim side; top-k is TakeOrderedAndProject (no full sort)."""
+    dim side; top-k is TakeOrderedAndProject (no full sort).
+
+    Aggregate-below-join (guide §2.3 "aggregate before you shuffle"): the
+    orders fact table reduces to one row per o_custkey BEFORE the customer
+    join, so the scan-side hash agg keys on one long (no per-row join probe,
+    no c_name strings in the agg hash table) and the broadcast join touches
+    V rows instead of |orders|. Equivalent to joining first: c_name is
+    functionally determined by c_custkey, and the inner join drops
+    customer-less orders identically on either side of the agg."""
     c = _tpch(spark, sf_dir, "customer")
     o = _tpch(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("_t"))
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .groupBy("c_custkey", "c_name")
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("total"))
+        per_cust.join(F.broadcast(c), per_cust.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey", "c_name", F.round(F.col("_t"), 2).alias("total")
+        )
         .orderBy(F.col("total").desc(), F.col("c_custkey").asc())
         .limit(10)
     )

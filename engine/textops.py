@@ -352,6 +352,71 @@ def chunk_windows(
     )
 
 
+# per-worker memo of token → 64-bit hash (natural language repeats tokens
+# heavily; hash each DISTINCT token once per worker, same trick as
+# dedup._token_hash_cache)
+_span_token_hashes: dict[str, int] = {}
+
+
+def _make_span_hash_udf(k: int):
+    """Vectorized k-token shingle hasher: array<string> toks → array<long>
+    of one 64-bit hash per window start (empty when len(toks) < k).
+
+    Whole-batch NumPy: flatten the batch's token arrays, factorize so each
+    distinct token is hashed once (blake2b-8, worker-memoized), then combine
+    every k-window of token hashes with a fixed odd-multiplier polynomial —
+    a (N, k) sliding-window matvec in uint64 (wraparound arithmetic is the
+    mod-2^64 ring; the odd multiplier is a bijection, so per-position
+    entropy is preserved). Windows never cross document boundaries by
+    construction of the per-doc offsets."""
+    import hashlib
+
+    _B = 0x9E3779B97F4A7C15
+    pows = np.array(
+        [pow(_B, i, 1 << 64) for i in range(k)], dtype=np.uint64
+    )  # mod-2^64 powers precomputed in Python ints (no numpy overflow warns)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def span_hashes(s: pd.Series) -> pd.Series:
+        memo = _span_token_hashes
+        toks_list = s.tolist()
+        n_rows = len(toks_list)
+        if n_rows == 0:
+            return pd.Series([], dtype=object)
+        lens = np.fromiter((len(t) for t in toks_list), np.int64, count=n_rows)
+        total = int(lens.sum())
+        empty = np.empty(0, dtype=np.int64)
+        if total == 0:
+            return pd.Series([empty] * n_rows)
+        flat = np.concatenate([np.asarray(t, dtype=object) for t in toks_list])
+        codes, uniq = pd.factorize(flat)
+        uh = np.empty(len(uniq), dtype=np.uint64)
+        for i, u in enumerate(uniq):
+            h = memo.get(u)
+            if h is None:
+                h = int.from_bytes(
+                    hashlib.blake2b(u.encode(), digest_size=8).digest(), "little"
+                )
+                memo[u] = h
+            uh[i] = h
+        th = uh[codes]
+        if total >= k:
+            with np.errstate(over="ignore"):  # uint64 wraparound IS the ring
+                win = np.lib.stride_tricks.sliding_window_view(th, k)
+                H = (win * pows[None, :]).sum(axis=1, dtype=np.uint64).view(np.int64)
+        else:
+            H = empty
+        offs = np.zeros(n_rows, dtype=np.int64)
+        np.cumsum(lens[:-1], out=offs[1:])
+        out = [
+            H[offs[i]: offs[i] + lens[i] - k + 1] if lens[i] >= k else empty
+            for i in range(n_rows)
+        ]
+        return pd.Series(out)
+
+    return span_hashes
+
+
 def span_dedup(
     docs: DataFrame,
     k: int = 10,
@@ -394,7 +459,10 @@ def span_dedup(
     toks = F.split(F.col(text_col), " ")
     base = docs.select(
         F.col(id_col), toks.alias("_toks"), F.size(toks).alias("_n")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # base is scanned twice (shingle hashing, then reassembly) — persist the
+    # split token arrays so the source scan + split run once. Materialized
+    # by hashed.count() below (sequential, no AQE race on this cache).
     starts = F.sequence(F.lit(0), F.col("_n") - F.lit(k))
     # Shingle hashing is the CPU-heavy pass (O(k) slice+hash per position);
     # compute it ONCE into a compact persisted frame of longs (~8 B/token —
@@ -404,16 +472,29 @@ def span_dedup(
     # xxhash64 over the slice ARRAY (not a concat_ws string) skips the
     # per-shingle string allocation; tokens are split on ' ' so array
     # equality == joined-string equality.
+    # Shingle hashing is one vectorized Arrow pass (_make_span_hash_udf):
+    # per-distinct-token 64-bit hashes + a whole-batch polynomial window
+    # combine in NumPy. The previous JVM form — transform(starts,
+    # i -> xxhash64(slice(...))) — is an interpreted higher-order expression
+    # tree costing ~13 µs/position (~35 core-s for 2.7 M positions at
+    # sf1.0); the batch matvec is ~2 orders cheaper. Hash identity is free
+    # to differ: dup GROUPS depend only on hash equality of token windows,
+    # the oracle twin is exact string-based, and 64-bit birthday tolerance
+    # is the same.
     hashed = (
         base.filter(F.col("_n") >= k)
         .select(
             id_col,
-            F.transform(
-                starts, lambda i: F.xxhash64(F.slice("_toks", i + 1, k))
-            ).alias("_hs"),
+            _make_span_hash_udf(k)(F.col("_toks")).alias("_hs"),
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # Materialize the persisted hash frame NOW: the dup-count aggregate and
+    # the dup-occurrence join sides are AQE stages that materialize
+    # concurrently — with a lazy persist both race to fill it and the O(k)-
+    # per-position shingle hashing runs twice in parallel (measured: 2x
+    # ~0.9 s jobs at sf1.0). One eager count = one hashing pass.
+    hashed.count()
     sh = hashed.select(id_col, F.posexplode("_hs").alias("pos", "sh"))
     # duplicated hashes via a count-only hash aggregate (primitive key and
     # payload → HashAggregate, never SortAggregate) — replaces a row_number
