@@ -248,3 +248,47 @@ def test_simhash_banding_guarantees_recall(spark, corpus):
             for r in simhash_near_dups(corpus, max_hamming=mh).collect()
         }
         assert got == want, (mh, got ^ want)
+
+
+def test_minhash_vectorized_batch_matches_per_doc_reference(spark):
+    """The whole-batch vectorized minhash UDF (factorize + global rolling
+    hash + reduceat, added in the r6 optimization) must be bit-identical to
+    the per-doc reference form (_shingle_hashes + affine-min mod Mersenne),
+    including the edge cases that take different code paths: empty text,
+    < n tokens, exactly n tokens, and adjacent docs whose boundary windows
+    must never mix."""
+    from engine.dedup import (
+        _MERSENNE,
+        _minhash_params,
+        _shingle_hashes,
+        _token_hash_cache,
+        minhash_signatures,
+    )
+
+    k, n = 64, 3
+    texts = [
+        "",                                   # empty → zeros(1) shingle
+        "one",                                # 1 token (< n)
+        "two tokens",                         # 2 tokens (< n)
+        "exactly three tokens",               # == n → single window
+        "alpha beta gamma delta epsilon",     # > n, plain
+        "alpha beta gamma delta epsilon",     # exact dup of previous
+        "delta epsilon zeta eta theta iota",  # shares boundary tokens with prev
+        ("tok " * 500).strip(),               # long, heavy token repetition
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["id"]: list(r["mh"])
+        for r in minhash_signatures(df, k=k, n=n).collect()
+    }
+
+    a, b = _minhash_params(k)
+    th = _token_hash_cache()
+    for i, t in enumerate(texts):
+        sh = _shingle_hashes(t, n, th)
+        with np.errstate(over="ignore"):
+            vals = (sh[None, :] * a[:, None] + b[:, None]) % _MERSENNE
+        want = vals.min(axis=1).astype(np.int64).tolist()
+        assert got[i] == want, (i, t[:30], got[i][:4], want[:4])
